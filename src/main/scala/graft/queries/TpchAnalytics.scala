@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Batch analytic coverage beyond the reference's streaming jobs:
+  * TPC-H-style aggregation/join/sort queries, SQL window functions, and
+  * set operations on the driver's star schema. These exercise the
+  * relational surface a warehouse user expects (the reference has no
+  * batch tier at all — SURVEY.md §2.3 notes the gap).
+  *
+  * Money math is done in DECIMAL(18,2) (exact, order-independent) and
+  * cast to DOUBLE only at the end, so Spark and DuckDB agree bit-for-bit
+  * regardless of aggregation order.
+  */
+object TpchAnalytics {
+
+  private val decQty = col("l_quantity").cast(DecimalType(18, 2))
+  private val decPrice = col("l_extendedprice").cast(DecimalType(18, 2))
+  private val decDisc = col("l_discount").cast(DecimalType(18, 2))
+  private val decTax = col("l_tax").cast(DecimalType(18, 2))
+
+  // ------------------------------------------------------------ TPC-H 1
+  /** Pricing summary report: wide multi-aggregate scan of lineitem. The
+    * whole query is one codegen'd partial+final HashAggregate over the
+    * parquet scan — no shuffle besides the 6-group final agg.
+    */
+  private def tpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(decQty).cast("double").as("sum_qty"),
+        sum(decPrice).cast("double").as("sum_base_price"),
+        sum(decPrice * (lit(1) - decDisc)).cast("double").as("sum_disc_price"),
+        sum(decPrice * (lit(1) - decDisc) * (lit(1) + decTax)).cast("double").as("sum_charge"),
+        (sum(decQty).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(decPrice).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private val tpchQ1Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ TPC-H 3
+  /** Shipping-priority: 3-way join + grouped revenue + top-10. The
+    * customer side is filtered then broadcast; lineitem↔orders is the
+    * only shuffle. Top-10 is a TakeOrderedAndProject (per-partition
+    * heap, no global sort materialization).
+    */
+  private def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(decPrice * (lit(1) - decDisc)).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("odate_sec"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val tpchQ3Oracle =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS odate_sec
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ----------------------------------------------- multi-dim broadcast
+  /** Star-join rollup: revenue per region/nation through the full
+    * customer→nation→region dimension chain. All three dims broadcast;
+    * the fact scans once.
+    */
+  private def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(decPrice * (lit(1) - decDisc)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val starJoinOracle =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- window functions
+  /** SQL window-function surface: rank / dense_rank / lag / running sum
+    * per nation over customer balances. Running sum is decimal-exact so
+    * the cross-engine compare is deterministic.
+    */
+  private def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val decBal = col("c_acctbal").cast(DecimalType(18, 2))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"), col("c_acctbal"), decBal.as("dec_bal"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(w))
+      .withColumn("running_bal",
+        sum(col("dec_bal")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rn"), col("rnk"),
+        col("drnk"), col("prev_bal"), col("running_bal"))
+  }
+
+  private val windowFuncsOracle =
+    """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk, prev_bal, running_bal FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER w AS rn,
+      |    rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk,
+      |    lag(c_acctbal) OVER w AS prev_bal,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_bal
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)) t
+      |WHERE rn <= 3""".stripMargin
+
+  // ------------------------------------------------------- set algebra
+  /** UNION / INTERSECT / EXCEPT: users who purchased or signed up, also
+    * clicked, and are not heavy error producers (≥10 errors).
+    */
+  private def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def usersOf(t: String) = ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val heavyErrorUsers = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id")).count().filter(col("count") >= 10)
+      .select(col("user_id"))
+    usersOf("purchase").union(usersOf("signup")).distinct()
+      .intersect(usersOf("click"))
+      .except(heavyErrorUsers)
+  }
+
+  private val setOpsOracle =
+    """SELECT user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  UNION
+      |  SELECT user_id FROM events WHERE event_type = 'signup')
+      |INTERSECT
+      |SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |GROUP BY user_id HAVING count(*) >= 10""".stripMargin
+
+  // ---------------------------------------------------- semi/anti join
+  /** Left-semi + left-anti joins (EXISTS / NOT EXISTS): parts that were
+    * never ordered vs suppliers with at least one shipment.
+    */
+  private def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val partsNeverOrdered = Tables.part(spark, dir)
+      .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey").as("key"), lit("part_never_ordered").as("tag"))
+    val suppliersActive = Tables.supplier(spark, dir)
+      .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey").as("key"), lit("supplier_active").as("tag"))
+    partsNeverOrdered.unionAll(suppliersActive)
+  }
+
+  private val semiAntiOracle =
+    """SELECT p_partkey AS key, 'part_never_ordered' AS tag FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |UNION ALL
+      |SELECT s_suppkey AS key, 'supplier_active' AS tag FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin
+
+  // ------------------------------------------------------- cube/rollup
+  /** Grouping-set rollup over (returnflag, linestatus) — subtotals and
+    * grand total in one pass, a capability the reference lacks entirely.
+    */
+  private def rollupQuery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(decQty).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+  }
+
+  private val rollupOracle =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("tpch_q1_pricing_summary", Some(tpchQ1Oracle), tpchQ1),
+    GraftQuery("tpch_q3_shipping_priority", Some(tpchQ3Oracle), tpchQ3),
+    GraftQuery("star_join_rollup", Some(starJoinOracle), starJoin),
+    GraftQuery("window_functions", Some(windowFuncsOracle), windowFuncs),
+    GraftQuery("set_operations", Some(setOpsOracle), setOps),
+    GraftQuery("semi_anti_join", Some(semiAntiOracle), semiAnti),
+    GraftQuery("rollup_agg", Some(rollupOracle), rollupQuery),
+  )
+}

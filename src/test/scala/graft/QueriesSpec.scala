@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant tests for every registered query at sf0.001.
+  * Exact-value correctness is gated by the DuckDB oracle (Verify +
+  * driver compare); these tests assert structural invariants that the
+  * oracle can't express.
+  */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  // Queries where an empty result at sf0.001 is legitimate (tiny data).
+  private val mayBeEmpty = Set("q8_blacklist", "q9_login_fail")
+
+  for (q <- SparkEntry.all) {
+    test(s"${q.name} runs and returns rows at sf0.001") {
+      val df = q.run(spark, sf)
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q1 top-3: rn bounded, counts non-increasing within window") {
+    val df = SparkEntry.queries("q1_hot_items")(spark, sf)
+    assert(df.filter(col("rn") > 3).isEmpty)
+    val bad = df.as("a")
+      .join(df.as("b"),
+        col("a.window_start") === col("b.window_start") &&
+          col("a.rn") === col("b.rn") - 1)
+      .filter(col("a.cnt") < col("b.cnt"))
+    assert(bad.isEmpty, "counts must be non-increasing in rank order")
+  }
+
+  test("q5 approx UV within 10% of q4 exact UV per window") {
+    val exact = SparkEntry.queries("q4_uv_hourly")(spark, sf)
+    val approx = SparkEntry.queries("q5_uv_approx")(spark, sf)
+    val joined = exact.join(approx, "window_start")
+    val bad = joined.filter(
+      abs(col("uv_approx") - col("uv")) > col("uv") * 0.1 + lit(2))
+    assert(bad.isEmpty, "approx UV drifted >10% from exact")
+  }
+
+  test("q3 PV total equals filtered row count (window partition invariant)") {
+    val total = SparkEntry.queries("q3_pv_hourly")(spark, sf)
+      .agg(sum("pv")).first().getLong(0)
+    val expected = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "view").count()
+    assert(total == expected)
+  }
+
+  test("q10 statuses partition the orders table") {
+    val df = SparkEntry.queries("q10_order_timeout")(spark, sf)
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(df.count() == orders)
+    assert(df.select("status").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("shipped", "timeout")))
+  }
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 tools/local_verify.py <sfDir> <outDir> [query ...]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already produced
+<outDir>/<query>/ parquet dirs and <outDir>/oracle_sql.json. Runs each
+oracle SQL in DuckDB over views named after the parquet tables in sfDir,
+sorts columns by name and rows by value on both sides, and compares
+exactly (NaN-safe). Prints PASS/FAIL per query.
+"""
+import json
+import sys
+import glob
+import duckdb
+import pandas as pd
+
+def load_spark(outdir, name):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+def normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a total order + exact compare; floats via repr (full precision)
+    def cell(v):
+        if pd.isna(v):
+            return "<NULL>"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+    rows = sorted([tuple(cell(v) for v in row) for row in df.itertuples(index=False)])
+    return list(df.columns), rows
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    npass = nfail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_df = load_spark(outdir, name)
+        if spark_df is None:
+            print(f"FAIL {name}: no spark output")
+            nfail += 1
+            continue
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            nfail += 1
+            continue
+        scols, srows = normalize(spark_df)
+        dcols, drows = normalize(duck_df)
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            nfail += 1
+        elif len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            nfail += 1
+        elif srows != drows:
+            diff = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+            print(f"FAIL {name}: {sum(a != b for a, b in zip(srows, drows))} differing rows, first: {diff}")
+            nfail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            npass += 1
+    # rows-only checks for queries without oracle
+    import os
+    for name in sorted(os.listdir(outdir)):
+        if name in oracle or not os.path.isdir(f"{outdir}/{name}"):
+            continue
+        if only and name not in only:
+            continue
+        df = load_spark(outdir, name)
+        n = 0 if df is None else len(df)
+        status = "PASS" if n > 0 else "FAIL"
+        print(f"{status} {name} (rows-only: {n} rows)")
+        if n > 0:
+            npass += 1
+        else:
+            nfail += 1
+    print(f"== {npass} pass, {nfail} fail ==")
+    sys.exit(1 if nfail else 0)
+
+if __name__ == "__main__":
+    main()
