@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventAnalytics, GraftQuery, TpchAnalytics}
+import graft.multimodal.Multimodal
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator registers one entry in `queries` (Spark
@@ -13,7 +14,9 @@ object SparkEntry {
 
   /** All registered capabilities, in registration order. */
   def all: Seq[GraftQuery] =
-    EventAnalytics.queries ++ TpchAnalytics.queries
+    EventAnalytics.queries ++ TpchAnalytics.queries ++
+      TextAnalytics.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-pipeline primitives for large-scale corpus
+  * preparation (language ID, quality scoring, token stats, shingling,
+  * fingerprinting). Everything composes codegen'd built-ins
+  * (`split`/`transform`/`aggregate`/`md5`) — no UDFs, so whole-stage
+  * codegen spans the full expression and the work distributes with the
+  * scan.
+  *
+  * Cross-engine determinism: hashing goes through md5 (identical hex in
+  * every engine) instead of engine-private hash functions, so each
+  * operator has an exact DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Marker-word stopword list used for quality scoring. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Count of tokens (occurrences, not distinct) in `words`. */
+  def markerCount(toksCol: String, words: Seq[String]): Column =
+    expr(s"size(filter($toksCol, t -> t IN ${inList(words)}))").cast("long")
+
+  /** Word k-shingles (k consecutive tokens joined by a space); empty
+    * array when the document has fewer than k tokens.
+    */
+  def wordShingles(toksCol: String, k: Int): Column =
+    expr(
+      s"""CASE WHEN size($toksCol) >= $k THEN
+         |  transform(sequence(1, size($toksCol) - ${k - 1}),
+         |            i -> concat_ws(' ', ${(0 until k).map(j => s"element_at($toksCol, i + $j)").mkString(", ")}))
+         |ELSE array() END""".stripMargin)
+
+  /** Character n-grams of trimmed text; empty array when shorter than n. */
+  def charNgrams(textCol: String, n: Int): Column =
+    expr(
+      s"""CASE WHEN length(trim($textCol)) >= $n THEN
+         |  transform(sequence(1, length(trim($textCol)) - ${n - 1}),
+         |            i -> substring(trim($textCol), i, $n))
+         |ELSE array() END""".stripMargin)
+
+  /** First 32 bits of md5(token) as a non-negative long — the shared
+    * cross-engine token hash (DuckDB: `CAST('0x' || substr(md5(t),1,8)
+    * AS UBIGINT)`).
+    */
+  val tokenHashSql: String = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS LONG)"
+
+  /** Order-sensitive rolling (polynomial) fingerprint over the token
+    * stream: fold acc -> (acc*31 + h(token)) mod 1e9+7. Stays within
+    * Long range on both engines (no overflow wrap dependence).
+    */
+  def rollingFingerprint(toksCol: String): Column =
+    expr(s"aggregate($toksCol, 0L, (acc, t) -> (acc * 31 + $tokenHashSql) % 1000000007)")
+}

@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.GraftQuery
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through
+  * the engine as opaque `binary` columns with typed metadata, and
+  * decode / feature-extract / frame-sample run as distributed
+  * per-partition transforms.
+  *
+  * The container has no codec libraries, so `decodeStub` is a clearly
+  * marked deterministic fake — but everything around it (schema, batch
+  * shape, partition-local iteration, frame-offset math) is the real
+  * plumbing a codec would plug into: swap `decodeStub`'s body for a
+  * JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  /** An opaque media payload + typed metadata. */
+  case class MediaRecord(media_id: Long, payload: Array[Byte], format: String, meta_len: Long)
+
+  /** Output of the (stubbed) decoder. */
+  case class DecodedMedia(media_id: Long, width: Int, height: Int, n_bytes: Long, checksum: Long)
+
+  /** STUB — a real implementation calls an image/audio codec here
+    * (e.g. libjpeg / ffmpeg via JNI). The container lacks those libs,
+    * so we derive deterministic fake dimensions from the payload. The
+    * signature and batch shape are the real contract.
+    */
+  def decodeStub(rec: MediaRecord): DecodedMedia = {
+    val bytes = rec.payload
+    val checksum = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    DecodedMedia(
+      media_id = rec.media_id,
+      width = 64 + (checksum % 1024).toInt,
+      height = 64 + ((checksum / 1024) % 1024).toInt,
+      n_bytes = bytes.length.toLong,
+      checksum = checksum)
+  }
+
+  /** Frame-sample offsets (1-based): every `stride` bytes, up to
+    * `maxFrames`, as long as a full `frameSize` fits.
+    */
+  def frameOffsets(payloadLen: Long, frameSize: Int, stride: Int, maxFrames: Int): Seq[Long] =
+    (0 until maxFrames).map(k => 1L + k.toLong * stride)
+      .filter(_ + frameSize - 1 <= payloadLen)
+
+  /** Documents re-materialized as media records (payload = UTF-8 bytes
+    * of the text — a stand-in blob with realistic size distribution).
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("lang").as("format"),
+        col("n_chars").cast("long").as("meta_len"))
+      .as[MediaRecord]
+  }
+
+  /** Distributed decode: partition-local iterator transform — the Scala
+    * analogue of a vectorized decode UDF. No data ever concentrates on
+    * the driver; each partition decodes its own slice.
+    */
+  def decodeAll(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeStub))
+  }
+
+  // ------------------------------------------------------------ queries
+  /** Payload-level features via pure column expressions (byte length,
+    * content digest, head digest) — the part of the multimodal path
+    * that stays inside whole-stage codegen.
+    */
+  private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("payload_md5"),
+        md5(encode(substring(col("text"), 1, 16), "UTF-8")).as("head_md5"))
+  }
+
+  private val featuresOracle =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+      |       md5(text) AS payload_md5, md5(substr(text, 1, 16)) AS head_md5
+      |FROM documents""".stripMargin
+
+  /** Frame sampling as a relational plan: explode deterministic frame
+    * offsets (32-byte frame every 64 bytes, max 8), digest each frame.
+    * This is the shape video frame-extraction takes — offsets from
+    * metadata, per-frame work distributed by the explode.
+    */
+  private def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(7))).as("k"))
+      .withColumn("off", lit(1) + col("k") * 64)
+      .filter(col("off") + 31 <= length(col("text")))
+      .select(
+        col("doc_id"),
+        col("k").cast("long").as("frame_idx"),
+        md5(encode(expr("substring(text, off, 32)"), "UTF-8")).as("frame_md5"))
+  }
+
+  private val framesOracle =
+    """SELECT doc_id, CAST(g.k AS BIGINT) AS frame_idx,
+      |       md5(substr(text, 1 + g.k * 64, 32)) AS frame_md5
+      |FROM documents CROSS JOIN generate_series(0, 7) g(k)
+      |WHERE 1 + g.k * 64 + 31 <= length(text)""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("multimodal_features", Some(featuresOracle), multimodalFeatures),
+    GraftQuery("multimodal_frames", Some(framesOracle), multimodalFrames),
+  )
+}

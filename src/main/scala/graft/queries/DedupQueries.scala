@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Deduplication tier over the `documents` corpus — the operators a
+  * 100 TB training-data pipeline runs before anything else:
+  *
+  *  - exact dedup (content-hash group-by),
+  *  - MinHash + LSH banding (near-dup candidate generation without the
+  *    O(n²) pairwise scan),
+  *  - SimHash (bit-vote fingerprints + Hamming-band pairing),
+  *  - character-n-gram Jaccard (verification-grade set similarity).
+  *
+  * Everything hashes through md5 so each stage has an exact DuckDB
+  * oracle; at production scale you'd swap md5 for xxhash64 (same
+  * shapes, faster) — the plan structure is what matters: explode →
+  * partial-agg → band-key equi-join keeps all work distributed and
+  * shuffle volume proportional to candidates, not pairs.
+  */
+object DedupQueries {
+
+  // ------------------------------------------------------- exact dedup
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+  }
+
+  private val dedupExactOracle =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- shared shingles
+  /** Distinct word-3-shingles per doc: (doc_id, sh). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("shs", array_distinct(TextFunctions.wordShingles("toks", 3)))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+  }
+
+  private val duckShingles =
+    """sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents))""".stripMargin
+
+  // ------------------------------------------------------ MinHash + LSH
+  private val NumPerms = 8
+  private val NumBands = 4 // 2 rows per band
+
+  /** MinHash signatures (8 perms via seeded md5 min-hashing), banded
+    * into 4 LSH buckets of 2 rows; docs sharing any band bucket become
+    * candidate pairs, then exact shingle-Jaccard >= 0.5 confirms. The
+    * band self-join is an equi-join on (band, band_hash) — candidate
+    * volume scales with true collisions, never with n².
+    */
+  private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sigAggs = (0 until NumPerms).map(p =>
+      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"s$p"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b).as("band"), md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bh")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jaccard", col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private val minhashOracle = {
+    val sigCols = (0 until NumPerms).map(p => s"min(md5('$p|' || sh)) AS s$p").mkString(", ")
+    val bandCase = (0 until NumBands).map(b =>
+      s"WHEN $b THEN md5(s${2 * b} || s${2 * b + 1})").mkString(" ")
+    s"""WITH $duckShingles,
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, g.b AS band, CASE g.b $bandCase END AS bh
+       |  FROM sig CROSS JOIN generate_series(0, ${NumBands - 1}) g(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS i
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b AND y.sh = x.sh
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+       |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5""".stripMargin
+  }
+
+  // ----------------------------------------------------------- SimHash
+  /** 32-bit SimHash per doc: each token occurrence votes ±1 per bit of
+    * its 32-bit md5 prefix; bit set where the vote is positive.
+    */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      .withColumn("h", expr(TextFunctions.tokenHashSql))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(shiftright(h, j) & 1)") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  private val duckSimhash =
+    """tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),
+      |hh AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT) AS h FROM tok),
+      |v AS (
+      |  SELECT doc_id, g.j, sum(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM hh CROSS JOIN generate_series(0, 31) g(j) GROUP BY 1, 2),
+      |sim AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM v GROUP BY 1)""".stripMargin
+
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashDf(spark, dir)
+
+  private val simhashOracle =
+    s"""WITH $duckSimhash
+       |SELECT doc_id, simhash FROM sim""".stripMargin
+
+  /** Near-dup pairs by SimHash: band on each of the 4 bytes (two docs
+    * within Hamming distance 6 of each other must agree on at least one
+    * byte when hamming <= 3 per half... banding gives candidates, the
+    * bit_count(xor) <= 6 check confirms).
+    */
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashDf(spark, dir)
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bk", expr("shiftright(simhash, 8 * b) & 255"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  private val simhashPairsOracle =
+    s"""WITH $duckSimhash,
+       |banded AS (
+       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
+       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 6""".stripMargin
+
+  // ------------------------------------------------- n-gram Jaccard
+  /** Character-3-gram Jaccard over a deterministic 10% sample, with a
+    * stop-gram cutoff (grams in >100 docs dropped) — the cutoff is what
+    * keeps the shared-gram join linear-ish at corpus scale.
+    */
+  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("gs", array_distinct(TextFunctions.charNgrams("text", 3)))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val rare = g.groupBy(col("g")).agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+    val gf = g.join(rare.select(col("g")), "g")
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = gf.as("a")
+      .join(gf.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jaccard", col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private val ngramOracle =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) >= 3
+      |    THEN list_distinct(list_transform(range(1, length(trim(text)) - 1), i -> substr(trim(text), i, 3)))
+      |    ELSE [] END) AS g
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |rare AS (SELECT g FROM g GROUP BY 1 HAVING count(*) <= 100),
+      |gf AS (SELECT g.doc_id, g.g FROM g JOIN rare USING (g)),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM g GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+      |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
+    GraftQuery("dedup_minhash_lsh", Some(minhashOracle), minhashLsh),
+    GraftQuery("dedup_simhash", Some(simhashOracle), dedupSimhash),
+    GraftQuery("dedup_simhash_pairs", Some(simhashPairsOracle), simhashPairs),
+    GraftQuery("dedup_ngram_jaccard", Some(ngramOracle), ngramJaccard),
+  )
+}

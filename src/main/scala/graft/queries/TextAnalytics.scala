@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Text-analysis tier over the `documents` corpus: token statistics,
+  * quality scoring, language ID, and document fingerprinting — the
+  * per-document scans a training-data pipeline runs before dedup.
+  * All pure column expressions over one parquet scan each; no shuffles
+  * except where an aggregation is the point.
+  */
+object TextAnalytics {
+
+  // ------------------------------------------------------- token stats
+  /** Whitespace token counting + quality signals (length, stopword
+    * ratio, average word length) and a keep/drop quality label.
+    */
+  private def textStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_bytes", length(trim(col("text"))).cast("long"))
+      .withColumn("n_stop", TextFunctions.markerCount("toks", TextFunctions.Stopwords))
+      .withColumn("avg_word_len",
+        length(regexp_replace(trim(col("text")), " ", "")).cast("double") / col("n_words"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("quality_label",
+        when(col("n_words") >= 10 && col("stop_ratio") <= 0.5, "keep").otherwise("drop"))
+      .select("doc_id", "n_words", "n_bytes", "n_stop", "avg_word_len", "stop_ratio", "quality_label")
+  }
+
+  private val textStatsOracle =
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt, string_split(trim(text), ' ') AS w FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_words,
+      |  CAST(length(tt) AS BIGINT) AS n_bytes,
+      |  CAST(len(list_filter(w, t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS BIGINT) AS n_stop,
+      |  CAST(length(replace(tt, ' ', '')) AS DOUBLE) / len(w) AS avg_word_len,
+      |  CAST(len(list_filter(w, t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(w) AS stop_ratio,
+      |  CASE WHEN len(w) >= 10
+      |        AND CAST(len(list_filter(w, t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(w) <= 0.5
+      |       THEN 'keep' ELSE 'drop' END AS quality_label
+      |FROM t""".stripMargin
+
+  // -------------------------------------------------------- language ID
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "du"))
+
+  /** Marker-word language ID: score each language profile by marker-
+    * token occurrences; argmax with fixed priority order; 'und' when no
+    * profile matches. (A production n-gram model plugs into the same
+    * shape — per-profile score columns + argmax.)
+    */
+  private def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    val scored = langMarkers.foldLeft(base) { case (df, (code, words)) =>
+      df.withColumn(s"s_$code", TextFunctions.markerCount("toks", words))
+    }
+    val Seq(en, es, de, fr) = langMarkers.map(m => col(s"s_${m._1}"))
+    scored
+      .withColumn("lang_pred",
+        when(en > 0 && en >= es && en >= de && en >= fr, "en")
+          .when(es > 0 && es >= de && es >= fr, "es")
+          .when(de > 0 && de >= fr, "de")
+          .when(fr > 0, "fr")
+          .otherwise("und"))
+      .select("doc_id", "lang", "s_en", "s_es", "s_de", "s_fr", "lang_pred")
+  }
+
+  private val langIdOracle = {
+    def cnt(words: Seq[String]) =
+      s"len(list_filter(w, t -> t IN ${words.map(w => s"'$w'").mkString("(", ", ", ")")}))"
+    val Seq(en, es, de, fr) = langMarkers.map(m => cnt(m._2))
+    s"""WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |  CAST($en AS BIGINT) AS s_en, CAST($es AS BIGINT) AS s_es,
+       |  CAST($de AS BIGINT) AS s_de, CAST($fr AS BIGINT) AS s_fr FROM t)
+       |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+       |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+       |       WHEN s_fr > 0 THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM s""".stripMargin
+  }
+
+  // ------------------------------------------------------ fingerprints
+  /** Document fingerprinting: content hash (md5) + order-sensitive
+    * rolling hash over the token stream (detects reorderings that the
+    * set-based dedup ops miss).
+    */
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        TextFunctions.rollingFingerprint("toks").as("rolling_fp"))
+  }
+
+  private val fingerprintOracle =
+    """SELECT doc_id, md5(text) AS content_md5,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(trim(text), ' '),
+      |                     t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT))),
+      |    (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_fp
+      |FROM documents""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("text_stats", Some(textStatsOracle), textStats),
+    GraftQuery("text_lang_id", Some(langIdOracle), langId),
+    GraftQuery("text_fingerprint", Some(fingerprintOracle), fingerprint),
+  )
+}
