@@ -16,7 +16,8 @@ object SparkEntry {
   def all: Seq[GraftQuery] =
     EventAnalytics.queries ++ TpchAnalytics.queries ++
       TextAnalytics.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ Multimodal.queries
+      SimilarityQueries.queries ++ Multimodal.queries ++
+      StatefulQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.StreamingJobs
+
+/** CLI demo/check for the Structured Streaming tier: runs each
+  * streaming query to completion via file-replay (AvailableNow) and
+  * diffs it against its batch twin. Usage: runMain graft.StreamDemo
+  * [sfDir]. Prints one line per pair; non-empty DIFF means the
+  * streaming and batch plans disagree.
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def diff(name: String, stream: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame): Unit = {
+      val s = stream.count(); val b = batch.count()
+      val d = stream.exceptAll(batch).count() + batch.exceptAll(stream).count()
+      println(s"[stream-demo] $name: stream=$s batch=$b diff=$d " +
+        (if (d == 0 && s == b) "OK" else "MISMATCH"))
+    }
+
+    diff("pv_hourly",
+      StreamingJobs.runToMemory(StreamingJobs.pvHourly(spark, sfDir), "d_pv", "complete"),
+      SparkEntry.queries("q3_pv_hourly")(spark, sfDir))
+    diff("hot_item_counts",
+      StreamingJobs.runToMemory(StreamingJobs.hotItemCounts(spark, sfDir), "d_hot", "complete"),
+      graft.operators.TimeWindows.slidingCount(
+        graft.sources.Tables.eventsWithItem(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("event_type") === "click"),
+        "ts", "1 hour", "5 minutes", org.apache.spark.sql.functions.col("item_id"))
+        .select("window_start", "item_id", "cnt"))
+    diff("login_fail_fsm",
+      StreamingJobs.runToMemory(StreamingJobs.loginFailStream(spark, sfDir).toDF(), "d_lf", "append"),
+      SparkEntry.queries("q9_login_fail")(spark, sfDir))
+    diff("interval_join",
+      StreamingJobs.runToMemory(StreamingJobs.intervalJoinStream(spark, sfDir), "d_ij", "append"),
+      SparkEntry.queries("q10_interval_join")(spark, sfDir))
+    spark.stop()
+  }
+}

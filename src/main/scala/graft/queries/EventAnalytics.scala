@@ -224,7 +224,8 @@ object EventAnalytics {
         col("fail_sec").as("last_fail"), lit("repeated failures").as("warn_msg"))
   }
 
-  private val q9Oracle =
+  /** Shared with the FSM twin (StatefulQueries) — same output contract. */
+  val q9Oracle: String =
     s"""WITH f AS (
        |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS fail_sec, event_id
        |  FROM events WHERE event_type = 'error'),

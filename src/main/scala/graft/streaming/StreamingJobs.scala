@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.streaming.StateMachines._
+
+/** Structured Streaming forms of the engine's queries: file-replay
+  * sources, watermarked window aggregations, stream-stream interval
+  * joins, and `flatMapGroupsWithState` state machines. Each streaming
+  * query has a batch twin in graft.queries; StreamingSpec asserts
+  * stream == batch on the same data (the reference's implicit
+  * correctness contract, SURVEY.md §5.3).
+  *
+  * At scale these run identically: the parquet file source becomes a
+  * Kafka source (`format("kafka")` + the same downstream plan), and
+  * watermark-driven state eviction bounds every operator's state.
+  */
+object StreamingJobs {
+
+  /** Spark's file stream source requires a directory; the testdata
+    * tables are single files. Stage a per-table directory holding a
+    * symlink to the parquet file (in production this is simply the
+    * ingest directory that files land in, or a Kafka topic).
+    */
+  def stagedPath(dir: String, table: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, s"$table.parquet")
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-stream", dir.replaceAll("[^A-Za-z0-9.]", "_"), table)
+    Files.createDirectories(stage)
+    val link = stage.resolve(s"$table.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    stage.toString
+  }
+
+  /** Raw events schema as stored (ts = TIMESTAMP(NANOS) read as long). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-replay stream of the events table with proper event-time
+    * timestamps and a bounded-out-of-orderness watermark.
+    */
+  def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 second"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(stagedPath(dir, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", watermark)
+  }
+
+  /** Streaming twin of q3_pv_hourly: tumbling 1h count of views. */
+  def pvHourly(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("pv"))
+      .select(col("window.start").cast("long").as("window_start"), col("pv"))
+
+  /** Streaming twin of q1's windowed count stage (rank runs on the
+    * sink side / foreachBatch, per SURVEY.md §3 E1).
+    */
+  def hotItemCounts(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .withColumn("item_id", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(window(col("ts"), "1 hour", "5 minutes"), col("item_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("window_start"), col("item_id"), col("cnt"))
+
+  // ---------------------------------------------------------- login FSM
+  final case class FailRow(user_id: Long, fail_sec: Long, event_id: Long)
+
+  /** Streaming login-fail detector: the same pure fold as the batch
+    * q9_login_fail_fsm, with per-key state carried across micro-batches
+    * in GroupState. Events are sorted within each micro-batch group;
+    * cross-batch order comes from file-replay order (per-key event-time
+    * order, the reference's assumption).
+    */
+  def loginFailStream(spark: SparkSession, dir: String, maxGapSec: Long = 3600): Dataset[LoginWarning] = {
+    import spark.implicits._
+    eventsStream(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").cast("long").as("fail_sec"), col("event_id"))
+      .as[FailRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LoginState, LoginWarning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FailRow], state: GroupState[LoginState]) =>
+          val st0 = state.getOption.getOrElse(LoginState(None))
+          val sorted = it.toSeq.sortBy(r => (r.fail_sec, r.event_id))
+          val (st, outs) = sorted.foldLeft((st0, Vector.empty[LoginWarning])) {
+            case ((s, acc), r) =>
+              val (s2, o) = StateMachines.loginStep(s, LoginEvent(uid, r.fail_sec, failed = true), maxGapSec)
+              (s2, acc ++ o)
+          }
+          state.update(st)
+          outs.iterator
+      }
+  }
+
+  // ------------------------------------------------- stream-stream join
+  /** Streaming twin of q10_interval_join: orders and lineitem as two
+    * watermarked streams, equi-join on the key plus the 30-day range —
+    * Spark's canonical stream-stream interval join (state on both sides
+    * evicted by watermark + range bound).
+    */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.readStream
+      .schema(StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampNTZType), StructField("o_orderpriority", StringType))))
+      .parquet(stagedPath(dir, "orders"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("odate"))
+      .withWatermark("odate", "1 second")
+    val lines = spark.readStream
+      .schema(StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+        StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+        StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+        StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+        StructField("l_shipdate", TimestampNTZType))))
+      .parquet(stagedPath(dir, "lineitem"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").cast("timestamp").as("sdate"))
+      .withWatermark("sdate", "1 second")
+    orders.join(lines,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("sdate") >= col("odate") &&
+          col("sdate") <= col("odate") + expr("INTERVAL 30 DAYS"))
+      .select(col("o_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        unix_seconds(col("sdate")).as("ship_sec"))
+  }
+
+  /** Run a streaming DataFrame to completion into an in-memory table
+    * (AvailableNow file replay) and return the materialized result.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StateMachines, StreamingJobs}
+import graft.streaming.StateMachines._
+
+/** Streaming tier tests: pure state-machine scenarios (FIXTURES.md
+  * §5-6 cases) and stream==batch equivalence for the Structured
+  * Streaming twins at sf0.001.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  // ------------------------------------------------- pure state machines
+  test("login FSM: consecutive fails within gap alert; success clears") {
+    val warns = StateMachines.loginFold(7L,
+      Seq((100L, true), (101L, true), (200L, false), (300L, true), (301L, true), (5000L, true)),
+      maxGapSec = 2)
+    assert(warns == Seq(
+      LoginWarning(7, 100, 101, "repeated failures"),
+      LoginWarning(7, 300, 301, "repeated failures")))
+  }
+
+  test("login FSM: fail-success-fail does not alert") {
+    val warns = StateMachines.loginFold(1L,
+      Seq((100L, true), (101L, false), (102L, true)), maxGapSec = 10)
+    assert(warns.isEmpty)
+  }
+
+  test("order FSM: all four C5 outcome labels") {
+    def run(events: Seq[(Long, Boolean)]): String = {
+      val st = events.foldLeft(OrderState(None, None)) {
+        case (s, (ts, c)) => StateMachines.orderStep(s, OrderEvent(1, ts, c))
+      }
+      StateMachines.orderOutcome(1, st, timeoutSec = 900).status
+    }
+    assert(run(Seq((0L, true), (100L, false))) == "payed")
+    assert(run(Seq((0L, true), (1000L, false))) == "payed but timeout")
+    assert(run(Seq((0L, true))) == "timeout")
+    assert(run(Seq((100L, false))) == "pay without create")
+  }
+
+  test("tx FSM: matched / left_only / right_only") {
+    assert(StateMachines.txOutcome(TxState(true, true)).tag == "matched")
+    assert(StateMachines.txOutcome(TxState(true, false)).tag == "left_only")
+    assert(StateMachines.txOutcome(TxState(false, true)).tag == "right_only")
+  }
+
+  test("blacklist FSM: one warning at threshold, suppression after") {
+    val outs = (1 to 5).foldLeft((ClickState(0, warned = false), Vector.empty[ClickOut])) {
+      case ((st, acc), _) =>
+        val (st2, o) = StateMachines.clickStep(st, threshold = 3)
+        (st2, acc ++ o)
+    }._2
+    assert(outs.count(_.isInstanceOf[BlacklistWarning]) == 1)
+    assert(outs.collect { case PassedClick(n) => n } == Vector(1, 2))
+  }
+
+  // --------------------------------------------- stream == batch twins
+  test("streaming PV hourly equals batch q3") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.pvHourly(spark, sf), "pv_stream", "complete")
+    val batch = SparkEntry.queries("q3_pv_hourly")(spark, sf)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("streaming hot-item counts equal batch sliding counts") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.hotItemCounts(spark, sf), "hot_stream", "complete")
+    val batch = graft.operators.TimeWindows.slidingCount(
+      graft.sources.Tables.eventsWithItem(spark, sf).filter(col("event_type") === "click"),
+      "ts", "1 hour", "5 minutes", col("item_id"))
+      .select(col("window_start"), col("item_id"), col("cnt"))
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("streaming login-fail FSM equals batch q9") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.loginFailStream(spark, sf).toDF(), "login_stream", "append")
+    val batch = SparkEntry.queries("q9_login_fail")(spark, sf)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("streaming interval join equals batch q10_interval_join") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.intervalJoinStream(spark, sf), "ij_stream", "append")
+    val batch = SparkEntry.queries("q10_interval_join")(spark, sf)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+}
