@@ -62,9 +62,10 @@ object DedupQueries {
     */
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
+    // signatures AND shingle-set sizes in one aggregation pass
     val sigAggs = (0 until NumPerms).map(p =>
-      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"s$p"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"s$p")) :+ count(lit(1)).as("c")
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*).cache()
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band"), md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bh")))
     val bands = sigs
@@ -76,7 +77,7 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val cnt = sigs.select(col("doc_id"), col("c"))
     val inter = cand
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.sh") === col("y.sh"))

@@ -1,63 +1,73 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.VectorExpressions
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (Array[Float] vectors).
   *
   * - `ann_bruteforce`: exact top-k cosine for a probe set. The probe
-  *   side broadcasts; similarity is a codegen'd zip_with/aggregate fold
-  *   in double precision; top-k is a rank-limit (WindowGroupLimit), so
-  *   per-partition state is k rows per probe.
-  * - `embedding_neardup`: global top-50 most-similar pairs (the
-  *   embedding-cosine near-dup primitive).
+  *   side broadcasts; similarity uses the codegen'd fused dot-product
+  *   expression (graft.plans.FloatVecDot — one loop, no intermediate
+  *   arrays); top-k is a rank-limit (WindowGroupLimit), so per-
+  *   partition state is k rows per probe.
+  * - `embedding_neardup`: global top-50 most-similar pairs. Norms are
+  *   precomputed once per vector and joined in, so each of the O(n²)
+  *   candidate pairs costs exactly one vector pass — at 100 TB this
+  *   becomes LSH-bucketed first, but the per-pair discipline is what
+  *   makes either shape feasible.
   * - `ann_ivf`: IVF-style two-stage search — coarse quantize to
-  *   per-label centroids, probe only the 2 nearest cells. At 100 TB
-  *   this is the scale path: the fine search touches ~2/10ths of the
-  *   corpus and both stages stay as joins, never a driver loop.
+  *   per-label centroids, probe only the 2 nearest cells; the fine
+  *   search touches ~2/10ths of the corpus and both stages stay as
+  *   joins, never a driver loop.
   *
   * Similarities are rounded to 6 decimals before ranking so the
   * Spark/DuckDB float fold association can't flip an ordering.
   */
 object SimilarityQueries {
 
-  /** Codegen'd double-precision dot product of two float arrays. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Fused double-precision dot product (codegen'd custom expression;
+    * bit-identical to the sequential fold the DuckDB oracle runs).
+    */
+  private def dotCol(a: String, b: String): Column =
+    VectorExpressions.dotF32(col(a), col(b))
 
-  private def cosine(a: String, b: String): String =
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-
-  /** DuckDB twin of [[dot]]/[[cosine]] with identical association. */
+  /** DuckDB twin with identical association order. */
   private def duckDot(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')"
 
-  private def duckCosine(a: String, b: String): String =
-    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+  /** Vectors + precomputed L2 norm (one pass per vector, not per pair). */
+  private def vecsWithNorm(spark: SparkSession, dir: String, idAs: String, vecAs: String, normAs: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as(idAs), col("embedding").as(vecAs))
+      .withColumn(normAs, sqrt(dotCol(vecAs, vecAs)))
 
   // --------------------------------------------------------- brute force
   private def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val probes = vecs.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val vecs = vecsWithNorm(spark, dir, "vec_id", "e", "vn")
+    val probes = vecsWithNorm(spark, dir, "probe_id", "pe", "pn")
+      .filter(col("probe_id") % 100 === 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("simr").desc, col("vec_id"))
     vecs.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("simr", round(expr(cosine("pe", "embedding")), 6))
+      .withColumn("simr", round(dotCol("pe", "e") / (col("pn") * col("vn")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("probe_id"), col("vec_id"), col("simr"), col("rn"))
   }
 
   private val annBruteforceOracle =
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-       |p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 = 0),
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS e,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS vn
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, e AS pe, vn AS pn FROM v WHERE vec_id % 100 = 0),
        |s AS (
-       |  SELECT probe_id, vec_id, round(${duckCosine("pe", "e")}, 6) AS simr
+       |  SELECT probe_id, vec_id, round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
        |  FROM v CROSS JOIN p WHERE vec_id <> probe_id)
        |SELECT probe_id, vec_id, simr, rn FROM (
        |  SELECT s.*, row_number() OVER (PARTITION BY probe_id ORDER BY simr DESC, vec_id) AS rn
@@ -66,20 +76,24 @@ object SimilarityQueries {
 
   // ------------------------------------------------------ near-dup pairs
   private def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.embeddings(spark, dir).select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = Tables.embeddings(spark, dir).select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val a = vecsWithNorm(spark, dir, "vec_a", "ea", "na")
+    val b = vecsWithNorm(spark, dir, "vec_b", "eb", "nb")
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("simr", round(expr(cosine("ea", "eb")), 6))
+      .withColumn("simr", round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
       .orderBy(col("simr").desc, col("vec_a"), col("vec_b"))
       .limit(50)
       .select(col("vec_a"), col("vec_b"), col("simr"))
   }
 
   private val embeddingNeardupOracle =
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       round(${duckCosine("a.embedding", "b.embedding")}, 6) AS simr
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS e,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS vn
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(${duckDot("a.e", "b.e")} / (a.vn * b.vn), 6) AS simr
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
        |ORDER BY simr DESC, vec_a, vec_b
        |LIMIT 50""".stripMargin
 
@@ -98,21 +112,24 @@ object SimilarityQueries {
       .agg(avg(col("col").cast("double")).as("v"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-      .select(col("label").as("c_label"), expr("transform(pv, x -> x.v)").as("cvec"))
-    val probes = vecs.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .select(col("label").as("c_label"),
+        expr("transform(pv, x -> CAST(x.v AS FLOAT))").as("cvec"))
+    val probes = vecsWithNorm(spark, dir, "probe_id", "pe", "pn")
+      .filter(col("probe_id") % 100 === 0)
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("csim").desc, col("c_label"))
     val cells = probes.crossJoin(broadcast(centroids))
-      .withColumn("csim", expr(cosine("pe", "cvec")))
+      .withColumn("csim", dotCol("pe", "cvec") / (col("pn") * sqrt(dotCol("cvec", "cvec"))))
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= 2)
-      .select(col("probe_id"), col("pe"), col("c_label"))
+      .select(col("probe_id"), col("pe"), col("pn"), col("c_label"))
+    val vecsN = vecsWithNorm(spark, dir, "vec_id", "e", "vn")
+      .join(vecs.select(col("vec_id"), col("label")), "vec_id")
     val wFine = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("simr").desc, col("vec_id"))
-    cells.join(vecs, cells("c_label") === vecs("label"))
+    cells.join(vecsN, cells("c_label") === vecsN("label"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("simr", round(expr(cosine("pe", "embedding")), 6))
+      .withColumn("simr", round(dotCol("pe", "e") / (col("pn") * col("vn")), 6))
       .withColumn("rn", row_number().over(wFine).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("probe_id"), col("vec_id"), col("simr"), col("rn"))
