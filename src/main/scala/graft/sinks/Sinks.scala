@@ -1,0 +1,66 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Sink tier (SURVEY.md §2.10) plus side-output splitting.
+  *
+  * The reference fans results out with Flink `OutputTag` side outputs
+  * (e.g. blacklist warnings at MA/app/AdStatisticByGeo.scala:41-42,
+  * order timeouts at OT/app/OrderTimeoutWithoutCep.scala:33-34). Spark
+  * has no per-operator side channel; the engine's pattern is a tagged
+  * union — operators emit rows with a `tag` column, and the splitter
+  * fans them out inside one `foreachBatch` so the upstream plan runs
+  * once per micro-batch, not once per sink.
+  */
+object Sinks {
+
+  def console(df: DataFrame, mode: String): StreamingQuery =
+    df.writeStream.format("console").outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+
+  def parquetStream(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
+  /** Kafka sink plan (requires the kafka connector on the runtime
+    * classpath; structure per the reference's commented sink at
+    * UBA/HotItemsAnalysis/.../HotItems.scala:70).
+    */
+  def kafkaStream(df: DataFrame, servers: String, topic: String, checkpoint: String): StreamingQuery =
+    df.selectExpr("CAST(null AS STRING) AS key", "to_json(struct(*)) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
+  /** Batch side-output split: one pass over a cached tagged union, one
+    * writer call per tag. Returns rows-not-matching-any-tag so callers
+    * can assert the union is total.
+    */
+  def splitByTag(df: DataFrame, tagCol: String, tags: Seq[String])(
+      write: (String, DataFrame) => Unit): Long = {
+    val cached = df.cache()
+    try {
+      tags.foreach(t => write(t, cached.filter(col(tagCol) === t).drop(tagCol)))
+      cached.filter(!col(tagCol).isin(tags: _*)).count()
+    } finally { cached.unpersist() }
+  }
+
+  /** Streaming side-output split: tagged union → per-tag sinks inside
+    * one foreachBatch (single upstream execution per micro-batch).
+    */
+  def splitStreamByTag(df: DataFrame, tagCol: String, tags: Seq[String])(
+      write: (String, DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.cache()
+        try tags.foreach(t => write(t, cached.filter(col(tagCol) === t).drop(tagCol), batchId))
+        finally cached.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+}
