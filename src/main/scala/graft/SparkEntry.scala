@@ -17,7 +17,8 @@ object SparkEntry {
     EventAnalytics.queries ++ TpchAnalytics.queries ++
       TextAnalytics.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
-      StatefulQueries.queries ++ ExtendedAnalytics.queries
+      StatefulQueries.queries ++ ExtendedAnalytics.queries ++
+      RelationalExtras.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Storage
+
+/** Scale-posture properties: bucketed co-located joins eliminate the
+  * shuffle, partitioned writes prune directories, SQL extension
+  * registration, and watermark late-data semantics.
+  */
+class ScalePostureSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("bucketed tables join with no shuffle exchange") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cust = graft.sources.Tables.customer(spark, sf)
+    Storage.writeBucketed(ev.select("event_id", "user_id", "event_type"), "ev_b", 4, "user_id")
+    Storage.writeBucketed(cust.select("c_custkey", "c_nationkey"), "cust_b", 4, "c_custkey")
+    val joined = Storage.table(spark, "ev_b")
+      .join(Storage.table(spark, "cust_b"),
+        col("user_id") === col("c_custkey"))
+    // co-located bucketed join: no hash-partition exchange in the plan
+    assert(!Storage.hasShuffle(joined), joined.queryExecution.executedPlan.toString())
+    // and it still returns the right rows
+    val plain = ev.join(cust, ev("user_id") === cust("c_custkey"))
+    assert(joined.count() == plain.count())
+  }
+
+  test("partitioned write prunes partitions at read") {
+    val path = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Storage.writePartitioned(
+      graft.sources.Tables.events(spark, sf).select("event_id", "user_id", "event_type"),
+      path, "event_type")
+    val pruned = spark.read.parquet(path).filter(col("event_type") === "error")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    // partition filter present => directory pruning, not a data filter
+    assert(scan.contains("PartitionFilters") && scan.contains("error"))
+    assert(pruned.count() ==
+      graft.sources.Tables.events(spark, sf).filter(col("event_type") === "error").count())
+  }
+
+  test("GraftExtensions registers float_vec_dot for SQL users") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-test")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      val r = ext.sql(
+        "SELECT float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .head().getDouble(0)
+      assert(r == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("watermark drops late data in append-mode streaming aggregation") {
+    import java.nio.file.{Files, Paths}
+    // two files processed as two micro-batches: the second contains an
+    // event far earlier than the first batch's max ts - watermark
+    val dir = Files.createTempDirectory("graft-late")
+    val s = spark
+    import s.implicits._
+    Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 12:00:00"))
+      .toDF("id", "t").withColumn("ts", col("t").cast("timestamp")).drop("t")
+      .coalesce(1).write.parquet(dir.resolve("f1").toString)
+    Seq((3L, "2024-01-01 08:00:00")) // 4h late vs batch-1 watermark (12:00 - 10min)
+      .toDF("id", "t").withColumn("ts", col("t").cast("timestamp")).drop("t")
+      .coalesce(1).write.parquet(dir.resolve("f2").toString)
+    val stage = Files.createTempDirectory("graft-late-in")
+    Files.list(dir.resolve("f1")).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => Files.copy(p, stage.resolve("a_" + p.getFileName)))
+    val stream = spark.readStream
+      .schema("id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = stream.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: watermark advances to 11:50
+      Files.list(dir.resolve("f2")).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => Files.copy(p, stage.resolve("b_" + p.getFileName)))
+      q.processAllAvailable() // batch 2: 08:00 event is behind the watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("late_test").select("ws").collect().map(_.getLong(0)).toSet
+    val late = java.time.Instant.parse("2024-01-01T08:00:00Z").getEpochSecond
+    assert(!emitted.contains(late), s"late event's window must be dropped, got $emitted")
+  }
+}
