@@ -62,7 +62,9 @@ object ExtendedAnalytics {
       |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es FROM events),
       |m AS (
       |  SELECT user_id, es,
-      |         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w >= 1800
+      |         -- Spark session_window merges when the next event starts AT
+      |         -- the previous window end (boundary-inclusive): break only > gap
+      |         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
       |              THEN 1 ELSE 0 END AS brk
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)),
       |g AS (

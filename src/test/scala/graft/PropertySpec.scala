@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.streaming.StateMachines
+import graft.streaming.StateMachines._
+
+/** Property-based checks of the pure state-machine cores and fixture
+  * math — random event sequences against brute-force specifications.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def holds(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val eventSeq: Gen[List[(Long, Boolean)]] =
+    Gen.listOfN(40, for {
+      ts <- Gen.choose(0L, 500L)
+      failed <- Gen.prob(0.7)
+    } yield (ts, failed)).map(_.sortBy(_._1))
+
+  test("login FSM warnings == brute-force consecutive-fail-pair spec") {
+    holds(Prop.forAll(eventSeq, Gen.choose(1L, 50L)) { (events, gap) =>
+      val got = StateMachines.loginFold(1L, events, gap)
+      val expected = events.zip(events.drop(1)).collect {
+        case ((t1, true), (t2, true)) if t2 - t1 <= gap =>
+          LoginWarning(1L, t1, t2, "repeated failures")
+      }
+      got == expected
+    })
+  }
+
+  test("order FSM outcome depends only on (min create, min pay)") {
+    val orderEvents: Gen[List[(Long, Boolean)]] =
+      Gen.listOfN(10, for {
+        ts <- Gen.choose(0L, 1000L)
+        isCreate <- Gen.prob(0.5)
+      } yield (ts, isCreate))
+    holds(Prop.forAll(orderEvents, Gen.choose(1L, 500L)) { (events, timeout) =>
+      val sorted = events.sortBy(_._1)
+      val st = sorted.foldLeft(OrderState(None, None)) {
+        case (s, (ts, c)) => StateMachines.orderStep(s, OrderEvent(1, ts, c))
+      }
+      val got = StateMachines.orderOutcome(1, st, timeout).status
+      val creates = events.filter(_._2).map(_._1)
+      val pays = events.filterNot(_._2).map(_._1)
+      val expected = (creates.minOption, pays.minOption) match {
+        case (Some(c), Some(p)) if p >= c && p - c <= timeout => "payed"
+        case (Some(c), Some(p)) if p >= c => "payed but timeout"
+        case (Some(_), Some(_)) => "pay before create"
+        case (Some(_), None) => "timeout"
+        case (None, Some(_)) => "pay without create"
+        case _ => "empty"
+      }
+      got == expected
+    })
+  }
+
+  test("blacklist FSM: one warning iff total >= threshold; passes capped at threshold-1") {
+    holds(Prop.forAll(Gen.choose(1, 40), Gen.choose(1L, 20L)) { (clicks, threshold) =>
+      val outs = (1 to clicks).foldLeft((ClickState(0, warned = false), Vector.empty[ClickOut])) {
+        case ((st, acc), _) =>
+          val (st2, o) = StateMachines.clickStep(st, threshold)
+          (st2, acc ++ o)
+      }._2
+      val warnings = outs.count(_.isInstanceOf[BlacklistWarning])
+      val passes = outs.count(_.isInstanceOf[PassedClick])
+      warnings == (if (clicks >= threshold) 1 else 0) &&
+        passes == math.min(clicks.toLong, threshold - 1)
+    })
+  }
+
+  test("tx FSM outcome is order-insensitive") {
+    holds(Prop.forAll(Gen.listOf(Gen.oneOf(true, false))) { sides =>
+      val a = sides.foldLeft(TxState(false, false))(StateMachines.txStep)
+      val b = sides.reverse.foldLeft(TxState(false, false))(StateMachines.txStep)
+      StateMachines.txOutcome(a) == StateMachines.txOutcome(b)
+    })
+  }
+
+  test("multimodal frame offsets: within bounds, stride-spaced, capped") {
+    holds(Prop.forAll(Gen.choose(0L, 5000L), Gen.choose(1, 64), Gen.choose(1, 128),
+      Gen.choose(0, 16)) { (len, frame, stride, maxF) =>
+      val offs = graft.multimodal.Multimodal.frameOffsets(len, frame, stride, maxF)
+      offs.size <= maxF &&
+        offs.forall(o => o >= 1 && o + frame - 1 <= len) &&
+        offs.zip(offs.drop(1)).forall { case (a, b) => b - a == stride }
+    })
+  }
+
+  test("rolling fingerprint: stable and within modulus") {
+    val toks: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, (1L << 32) - 1))
+    holds(Prop.forAll(toks) { hs =>
+      def fp(vals: List[Long]): Long =
+        vals.foldLeft(0L)((acc, v) => (acc * 31 + v) % 1000000007L)
+      val v = fp(hs)
+      v >= 0 && v < 1000000007L && v == fp(hs)
+    })
+  }
+}
