@@ -45,6 +45,22 @@ object StreamDemo {
     diff("interval_join",
       StreamingJobs.runToMemory(StreamingJobs.intervalJoinStream(spark, sfDir), "d_ij", "append"),
       SparkEntry.queries("q10_interval_join")(spark, sfDir))
+
+    // event-time timer scenario: unpaid order times out via watermark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val tdir = java.nio.file.Files.createTempDirectory("demo-timer")
+    Seq((1L, 100L, true), (2L, 100L, true), (2L, 200L, false), (99L, 100000L, true))
+      .toDF("order_id", "ts_sec", "is_create")
+      .withColumn("ts", timestamp_seconds(col("ts_sec"))).drop("ts_sec")
+      .coalesce(1).write.parquet(tdir.resolve("in").toString)
+    val tstream = spark.readStream
+      .schema("order_id LONG, is_create BOOLEAN, ts TIMESTAMP")
+      .parquet(tdir.resolve("in").toString)
+    val outcomes = StreamingJobs.runToMemory(
+      graft.streaming.TimedOrderMonitor.monitorStream(tstream, 900).toDF(), "d_timer", "append")
+      .collect().map(r => s"${r.getLong(0)}=${r.getString(1)}").sorted.mkString(", ")
+    println(s"[stream-demo] event-time timers: $outcomes")
     spark.stop()
   }
 }

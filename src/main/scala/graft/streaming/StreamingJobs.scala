@@ -141,6 +141,29 @@ object StreamingJobs {
         unix_seconds(col("sdate")).as("ship_sec"))
   }
 
+  /** Full streaming top-N chain (the reference's E1 pipeline,
+    * SURVEY.md §3): windowed count aggregation in the stream, then
+    * per-micro-batch rank-limit inside foreachBatch writing the
+    * current top-K per window to `outPath` — the Spark-native form of
+    * the reference's second keyed stage (TopNHotItems ListState+timer,
+    * HI/app/HotItems.scala:82-134). Each batch overwrites with the
+    * latest complete ranking; returns the final result read back.
+    */
+  def hotItemsTopN(spark: SparkSession, dir: String, k: Int, outPath: String): DataFrame = {
+    val counts = hotItemCounts(spark, dir)
+    val q = counts.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TopK.topK(batch, k,
+            Seq(col("window_start")), Seq(col("cnt").desc, col("item_id")))
+          .write.mode("overwrite").parquet(outPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table
     * (AvailableNow file replay) and return the materialized result.
     */
