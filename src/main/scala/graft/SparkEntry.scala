@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered capabilities, in registration order. */
-  def all: Seq[GraftQuery] =
+  lazy val all: Seq[GraftQuery] =
     EventAnalytics.queries ++ TpchAnalytics.queries ++
       TextAnalytics.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
@@ -25,11 +25,11 @@ object SparkEntry {
     queries("q1_hot_items")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -26,8 +26,11 @@ case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  private def isFloatArray(dt: DataType): Boolean =
+    dt == ArrayType(FloatType, false) || dt == ArrayType(FloatType, true)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(FloatType, false) || left.dataType == ArrayType(FloatType, true)) {
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     } else {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -115,17 +115,21 @@ object DedupQueries {
   // ----------------------------------------------------------- SimHash
   /** 32-bit SimHash per doc: each token occurrence votes ±1 per bit of
     * its 32-bit md5 prefix; bit set where the vote is positive.
+    * Computed as 32 conditional aggregates in ONE pass over the token
+    * rows (no 32× bit-explode): per-doc row volume stays at the token
+    * count, and the whole vote matrix lives in the aggregation buffer.
     */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    val votes = (0 until 32).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1)") === 1, 1).otherwise(-1)).as(s"v$j"))
+    val assemble = (0 until 32).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
       .withColumn("h", expr(TextFunctions.tokenHashSql))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("(shiftright(h, j) & 1)") === 1, 1).otherwise(-1)).as("vote"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assemble.as("simhash"))
   }
 
   private val duckSimhash =
@@ -146,10 +150,11 @@ object DedupQueries {
     s"""WITH $duckSimhash
        |SELECT doc_id, simhash FROM sim""".stripMargin
 
-  /** Near-dup pairs by SimHash: band on each of the 4 bytes (two docs
-    * within Hamming distance 6 of each other must agree on at least one
-    * byte when hamming <= 3 per half... banding gives candidates, the
-    * bit_count(xor) <= 6 check confirms).
+  /** Near-dup pairs by SimHash: band on each of the 4 bytes. By
+    * pigeonhole, two hashes within Hamming distance 3 MUST agree on at
+    * least one of the 4 bytes, so banding generates every candidate the
+    * <=3 confirm filter can accept — the candidate set is exact for
+    * this radius (a <=6 radius would need 7 bands).
     */
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhashDf(spark, dir)
@@ -164,7 +169,7 @@ object DedupQueries {
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
@@ -179,7 +184,7 @@ object DedupQueries {
        |  FROM banded a JOIN banded b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 6""".stripMargin
+       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
 
   // ------------------------------------------------- n-gram Jaccard
   /** Character-3-gram Jaccard over a deterministic 10% sample, with a

@@ -113,7 +113,9 @@ object ReferenceJobs {
       .as[(Long, Long, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (uid, it) =>
-        val sorted = it.toSeq.sortBy(_._2)
+        // tiebreaker: at equal timestamps, successes sort before fails
+        // (deterministic across shuffles — ts alone is not a total order)
+        val sorted = it.toSeq.sortBy(r => (r._2, r._3))
         StateMachines.loginFold(uid, sorted.map(r => (r._2, r._3)), maxGapSec).iterator
       }
       .toDF()

@@ -46,7 +46,9 @@ object Sinks {
     val cached = df.cache()
     try {
       tags.foreach(t => write(t, cached.filter(col(tagCol) === t).drop(tagCol)))
-      cached.filter(!col(tagCol).isin(tags: _*)).count()
+      // NULL tags must count as unmatched (isin on NULL yields NULL,
+      // which a bare negation would silently drop)
+      cached.filter(!coalesce(col(tagCol).isin(tags: _*), lit(false))).count()
     } finally { cached.unpersist() }
   }
 

@@ -70,12 +70,16 @@ object TextIngest {
     * parse-or-crash (a bad row at TB scale must not kill the job).
     */
   def readCsvWithRejects(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
-    val raw = spark.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .csv(path)
-      .cache()
+    // parse via from_csv over raw text lines rather than the csv
+    // datasource: the datasource's _corrupt column interacts with
+    // column pruning (filtering on it without caching silently
+    // mis-classifies rows), while from_csv evaluates the whole struct
+    // including _corrupt in one expression — reliable with no
+    // session-lifetime cache pinned per ingest call
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
+    val raw = spark.read.text(path)
+      .select(from_csv(col("value"), schema, opts).as("r"))
+      .select(col("r.*"))
     val good = raw.filter(col("_corrupt").isNull)
       .drop("_corrupt")
       .withColumn("ts", timestamp_seconds(col("ts_sec")))

@@ -77,33 +77,49 @@ object StreamingJobs {
       .select(col("window.start").cast("long").as("window_start"), col("item_id"), col("cnt"))
 
   // ---------------------------------------------------------- login FSM
-  final case class FailRow(user_id: Long, fail_sec: Long, event_id: Long)
+  /** `ts` stays in the row: the watermarked event-time column must
+    * survive into the typed Dataset for EventTimeTimeout analysis.
+    */
+  final case class FailRow(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
 
   /** Streaming login-fail detector: the same pure fold as the batch
     * q9_login_fail_fsm, with per-key state carried across micro-batches
     * in GroupState. Events are sorted within each micro-batch group;
     * cross-batch order comes from file-replay order (per-key event-time
-    * order, the reference's assumption).
+    * order, the reference's assumption). State is evicted by an
+    * event-time timer once the watermark passes lastFail + maxGap — a
+    * fail that old can never pair with a future one, so per-user state
+    * stays bounded at scale.
     */
   def loginFailStream(spark: SparkSession, dir: String, maxGapSec: Long = 3600): Dataset[LoginWarning] = {
     import spark.implicits._
     eventsStream(spark, dir)
       .filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts").cast("long").as("fail_sec"), col("event_id"))
+      .select(col("user_id"), col("ts"), col("event_id"))
       .as[FailRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LoginState, LoginWarning](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[FailRow], state: GroupState[LoginState]) =>
-          val st0 = state.getOption.getOrElse(LoginState(None))
-          val sorted = it.toSeq.sortBy(r => (r.fail_sec, r.event_id))
-          val (st, outs) = sorted.foldLeft((st0, Vector.empty[LoginWarning])) {
-            case ((s, acc), r) =>
-              val (s2, o) = StateMachines.loginStep(s, LoginEvent(uid, r.fail_sec, failed = true), maxGapSec)
-              (s2, acc ++ o)
+          if (state.hasTimedOut) {
+            state.remove() // stale lastFail: can't pair with anything future
+            Iterator.empty
+          } else {
+            val st0 = state.getOption.getOrElse(LoginState(None))
+            val sorted = it.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            val (st, outs) = sorted.foldLeft((st0, Vector.empty[LoginWarning])) {
+              case ((s, acc), r) =>
+                val (s2, o) = StateMachines.loginStep(
+                  s, LoginEvent(uid, r.ts.getTime / 1000L, failed = true), maxGapSec)
+                (s2, acc ++ o)
+            }
+            state.update(st)
+            st.lastFailTs.foreach { last =>
+              state.setTimeoutTimestamp(
+                math.max((last + maxGapSec) * 1000L, state.getCurrentWatermarkMs() + 1))
+            }
+            outs.iterator
           }
-          state.update(st)
-          outs.iterator
       }
   }
 

@@ -52,9 +52,14 @@ object TimedOrderMonitor {
               // time). Pay-only states (pay-before-create, or a pay
               // arriving after its order already timed out and was
               // evicted) ALSO get a timer — otherwise they are never
-              // flushed and leak state forever at scale.
+              // flushed and leak state forever at scale. The timer is
+              // clamped above the current watermark: a late event can
+              // re-open state whose deadline already passed, and
+              // setTimeoutTimestamp below the watermark throws and
+              // kills the query.
               st.createdTs.orElse(st.paidTs).foreach { t =>
-                state.setTimeoutTimestamp((t + timeoutSec) * 1000L)
+                state.setTimeoutTimestamp(
+                  math.max((t + timeoutSec) * 1000L, state.getCurrentWatermarkMs() + 1))
               }
               Iterator.empty
             }

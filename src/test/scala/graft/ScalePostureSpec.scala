@@ -13,18 +13,25 @@ class ScalePostureSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
   test("bucketed tables join with no shuffle exchange") {
-    val ev = graft.sources.Tables.events(spark, sf)
-    val cust = graft.sources.Tables.customer(spark, sf)
-    Storage.writeBucketed(ev.select("event_id", "user_id", "event_type"), "ev_b", 4, "user_id")
-    Storage.writeBucketed(cust.select("c_custkey", "c_nationkey"), "cust_b", 4, "c_custkey")
-    val joined = Storage.table(spark, "ev_b")
-      .join(Storage.table(spark, "cust_b"),
-        col("user_id") === col("c_custkey"))
-    // co-located bucketed join: no hash-partition exchange in the plan
-    assert(!Storage.hasShuffle(joined), joined.queryExecution.executedPlan.toString())
-    // and it still returns the right rows
-    val plain = ev.join(cust, ev("user_id") === cust("c_custkey"))
-    assert(joined.count() == plain.count())
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast so the test is differential: with it on, BOTH
+    // joins are exchange-free and a broken bucketing would pass
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = graft.sources.Tables.events(spark, sf)
+      val cust = graft.sources.Tables.customer(spark, sf)
+      Storage.writeBucketed(ev.select("event_id", "user_id", "event_type"), "ev_b", 4, "user_id")
+      Storage.writeBucketed(cust.select("c_custkey", "c_nationkey"), "cust_b", 4, "c_custkey")
+      val joined = Storage.table(spark, "ev_b")
+        .join(Storage.table(spark, "cust_b"),
+          col("user_id") === col("c_custkey"))
+      // co-located bucketed join: no hash-partition exchange in the plan
+      assert(!Storage.hasShuffle(joined), joined.queryExecution.executedPlan.toString())
+      // while the un-bucketed join DOES shuffle (differential check)
+      val plain = ev.join(cust, ev("user_id") === cust("c_custkey"))
+      assert(Storage.hasShuffle(plain), "plain join should shuffle with broadcast off")
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("partitioned write prunes partitions at read") {
