@@ -97,6 +97,83 @@ object SimilarityQueries {
        |ORDER BY simr DESC, vec_a, vec_b
        |LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------- LSH buckets
+  private val LshPlanes = 6 // 2^6 = 64 buckets
+
+  /** Random-hyperplane LSH sketch: bit p = sign of <plane_p, v>. The
+    * hyperplanes are md5-derived pseudo-randoms — plane_p[i] =
+    * hex32(md5("p_i"))/2^31 - 1 — computed once at PLAN BUILD time in
+    * Scala and embedded as literals (an in-SQL md5 construction isn't
+    * constant-folded inside higher-order lambdas and re-hashes per
+    * row). DuckDB derives the same constants from the same formula, so
+    * bucket assignment is exactly reproducible cross-engine. At corpus
+    * scale the bucket join replaces the O(n²) pairwise scan; recall is
+    * tunable by plane count and multi-probe.
+    */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until LshPlanes).map { p =>
+      (1 to 64).map { i =>
+        val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+      }
+    }
+  }
+
+  private def lshBucketCol(vecCol: String): Column = {
+    (0 until LshPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(typedLit(planes(p)), col(vecCol), (h, x) => h * x.cast("double")),
+        lit(0.0), (a, v) => a + v)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  private def duckLshBucket(vecCol: String): String =
+    s"""CAST(list_aggregate(list_transform(range(0, $LshPlanes), p ->
+       |  CASE WHEN list_aggregate(list_transform(range(1, len($vecCol) + 1), i ->
+       |         (CAST(CAST('0x' || substr(md5(p || '_' || i), 1, 8) AS UBIGINT) AS DOUBLE) / 2147483648.0 - 1.0)
+       |         * $vecCol[i]::DOUBLE), 'sum') > 0
+       |       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END), 'sum') AS BIGINT)""".stripMargin
+
+  /** LSH-bucketed ANN: probes search only their own hyperplane bucket.
+    * Same output shape as ann_bruteforce; fewer rows where a probe's
+    * bucket holds fewer than k candidates.
+    */
+  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsWithNorm(spark, dir, "vec_id", "e", "vn")
+      .withColumn("bucket", lshBucketCol("e"))
+    val probes = vecs
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        col("vn").as("pn"), col("bucket").as("pbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("simr").desc, col("vec_id"))
+    vecs.join(broadcast(probes), col("bucket") === col("pbucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("simr", round(dotCol("pe", "e") / (col("pn") * col("vn")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("simr"), col("rn"))
+  }
+
+  private val annLshOracle =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS e,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS vn,
+       |         ${duckLshBucket("embedding")} AS bucket
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, e AS pe, vn AS pn, bucket AS pbucket
+       |      FROM v WHERE vec_id % 100 = 0),
+       |s AS (
+       |  SELECT probe_id, vec_id, round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
+       |  FROM v JOIN p ON v.bucket = p.pbucket AND v.vec_id <> p.probe_id)
+       |SELECT probe_id, vec_id, simr, rn FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY probe_id ORDER BY simr DESC, vec_id) AS rn
+       |  FROM s) t
+       |WHERE rn <= 5""".stripMargin
+
   // ---------------------------------------------------------------- IVF
   /** IVF two-stage ANN. Centroids are per-label means (computed
     * distributedly via posexplode + per-dimension avg); each probe
@@ -138,6 +215,7 @@ object SimilarityQueries {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("ann_bruteforce", Some(annBruteforceOracle), annBruteforce),
     GraftQuery("embedding_neardup", Some(embeddingNeardupOracle), embeddingNeardup),
+    GraftQuery("ann_lsh", Some(annLshOracle), annLsh),
     GraftQuery("ann_ivf", None, annIvf),
   )
 }

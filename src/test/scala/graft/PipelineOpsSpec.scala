@@ -81,6 +81,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "IVF should recover at least some true neighbors")
   }
 
+  test("ann_lsh answers from the probe's own bucket with positive recall") {
+    val bf = SparkEntry.queries("ann_bruteforce")(spark, sf).select("probe_id", "vec_id")
+    val lsh = SparkEntry.queries("ann_lsh")(spark, sf).select("probe_id", "vec_id").cache()
+    assert(lsh.count() > 0, "buckets should not be empty at 64-bucket granularity")
+    val recall = lsh.intersect(bf).count().toDouble / bf.count()
+    assert(recall > 0.0, "LSH should recover some true neighbors")
+    assert(lsh.groupBy("probe_id").count().filter(col("count") > 5).isEmpty)
+  }
+
   test("multimodal decode is deterministic and partition-distributed") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val d1 = Multimodal.decodeAll(media).collect().sortBy(_.media_id)
