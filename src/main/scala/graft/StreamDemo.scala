@@ -46,6 +46,15 @@ object StreamDemo {
       StreamingJobs.runToMemory(StreamingJobs.intervalJoinStream(spark, sfDir), "d_ij", "append"),
       SparkEntry.queries("q10_interval_join")(spark, sfDir))
 
+    // streaming blacklist: tagged union split into main + side outputs
+    val tagged = StreamingJobs.runToMemory(
+      StreamingJobs.blacklistStream(spark, sfDir, 2).toDF(), "d_bl", "append")
+    var split = Map.empty[String, Long]
+    graft.sinks.Sinks.splitByTag(tagged, "tag", Seq("click", "warning")) {
+      (tag, df) => split += tag -> df.count()
+    }
+    println(s"[stream-demo] blacklist split: clicks=${split("click")} warnings=${split("warning")}")
+
     // event-time timer scenario: unpaid order times out via watermark
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}

@@ -123,6 +123,42 @@ object StreamingJobs {
       }
   }
 
+  // ------------------------------------------------ blacklist (F1) FSM
+  final case class ClickRow(user_id: Long, item_id: Long, ts: java.sql.Timestamp)
+  final case class TaggedClick(user_id: Long, item_id: Long, tag: String, cnt: Long)
+
+  /** Streaming click-fraud blacklist (MA/app/AdStatisticByGeo.scala:
+    * 71-112): per (user, item) running count in GroupState; clicks pass
+    * through until the threshold, one warning at the threshold,
+    * suppression after — emitted as ONE tagged union stream that
+    * `Sinks.splitStreamByTag` fans out to the main/side sinks (the
+    * reference's OutputTag pair).
+    */
+  def blacklistStream(spark: SparkSession, dir: String, threshold: Long): Dataset[TaggedClick] = {
+    import spark.implicits._
+    eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"), col("ts"))
+      .as[ClickRow]
+      .groupByKey(r => (r.user_id, r.item_id))
+      .flatMapGroupsWithState[StateMachines.ClickState, TaggedClick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[ClickRow], state: GroupState[StateMachines.ClickState]) =>
+          val st0 = state.getOption.getOrElse(StateMachines.ClickState(0, warned = false))
+          val (st, outs) = it.foldLeft((st0, Vector.empty[TaggedClick])) {
+            case ((s, acc), _) =>
+              val (s2, o) = StateMachines.clickStep(s, threshold)
+              (s2, acc ++ o.map {
+                case StateMachines.PassedClick(n) => TaggedClick(key._1, key._2, "click", n)
+                case StateMachines.BlacklistWarning(n, _) => TaggedClick(key._1, key._2, "warning", n)
+              })
+          }
+          state.update(st)
+          outs.iterator
+      }
+  }
+
   // ------------------------------------------------- stream-stream join
   /** Streaming twin of q10_interval_join: orders and lineitem as two
     * watermarked streams, equi-join on the key plus the 30-day range —

@@ -87,6 +87,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("streaming blacklist: pass-through until threshold, one warning, suppression after") {
+    val threshold = 2L
+    val tagged = StreamingJobs.runToMemory(
+      StreamingJobs.blacklistStream(spark, sf, threshold).toDF(), "bl_stream", "append")
+      .cache()
+    // side-output split over the tagged union
+    var split = Map.empty[String, Long]
+    graft.sinks.Sinks.splitByTag(tagged, "tag", Seq("click", "warning")) {
+      (tag, df) => split += tag -> df.count()
+    }
+    // batch ground truth per (user, item): total clicks n
+    val totals = graft.sources.Tables.eventsWithItem(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id", "item_id").count()
+    val expectedWarnings = totals.filter(col("count") >= threshold).count()
+    val expectedClicks = totals
+      .agg(sum(least(col("count"), lit(threshold - 1)))).first().getLong(0)
+    assert(split("warning") == expectedWarnings)
+    assert(split("click") == expectedClicks)
+    // exactly one warning per blacklisted key
+    assert(tagged.filter(col("tag") === "warning")
+      .groupBy("user_id", "item_id").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("streaming interval join equals batch q10_interval_join") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.intervalJoinStream(spark, sf), "ij_stream", "append")
