@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout/stderr (no "[info] " log
+// prefix) so the driver can parse Bench's one-line JSON from stdout.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +29,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares one heap across all executor threads: 8g causes
+  // GC thrash + agg spills on the wide dedup/vector queries. The
+  // container has 128 GiB; default high, env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Whole-stage codegen emits one Janino class per stage; a 45-query
+  // run overflows the default ~240m code cache, after which the JIT
+  // stops compiling and hot loops run interpreted (shows up as 3-10x
+  // run-to-run swings on the late queries).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -31,13 +31,24 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => return -1.0 }
+      finally
+        // queries may cache intermediates (e.g. the LSH shingle
+        // exchange); drop them so no query's timing pays for another's
+        // leftover blocks or eviction churn
+        spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
 
     // session warmup: JIT the scan/agg/codegen paths once
     once("q3_pv_hourly")
 
-    val results = SparkEntry.all.map { q =>
+    // SPARK_GRAFT_ONLY=a,b,c limits the run for local iteration; the
+    // driver never sets it, so its runs always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.all)(s => SparkEntry.all.filter(q => s(q.name)))
+
+    val results = selected.map { q =>
       val a = once(q.name)
       val b = once(q.name)
       val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)

@@ -18,7 +18,8 @@ object SparkEntry {
       TextAnalytics.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
       StatefulQueries.queries ++ ExtendedAnalytics.queries ++
-      RelationalExtras.queries
+      RelationalExtras.queries ++ SequenceAnalytics.queries ++
+      StatsAnalytics.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -30,22 +30,16 @@ object TextFunctions {
     expr(s"size(filter($toksCol, t -> t IN ${inList(words)}))").cast("long")
 
   /** Word k-shingles (k consecutive tokens joined by a space); empty
-    * array when the document has fewer than k tokens.
+    * array when the document has fewer than k tokens. Fused custom
+    * expression — see graft.plans.TextExpressions for why the
+    * composed-builtin form is quadratic.
     */
   def wordShingles(toksCol: String, k: Int): Column =
-    expr(
-      s"""CASE WHEN size($toksCol) >= $k THEN
-         |  transform(sequence(1, size($toksCol) - ${k - 1}),
-         |            i -> concat_ws(' ', ${(0 until k).map(j => s"element_at($toksCol, i + $j)").mkString(", ")}))
-         |ELSE array() END""".stripMargin)
+    graft.plans.TextExpressions.wordShingles(expr(toksCol), k)
 
   /** Character n-grams of trimmed text; empty array when shorter than n. */
   def charNgrams(textCol: String, n: Int): Column =
-    expr(
-      s"""CASE WHEN length(trim($textCol)) >= $n THEN
-         |  transform(sequence(1, length(trim($textCol)) - ${n - 1}),
-         |            i -> substring(trim($textCol), i, $n))
-         |ELSE array() END""".stripMargin)
+    graft.plans.TextExpressions.charNgrams(trim(expr(textCol)), n)
 
   /** First 32 bits of md5(token) as a non-negative long — the shared
     * cross-engine token hash (DuckDB: `CAST('0x' || substr(md5(t),1,8)

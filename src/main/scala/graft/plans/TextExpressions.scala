@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused shingling/n-gram expressions.
+  *
+  * The composed-builtin forms (`transform(sequence(...), i ->
+  * concat_ws(' ', element_at(toks, i), ...))`) are correct but
+  * quadratic after optimization: CollapseProject inlines the `split`
+  * that produced `toks` into EVERY `element_at` inside the lambda, so
+  * each shingle re-splits the whole document. On a 100-token document
+  * that is ~300 full splits per row — the single hottest cost in the
+  * dedup tier. These expressions take the token array / text once and
+  * emit all shingles in one pass; the loop lives in a static helper
+  * invoked from generated code, so the surrounding plan stays inside
+  * whole-stage codegen.
+  */
+object TextExprUtil {
+  private val Space = UTF8String.fromString(" ")
+  private val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  /** All word k-shingles of `arr` (k consecutive tokens joined by a
+    * space, nulls skipped like concat_ws); empty when fewer than k.
+    */
+  def wordShingles(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return Empty
+    val out = new Array[Any](n - k + 1)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All character n-grams of `s` (codepoint semantics, same as
+    * `substring(s, i, n)`); empty when shorter than n.
+    */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return Empty
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"WordShingles requires array<string> input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprUtil.wordShingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.TextExprUtil.wordShingles($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"CharNgrams requires string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprUtil.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.TextExprUtil.charNgrams($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Column API: word k-shingles of a token-array column. */
+  def wordShingles(toks: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), k))
+
+  /** Column API: character n-grams of a string column. */
+  def charNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
+}

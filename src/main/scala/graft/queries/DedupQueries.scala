@@ -53,21 +53,36 @@ object DedupQueries {
   // ------------------------------------------------------ MinHash + LSH
   private val NumPerms = 8
   private val NumBands = 4 // 2 rows per band
+  private val P = 2147483647L // 2^31 - 1: a*h + b stays under 2^62
+  private val PermA = Seq(1103515245L, 1299709L, 15485863L, 32452843L,
+    49979687L, 67867967L, 86028121L, 104395301L)
+  private val PermB = Seq(12345L, 67891L, 104729L, 217645199L,
+    413158511L, 613651349L, 817504243L, 1031750401L)
 
-  /** MinHash signatures (8 perms via seeded md5 min-hashing), banded
-    * into 4 LSH buckets of 2 rows; docs sharing any band bucket become
-    * candidate pairs, then exact shingle-Jaccard >= 0.5 confirms. The
-    * band self-join is an equi-join on (band, band_hash) — candidate
-    * volume scales with true collisions, never with n².
+  /** MinHash signatures via universal hashing — ONE md5 per distinct
+    * shingle, then each of the 8 permutations is `(a_p*h + b_p) mod P`
+    * (arithmetic only, exact in both engines). Hashing cost is 1/8 of
+    * the naive seeded-md5-per-permutation form and the permutation math
+    * stays inside whole-stage codegen. Banded into 4 LSH buckets of 2
+    * rows; docs sharing any band bucket become candidate pairs, then
+    * exact shingle-Jaccard >= 0.5 confirms. The band self-join is an
+    * equi-join on (band, band_key) — candidate volume scales with true
+    * collisions, never with n².
     */
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
+    val hashed = sh.withColumn("hv",
+      expr(s"CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS LONG) % $P"))
     // signatures AND shingle-set sizes in one aggregation pass
     val sigAggs = (0 until NumPerms).map(p =>
-      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"s$p")) :+ count(lit(1)).as("c")
-    val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*).cache()
+      min(expr(s"(${PermA(p)} * hv + ${PermB(p)}) % $P")).as(s"s$p")) :+
+      count(lit(1)).as("c")
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*).cache()
+    // band key packs the two row-signatures into one BIGINT (s < P, so
+    // s0*P + s1 < 2^62) — no hashing needed for the bucket join key
     val bandCols = (0 until NumBands).map(b =>
-      struct(lit(b).as("band"), md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bh")))
+      struct(lit(b).as("band"),
+        (col(s"s${2 * b}") * P + col(s"s${2 * b + 1}")).as("bh")))
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
@@ -91,11 +106,15 @@ object DedupQueries {
   }
 
   private val minhashOracle = {
-    val sigCols = (0 until NumPerms).map(p => s"min(md5('$p|' || sh)) AS s$p").mkString(", ")
+    val sigCols = (0 until NumPerms).map(p =>
+      s"min((${PermA(p)} * hv + ${PermB(p)}) % $P) AS s$p").mkString(", ")
     val bandCase = (0 until NumBands).map(b =>
-      s"WHEN $b THEN md5(s${2 * b} || s${2 * b + 1})").mkString(" ")
+      s"WHEN $b THEN s${2 * b} * $P + s${2 * b + 1}").mkString(" ")
     s"""WITH $duckShingles,
-       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
+       |hashed AS (
+       |  SELECT doc_id, CAST(CAST('0x' || substr(md5(sh), 1, 8) AS UBIGINT) AS BIGINT) % $P AS hv
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hashed GROUP BY 1),
        |bands AS (
        |  SELECT doc_id, g.b AS band, CASE g.b $bandCase END AS bh
        |  FROM sig CROSS JOIN generate_series(0, ${NumBands - 1}) g(b)),

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+import graft.sources.Tables
+
+/** Ordered-event analytics over the behavior stream: as-of join
+  * (point-in-time attribution), funnel progression, and retention
+  * cohorts — the event-sequence operators a behavior warehouse runs
+  * beside the reference's windowed counts (SURVEY.md §2.8's CEP tier
+  * generalized to batch sequence analysis).
+  *
+  * All three are one-shuffle-per-stage plans: the as-of join is a
+  * union + running window (never a range-join explosion), the funnel
+  * is a single per-user sort shared by two stacked window operators,
+  * and retention reuses the user_id partitioning across its two
+  * aggregations.
+  */
+object SequenceAnalytics {
+
+  // ----------------------------------------------------------- as-of
+  /** Click→purchase attribution: each purchase matched to the same
+    * user's most recent click at-or-before it (ties on time resolve to
+    * the highest click event_id; purchases with no prior click keep
+    * nulls). Implemented with [[Joins.asofJoin]].
+    */
+  private def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("sec"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("sec").as("purchase_sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("sec"))
+    Joins.asofJoin(purchases, clicks,
+        purchases("user_id"), clicks("user_id"),
+        purchases("purchase_sec"), clicks("sec"),
+        clicks("click_id"), Seq(col("click_id"), col("sec").as("click_sec")))
+      .select(col("event_id"), col("user_id"), col("purchase_sec"),
+        col("__match.click_id").as("click_id"),
+        col("__match.click_sec").as("click_sec"))
+  }
+
+  /** Oracle mirrors the union + running-window formulation exactly
+    * (DuckDB's native ASOF JOIN leaves equal-time ties unspecified;
+    * this form pins them).
+    */
+  private val asofOracle =
+    """WITH l AS (
+      |  SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT event_id AS click_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t
+      |  FROM events WHERE event_type = 'click'),
+      |u AS (
+      |  SELECT user_id AS k, t, 0 AS side, event_id,
+      |         NULL::BIGINT AS click_id, NULL::BIGINT AS click_t FROM l
+      |  UNION ALL
+      |  SELECT user_id, t, 1, NULL, click_id, t FROM r),
+      |w AS (
+      |  SELECT *,
+      |    last_value(click_id IGNORE NULLS) OVER win AS m_click,
+      |    last_value(click_t IGNORE NULLS) OVER win AS m_t
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY k ORDER BY t, side DESC, click_id NULLS FIRST
+      |                 ROWS UNBOUNDED PRECEDING))
+      |SELECT event_id, k AS user_id, t AS purchase_sec,
+      |       m_click AS click_id, m_t AS click_sec
+      |FROM w WHERE side = 0""".stripMargin
+
+  // ---------------------------------------------------------- funnel
+  /** Per-user view→click→purchase funnel: the earliest click AFTER a
+    * view and the earliest purchase AFTER such a click, via running
+    * conditional minima over one per-user sort (the two stacked window
+    * operators share the same partitioning and ordering — one
+    * exchange, one sort).
+    */
+  private def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = e
+      .withColumn("cum_view",
+        min(when(col("event_type") === "view", col("sec"))).over(w))
+      .withColumn("cum_click",
+        min(when(col("event_type") === "click" && col("cum_view").isNotNull,
+          col("sec"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("sec"))).as("t_view"),
+        min(when(col("event_type") === "click" && col("cum_view").isNotNull,
+          col("sec"))).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("cum_click").isNotNull,
+          col("sec"))).as("t_purchase"))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, "purchase")
+          .when(col("t_click").isNotNull, "click")
+          .when(col("t_view").isNotNull, "view")
+          .otherwise("none").as("stage"))
+  }
+
+  private val funnelOracle =
+    """WITH e AS (
+      |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_id, event_type
+      |  FROM events),
+      |w1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN sec END) OVER win AS cum_view
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING)),
+      |w2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND cum_view IS NOT NULL THEN sec END)
+      |              OVER win AS cum_click
+      |  FROM w1
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING)),
+      |f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN sec END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' AND cum_view IS NOT NULL THEN sec END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' AND cum_click IS NOT NULL THEN sec END) AS t_purchase
+      |  FROM w2 GROUP BY 1)
+      |SELECT user_id, t_view, t_click, t_purchase,
+      |  CASE WHEN t_purchase IS NOT NULL THEN 'purchase'
+      |       WHEN t_click IS NOT NULL THEN 'click'
+      |       WHEN t_view IS NOT NULL THEN 'view'
+      |       ELSE 'none' END AS stage
+      |FROM f""".stripMargin
+
+  // ------------------------------------------------------- retention
+  /** Classic retention matrix: users bucketed by first-active day
+    * (epoch-day), counted at each later active-day offset. The
+    * (user, day) distinct, the per-user min, and the final rollup all
+    * partition by user_id first — the exchange is planned once.
+    */
+  private def retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val retentionOracle =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+      |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset, count(*) AS n_users
+      |FROM d JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("asof_join", Some(asofOracle), asofJoin),
+    GraftQuery("funnel_analysis", Some(funnelOracle), funnel),
+    GraftQuery("retention_cohort", Some(retentionOracle), retention),
+  )
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Statistical / aggregate-surface extras: exact second-moment
+  * statistics (variance, stddev, correlation) computed from decimal
+  * sums, the TPC-H Q6 filter-scan aggregate, and explicit GROUPING
+  * SETS.
+  *
+  * The moment statistics deliberately avoid the engines' native
+  * `var_pop`/`corr` aggregates: those stream floating-point updates
+  * whose result depends on accumulation order (non-deterministic under
+  * parallel partial aggregation). Summing in DECIMAL is exact and
+  * order-independent — the same plan property that makes the TPC-H
+  * money sums reproducible — and the double-precision moment formulas
+  * are then evaluated identically on both engines' identical sums.
+  */
+object StatsAnalytics {
+
+  // ---------------------------------------------------- moment stats
+  private def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    val sums = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q.cast(DecimalType(18, 2))).as("sx"),
+        sum((q * q).cast(DecimalType(28, 4))).as("sxx"),
+        sum(p.cast(DecimalType(18, 2))).as("sy"),
+        sum((p * p).cast(DecimalType(38, 4))).as("syy"),
+        sum((q * p).cast(DecimalType(38, 4))).as("sxy"))
+    val (n, sx, sxx, sy, syy, sxy) = (col("n"),
+      col("sx").cast("double"), col("sxx").cast("double"),
+      col("sy").cast("double"), col("syy").cast("double"),
+      col("sxy").cast("double"))
+    sums.select(
+      col("l_returnflag"), n,
+      (sx / n).as("mean_qty"),
+      (sxx / n - (sx / n) * (sx / n)).as("var_qty"),
+      sqrt(sxx / n - (sx / n) * (sx / n)).as("std_qty"),
+      ((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+  }
+
+  private val statsMomentsOracle =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  sx / n AS mean_qty,
+      |  sxx / n - (sx / n) * (sx / n) AS var_qty,
+      |  sqrt(sxx / n - (sx / n) * (sx / n)) AS std_qty,
+      |  (n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |FROM s""".stripMargin
+
+  // -------------------------------------------------------- TPC-H Q6
+  /** Forecast-revenue-change: the canonical pushdown showcase — all
+    * three predicates reach the parquet scan (`PushedFilters`), the
+    * scan reads 4 of 11 columns, and the whole query is one
+    * partial+final agg with no shuffle beyond the single-group merge.
+    */
+  private def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(28, 4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val tpchQ6Oracle =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------- grouping sets
+  /** Explicit GROUPING SETS — the three levels a report needs, without
+    * cube's fourth; same single-pass Expand plan as cube/rollup.
+    */
+  private def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"), col("gid"))
+  }
+
+  private val groupingSetsOracle =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS n,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("stats_moments", Some(statsMomentsOracle), statsMoments),
+    GraftQuery("tpch_q6_revenue", Some(tpchQ6Oracle), tpchQ6),
+    GraftQuery("grouping_sets_agg", Some(groupingSetsOracle), groupingSets),
+  )
+}

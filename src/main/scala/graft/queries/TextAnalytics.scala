@@ -115,9 +115,38 @@ object TextAnalytics {
       |    (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_fp
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------ tokenization
+  /** BPE-style pre-tokenization count: the GPT-2 pre-tokenizer regex
+    * family without lookahead (RE2-safe, so DuckDB computes the
+    * identical token stream) — a letter run, a digit run, or a
+    * punctuation run, each with an optional leading space; leftover
+    * whitespace tokenizes per character. Token *counting* is the
+    * pipeline-budgeting primitive (does a document fit a context
+    * window; cost estimation) — it needs the boundaries, not the BPE
+    * merges, so no vocabulary is involved.
+    */
+  private val BpeishPattern = """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s"""
+
+  private def tokenize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).cast("long"))
+      .withColumn("n_ws_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
+      .select(col("doc_id"), col("n_bpe_tokens"), col("n_ws_tokens"),
+        (length(col("text")).cast("double") / col("n_bpe_tokens")).as("chars_per_token"))
+  }
+
+  private val tokenizeOracle =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$BpeishPattern')) AS chars_per_token
+       |FROM documents""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("text_stats", Some(textStatsOracle), textStats),
     GraftQuery("text_lang_id", Some(langIdOracle), langId),
     GraftQuery("text_fingerprint", Some(fingerprintOracle), fingerprint),
+    GraftQuery("text_tokenize", Some(tokenizeOracle), tokenize),
   )
 }

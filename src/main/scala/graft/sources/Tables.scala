@@ -28,8 +28,25 @@ object Tables {
     read(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  /** Fan a scan out to the session's full parallelism when the source
+    * has fewer splits than cores. Every consumer of the text/embedding
+    * tables does CPU-heavy per-row work (md5 shingles, n-grams, vector
+    * math); a small corpus arrives as ONE parquet split, which would
+    * serialize all of that on a single core. The round-robin exchange
+    * moves only the raw bytes once — trivial next to the work it
+    * unlocks. At real scale the scan already has >= cores splits and
+    * this is a no-op (filters still reach the scan either way: Catalyst
+    * pushes predicates through RepartitionOperation).
+    */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, read(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, read(spark, dir, "embeddings"))
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
