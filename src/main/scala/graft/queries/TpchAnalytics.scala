@@ -229,6 +229,125 @@ object TpchAnalytics {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // ------------------------------------------------------------ TPC-H 5
+  /** Local-supplier volume: the join-order showcase. Five joins, but
+    * only lineitem↔orders moves data — region/nation/supplier/customer
+    * are filtered then broadcast, so the fact tables shuffle once on
+    * the orderkey and every dimension lookup is map-side.
+    */
+  private def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp),
+        li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(decPrice * (lit(1) - decDisc)).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val tpchQ5Oracle =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- TPC-H 14
+  /** Promotion-effect: conditional aggregate over a fact↔dimension
+    * broadcast join — promo revenue share for one ship-month.
+    */
+  private def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", decPrice * (lit(1) - decDisc))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("promo_revenue"),
+        sum(decPrice * (lit(1) - decDisc)).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+  }
+
+  private val tpchQ14Oracle =
+    """WITH s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |         THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+      |SELECT promo_revenue, total_revenue,
+      |       100.0 * promo_revenue / total_revenue AS promo_pct
+      |FROM s""".stripMargin
+
+  // ------------------------------------------- extended window surface
+  /** The rest of the SQL window-function surface: ntile, percent_rank,
+    * cume_dist, lead-with-default, nth_value, and a value-RANGE frame
+    * (running sum over balances within 100.0 below the current row's).
+    * Same single sort per partition spec as the base window query.
+    */
+  private def windowFuncsExt(spark: SparkSession, dir: String): DataFrame = {
+    val decBal = col("c_acctbal").cast(DecimalType(18, 2))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wRange = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"))
+      .rangeBetween(-100, Window.currentRow)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"), decBal.as("dec_bal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("next_bal", lead(col("c_acctbal"), 1, -1.0).over(w))
+      .withColumn("second_bal",
+        nth_value(col("c_acctbal"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("near_sum", sum(col("dec_bal")).over(wRange).cast("double"))
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        col("quartile"), col("pct_rank"), col("cdist"), col("next_bal"),
+        col("second_bal"), col("near_sum"))
+  }
+
+  private val windowFuncsExtOracle =
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist,
+      |  lead(c_acctbal, 1, -1.0) OVER w AS next_bal,
+      |  nth_value(c_acctbal, 2) OVER (PARTITION BY c_nationkey
+      |    ORDER BY c_acctbal DESC, c_custkey ROWS UNBOUNDED PRECEDING) AS second_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey
+      |    ORDER BY c_acctbal RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("tpch_q1_pricing_summary", Some(tpchQ1Oracle), tpchQ1),
     GraftQuery("tpch_q3_shipping_priority", Some(tpchQ3Oracle), tpchQ3),
@@ -237,5 +356,8 @@ object TpchAnalytics {
     GraftQuery("set_operations", Some(setOpsOracle), setOps),
     GraftQuery("semi_anti_join", Some(semiAntiOracle), semiAnti),
     GraftQuery("rollup_agg", Some(rollupOracle), rollupQuery),
+    GraftQuery("tpch_q5_local_supplier", Some(tpchQ5Oracle), tpchQ5),
+    GraftQuery("tpch_q14_promo", Some(tpchQ14Oracle), tpchQ14),
+    GraftQuery("window_functions_ext", Some(windowFuncsExtOracle), windowFuncsExt),
   )
 }

@@ -87,6 +87,38 @@ object StateMachines {
     case _ => TxOutcome("empty")
   }
 
+  // ------------------------------------------------ funnel progression
+  /** Ordered view→click→purchase funnel per user — the batch
+    * `funnel_analysis` query's running-conditional-minima expressed as
+    * a fold: each stage's timestamp is captured the first time its
+    * event arrives AFTER the previous stage is set. Folding events in
+    * (ts, event_id) order reproduces the batch window semantics
+    * exactly.
+    */
+  final case class FunnelState(tView: Option[Long], tClick: Option[Long],
+      tPurchase: Option[Long])
+  final case class FunnelResult(user_id: Long, t_view: Option[Long],
+      t_click: Option[Long], t_purchase: Option[Long], stage: String)
+
+  def funnelStep(st: FunnelState, eventType: String, tsSec: Long): FunnelState =
+    eventType match {
+      case "view" if st.tView.isEmpty => st.copy(tView = Some(tsSec))
+      case "click" if st.tView.isDefined && st.tClick.isEmpty =>
+        st.copy(tClick = Some(tsSec))
+      case "purchase" if st.tClick.isDefined && st.tPurchase.isEmpty =>
+        st.copy(tPurchase = Some(tsSec))
+      case _ => st
+    }
+
+  def funnelResult(userId: Long, st: FunnelState): FunnelResult = {
+    val stage =
+      if (st.tPurchase.isDefined) "purchase"
+      else if (st.tClick.isDefined) "click"
+      else if (st.tView.isDefined) "view"
+      else "none"
+    FunnelResult(userId, st.tView, st.tClick, st.tPurchase, stage)
+  }
+
   // --------------------------------------------------- blacklist (F1)
   /** Reference: MA/app/AdStatisticByGeo.scala:71-112 — per-key click
     * counter; one warning when the threshold is crossed, clicks

@@ -159,6 +159,47 @@ object StreamingJobs {
       }
   }
 
+  // ------------------------------------------------------- funnel FSM
+  final case class FunnelRow(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+
+  /** Streaming funnel progression: per-user view→click→purchase state
+    * folded across micro-batches, snapshot emitted when the watermark
+    * passes the user's last activity (EventTimeTimeout at
+    * watermark+1 — each advance flushes the users whose funnel state
+    * changed in the batch that preceded it, so the output is a stream
+    * of funnel snapshots; the LAST snapshot per user equals the batch
+    * `funnel_analysis` row, which StreamingSpec asserts). State is
+    * removed at every flush, so per-user memory is bounded by activity,
+    * not cardinality.
+    */
+  def funnelStream(spark: SparkSession, dir: String): Dataset[FunnelResult] = {
+    import spark.implicits._
+    // no event-type filter: users with no funnel events still get a
+    // stage='none' row, matching the batch funnel_analysis contract
+    eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[FunnelRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[FunnelRow], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(StateMachines.funnelResult(uid, st))
+          } else {
+            val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
+            val st = it.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+              .foldLeft(st0)((s, r) =>
+                StateMachines.funnelStep(s, r.event_type, r.ts.getTime / 1000L))
+            state.update(st)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
+          }
+      }
+  }
+
   // ------------------------------------------------- stream-stream join
   /** Streaming twin of q10_interval_join: orders and lineitem as two
     * watermarked streams, equi-join on the key plus the 30-day range —

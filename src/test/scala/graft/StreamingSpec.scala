@@ -117,4 +117,39 @@ class StreamingSpec extends AnyFunSuite {
     val batch = SparkEntry.queries("q10_interval_join")(spark, sf)
     assert(sortedRows(stream) == sortedRows(batch))
   }
+
+  // ------------------------------------------------------- funnel FSM
+  test("funnel FSM: stage advances only in order, first timestamps win") {
+    val steps = Seq(
+      ("click", 10L), // ignored: no view yet
+      ("view", 20L), ("view", 25L), // second view ignored
+      ("purchase", 30L), // ignored: no click yet
+      ("click", 40L), ("purchase", 50L), ("purchase", 60L))
+    val st = steps.foldLeft(FunnelState(None, None, None)) {
+      case (s, (t, ts)) => StateMachines.funnelStep(s, t, ts)
+    }
+    assert(StateMachines.funnelResult(1L, st) ==
+      FunnelResult(1L, Some(20L), Some(40L), Some(50L), "purchase"))
+    assert(StateMachines.funnelResult(2L, FunnelState(None, None, None)).stage == "none")
+  }
+
+  test("streaming funnel snapshots converge to batch funnel_analysis") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.funnelStream(spark, sf).toDF(), "funnel_stream", "append")
+    val batch = SparkEntry.queries("funnel_analysis")(spark, sf)
+    // keep each user's furthest-progressed snapshot (single-batch
+    // replay flushes once per user; this stays robust if the source
+    // ever splits into multiple micro-batches)
+    val last = stream
+      .withColumn("score",
+        when(col("t_purchase").isNotNull, 3).when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("score"), col("t_view"), col("t_click"),
+        col("t_purchase"), col("stage"))).as("s"))
+      .select(col("user_id"), col("s.t_view").as("t_view"), col("s.t_click").as("t_click"),
+        col("s.t_purchase").as("t_purchase"), col("s.stage").as("stage"))
+    assert(sortedRows(last) ==
+      sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
+  }
 }
