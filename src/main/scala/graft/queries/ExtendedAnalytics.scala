@@ -125,9 +125,13 @@ object ExtendedAnalytics {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------- Bloom UV (A5)
-  /** Hourly UV via the reference-faithful Bloom bitmap aggregator. No
-    * DuckDB oracle (deliberately collision-lossy); UvSpec bounds it
-    * against the exact count.
+  /** Hourly UV via the reference-faithful Bloom bitmap aggregator.
+    * The reference's Bloom uses a SINGLE hash function
+    * (NF/app/UvWithBloom.scala:103-114), so its set-bit count equals
+    * the number of distinct hash buckets — order-independent, which
+    * makes the collision-lossy result EXACTLY reproducible: the oracle
+    * replays the same seed-61 polynomial hash in SQL and counts
+    * distinct buckets per window.
     */
   private def uvBloom(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
@@ -137,11 +141,22 @@ object ExtendedAnalytics {
       .select(col("window.start").cast("long").as("window_start"), col("uv_bloom"))
   }
 
+  private val uvBloomOracle =
+    """WITH h AS (
+      |  SELECT CAST(FLOOR(EPOCH(ts)/3600)*3600 AS BIGINT) AS window_start,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(CAST(user_id AS VARCHAR)) + 1),
+      |        i -> CAST(ascii(substr(CAST(user_id AS VARCHAR), i, 1)) AS BIGINT))),
+      |      (acc, c) -> acc * 61 + c) & 65535 AS bitpos
+      |  FROM events WHERE event_type = 'view')
+      |SELECT window_start, count(DISTINCT bitpos) AS uv_bloom
+      |FROM h GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q10_window_join", Some(q10WindowJoinOracle), q10WindowJoin),
     GraftQuery("sessionize", Some(sessionizeOracle), sessionize),
     GraftQuery("q9_login_burst", Some(loginBurstOracle), loginBurst),
     GraftQuery("value_histogram", Some(valueHistogramOracle), valueHistogram),
-    GraftQuery("q5_uv_bloom", None, uvBloom),
+    GraftQuery("q5_uv_bloom", Some(uvBloomOracle), uvBloom),
   )
 }

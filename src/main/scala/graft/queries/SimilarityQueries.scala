@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.plans.VectorExpressions
 import graft.sources.Tables
@@ -176,17 +177,21 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------- IVF
   /** IVF two-stage ANN. Centroids are per-label means (computed
-    * distributedly via posexplode + per-dimension avg); each probe
-    * searches only its 2 nearest cells. No DuckDB oracle — float-mean
-    * centroids aren't bit-stable across engines; AnnSpec instead checks
-    * recall against ann_bruteforce.
+    * distributedly via posexplode + per-dimension mean); each probe
+    * searches only its 2 nearest cells. The per-dimension mean is a
+    * DECIMAL sum divided once in double — order-independent, so the
+    * centroid floats are bit-stable across engines and the whole
+    * two-stage search has an exact DuckDB oracle (cell choice pinned by
+    * round(csim, 6) + label tiebreak, fine ranking by round(sim, 6) +
+    * vec_id, like the other ANN queries).
     */
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
     val centroids = vecs
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("v"))
+      .agg((sum(col("col").cast("double").cast(DecimalType(30, 12))).cast("double") /
+        count(lit(1))).as("v"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
       .select(col("label").as("c_label"),
@@ -196,7 +201,8 @@ object SimilarityQueries {
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("csim").desc, col("c_label"))
     val cells = probes.crossJoin(broadcast(centroids))
-      .withColumn("csim", dotCol("pe", "cvec") / (col("pn") * sqrt(dotCol("cvec", "cvec"))))
+      .withColumn("csim",
+        round(dotCol("pe", "cvec") / (col("pn") * sqrt(dotCol("cvec", "cvec"))), 6))
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= 2)
       .select(col("probe_id"), col("pe"), col("pn"), col("c_label"))
@@ -212,10 +218,42 @@ object SimilarityQueries {
       .select(col("probe_id"), col("vec_id"), col("simr"), col("rn"))
   }
 
+  private val annIvfOracle =
+    s"""WITH cent AS (
+       |  SELECT label, g.i AS pos,
+       |         CAST(SUM(CAST(embedding[g.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS v
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+       |  GROUP BY 1, 2),
+       |cvecs AS (
+       |  SELECT label AS c_label, list_transform(list(v ORDER BY pos), x -> x::FLOAT) AS cvec
+       |  FROM cent GROUP BY 1),
+       |v AS (
+       |  SELECT vec_id, label, embedding AS e,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS vn
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, e AS pe, vn AS pn FROM v WHERE vec_id % 100 = 0),
+       |cellsim AS (
+       |  SELECT p.probe_id, p.pe, p.pn, c.c_label,
+       |         round(${duckDot("pe", "cvec")} / (pn * sqrt(${duckDot("cvec", "cvec")})), 6) AS csim
+       |  FROM p CROSS JOIN cvecs c),
+       |cells AS (
+       |  SELECT probe_id, pe, pn, c_label FROM (
+       |    SELECT cellsim.*, row_number() OVER (PARTITION BY probe_id ORDER BY csim DESC, c_label) AS crn
+       |    FROM cellsim) t
+       |  WHERE crn <= 2),
+       |s AS (
+       |  SELECT cells.probe_id, v.vec_id,
+       |         round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
+       |  FROM cells JOIN v ON cells.c_label = v.label AND v.vec_id <> cells.probe_id)
+       |SELECT probe_id, vec_id, simr, rn FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY probe_id ORDER BY simr DESC, vec_id) AS rn
+       |  FROM s) t
+       |WHERE rn <= 5""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("ann_bruteforce", Some(annBruteforceOracle), annBruteforce),
     GraftQuery("embedding_neardup", Some(embeddingNeardupOracle), embeddingNeardup),
     GraftQuery("ann_lsh", Some(annLshOracle), annLsh),
-    GraftQuery("ann_ivf", None, annIvf),
+    GraftQuery("ann_ivf", Some(annIvfOracle), annIvf),
   )
 }
