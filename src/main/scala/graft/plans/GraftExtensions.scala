@@ -8,15 +8,34 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Catalyst expressions for SQL users. Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * (or `withExtensions(new GraftExtensions)`); after that
-  * `SELECT float_vec_dot(a, b)` works in plain SQL — same codegen'd
-  * expression the DataFrame API gets from VectorExpressions.dotF32.
+  * `SELECT float_vec_dot(a, b)`, `word_shingles(toks, k)` and
+  * `char_ngrams(text, n)` work in plain SQL — the same codegen'd
+  * expressions the DataFrame API gets from VectorExpressions /
+  * TextExpressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: size argument must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FloatVecDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) =>
+        WordShingles(exprs.head, intArg(exprs(1), "word_shingles"))))
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) =>
+        CharNgrams(exprs.head, intArg(exprs(1), "char_ngrams"))))
   }
 }

@@ -156,9 +156,38 @@ object SequenceAnalytics {
       |FROM d JOIN c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- transitions
+  /** Behavior path analysis: per-user consecutive event-type bigrams
+    * (the Markov transition matrix of the site) — one per-user sort,
+    * lead(1), then a count rollup.
+    */
+  private def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val transitionsOracle =
+    """WITH e AS (
+      |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_id, event_type
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS next_type
+      |  FROM e)
+      |SELECT event_type, next_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM l WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("asof_join", Some(asofOracle), asofJoin),
     GraftQuery("funnel_analysis", Some(funnelOracle), funnel),
     GraftQuery("retention_cohort", Some(retentionOracle), retention),
+    GraftQuery("event_transitions", Some(transitionsOracle), transitions),
   )
 }

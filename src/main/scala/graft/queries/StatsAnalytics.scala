@@ -119,9 +119,36 @@ object StatsAnalytics {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin
 
+  // -------------------------------------------------- exact quantiles
+  /** Exact multi-quantile summary per event type (linear-interpolated
+    * continuous quantiles, the SQL `percentile_cont` family). Rounded
+    * to 6 decimals so the two engines' interpolation arithmetic cannot
+    * flip the hash. An exact sort-based percentile is O(n log n) per
+    * group — the right tool up to moderate group sizes; at 100 TB the
+    * same query shape swaps in `approx_percentile` (t-digest-style
+    * mergeable sketch) without touching callers.
+    */
+  private def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), typedLit(qs)).as("q"))
+      .select(col("event_type"), posexplode(col("q")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("q_idx"),
+        round(col("col"), 6).as("q_value"))
+  }
+
+  private val quantilesOracle =
+    """WITH q AS (
+      |  SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, CAST(g.i AS BIGINT) AS q_idx, round(qs[g.i], 6) AS q_value
+      |FROM q CROSS JOIN generate_series(1, 4) g(i)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("stats_moments", Some(statsMomentsOracle), statsMoments),
     GraftQuery("tpch_q6_revenue", Some(tpchQ6Oracle), tpchQ6),
     GraftQuery("grouping_sets_agg", Some(groupingSetsOracle), groupingSets),
+    GraftQuery("quantile_summary", Some(quantilesOracle), quantiles),
   )
 }

@@ -47,7 +47,7 @@ class ScalePostureSpec extends AnyFunSuite {
       graft.sources.Tables.events(spark, sf).filter(col("event_type") === "error").count())
   }
 
-  test("GraftExtensions registers float_vec_dot for SQL users") {
+  test("GraftExtensions registers float_vec_dot, word_shingles, char_ngrams for SQL users") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -61,10 +61,28 @@ class ScalePostureSpec extends AnyFunSuite {
         "SELECT float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
         .head().getDouble(0)
       assert(r == 11.0)
+      val sh = ext.sql("SELECT word_shingles(array('a','b','c','d'), 3) AS s")
+        .head().getSeq[String](0)
+      assert(sh == Seq("a b c", "b c d"))
+      val ng = ext.sql("SELECT char_ngrams('abcd', 2) AS g").head().getSeq[String](0)
+      assert(ng == Seq("ab", "bc", "cd"))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
     }
+  }
+
+  test("as-of join plans exactly one shuffle (union + window, no range-join explosion)") {
+    val df = SparkEntry.queries("asof_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    val exchanges = "(?m)^\\s*[+:]?[- ]*Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("small single-split scans fan out to session parallelism") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(docs.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
   }
 
   test("watermark drops late data in append-mode streaming aggregation") {
