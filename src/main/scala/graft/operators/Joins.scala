@@ -49,6 +49,26 @@ object Joins {
     * time (`__side` desc) so an exactly-simultaneous right is visible
     * to the left row.
     */
+  /** Band join: all (left, right) pairs with `|leftVal - rightVal| <=
+    * band`. A raw range-predicate join plans as a nested-loop cross
+    * product; this form buckets both sides by `floor(val/band)` and
+    * equi-joins each left bucket against its three possible right
+    * buckets — shuffle volume is 3×rows and each pair is checked once,
+    * which is the formulation that survives dense value ranges at
+    * scale. Result set is identical to the naive range join (bucketing
+    * only prunes pairs that cannot satisfy the band).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame,
+      leftVal: Column, rightVal: Column, band: Double): DataFrame = {
+    val l = left.withColumn("__lb", floor(leftVal / band).cast("long"))
+    val r = right.withColumn("__rb0", floor(rightVal / band).cast("long"))
+      .withColumn("__lb", explode(array(col("__rb0") - 1, col("__rb0"), col("__rb0") + 1)))
+      .drop("__rb0")
+    l.join(r, "__lb")
+      .filter(abs(leftVal - rightVal) <= band)
+      .drop("__lb")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,

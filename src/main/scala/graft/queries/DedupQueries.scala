@@ -205,6 +205,61 @@ object DedupQueries {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
        |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
 
+  // ------------------------------------------- dedup clusters (CC)
+  /** Connected components over the SimHash near-dup graph: every doc
+    * labeled with the smallest doc_id reachable through near-dup pairs
+    * — the canonical-document assignment a dedup pipeline ends with
+    * (keep `component`, drop the rest). Iterative min-label
+    * propagation: each round joins labels across edges and keeps the
+    * per-node minimum, `localCheckpoint` truncating the growing plan;
+    * rounds are bounded by the component diameter, and every step is a
+    * shuffle-partitioned join/agg — no driver-side graph. The oracle
+    * computes the same fixpoint as a recursive transitive closure.
+    */
+  private def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val nbr = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(col("doc_a")).agg(min(col("component")).as("ncomp"))
+      val next = labels.join(nbr, labels("doc_id") === nbr("doc_a"), "left")
+        .select(labels("doc_id"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  private val componentsOracle =
+    s"""WITH RECURSIVE $duckSimhash,
+       |banded AS (
+       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
+       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |        UNION SELECT doc_b, doc_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- n-gram Jaccard
   /** Character-3-gram Jaccard over a deterministic 10% sample, with a
     * stop-gram cutoff (grams in >100 docs dropped) — the cutoff is what
@@ -253,5 +308,6 @@ object DedupQueries {
     GraftQuery("dedup_simhash", Some(simhashOracle), dedupSimhash),
     GraftQuery("dedup_simhash_pairs", Some(simhashPairsOracle), simhashPairs),
     GraftQuery("dedup_ngram_jaccard", Some(ngramOracle), ngramJaccard),
+    GraftQuery("dedup_components", Some(componentsOracle), dedupComponents),
   )
 }

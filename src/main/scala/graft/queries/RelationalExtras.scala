@@ -94,10 +94,35 @@ object RelationalExtras {
     """SELECT event_type, round(median(value), 6) AS median_value, count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------- band join
+  /** Numeric band self-join: for each event, how many other events
+    * have a `value` within ±0.05. Runs through
+    * [[graft.operators.Joins.bandJoin]] — bucketed equi-join on
+    * floor(value/band), never the nested-loop range join the naive
+    * predicate would plan. The oracle states the naive range join; the
+    * result sets are identical.
+    */
+  private def valueBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ev.select(col("event_id").as("id_a"), col("value").as("va"))
+    val b = ev.select(col("event_id").as("id_b"), col("value").as("vb"))
+    graft.operators.Joins.bandJoin(a, b, col("va"), col("vb"), 0.05)
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_neighbors"))
+  }
+
+  private val valueBandJoinOracle =
+    """SELECT a.event_id AS id_a, count(*) AS n_neighbors
+      |FROM events a JOIN events b
+      |  ON abs(a.value - b.value) <= 0.05 AND a.event_id <> b.event_id
+      |GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("pivot_agg", Some(pivotOracle), pivotAgg),
     GraftQuery("unpivot_agg", Some(unpivotOracle), unpivotAgg),
     GraftQuery("cube_agg", Some(cubeOracle), cubeAgg),
     GraftQuery("median_value", Some(medianOracle), medianValue),
+    GraftQuery("value_band_join", Some(valueBandJoinOracle), valueBandJoin),
   )
 }

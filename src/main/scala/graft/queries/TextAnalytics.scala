@@ -143,10 +143,37 @@ object TextAnalytics {
        |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$BpeishPattern')) AS chars_per_token
        |FROM documents""".stripMargin
 
+  // ---------------------------------------------------- dataset split
+  /** Deterministic train/val/test assignment: md5(doc_id) mapped to
+    * [0,1), thresholded 80/10/10. Hash-based splits are THE reproducible
+    * way to partition a training corpus — stable under reruns, joins,
+    * and incremental ingest (a doc's split never depends on what else
+    * is in the batch). Summarized per (split, lang) for the gate; the
+    * per-doc assignment column is what a pipeline would persist.
+    */
+  private def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("u",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"))
+      .withColumn("split",
+        when(col("u") < 0.8, "train").when(col("u") < 0.9, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val datasetSplitOracle =
+    """WITH d AS (
+      |  SELECT *, CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+      |  FROM documents)
+      |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+      |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM d GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("text_stats", Some(textStatsOracle), textStats),
     GraftQuery("text_lang_id", Some(langIdOracle), langId),
     GraftQuery("text_fingerprint", Some(fingerprintOracle), fingerprint),
     GraftQuery("text_tokenize", Some(tokenizeOracle), tokenize),
+    GraftQuery("dataset_split", Some(datasetSplitOracle), datasetSplit),
   )
 }
