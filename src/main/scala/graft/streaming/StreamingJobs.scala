@@ -234,6 +234,35 @@ object StreamingJobs {
         unix_seconds(col("sdate")).as("ship_sec"))
   }
 
+  /** Streaming exact dedup: watermark-bounded `dropDuplicates` on the
+    * event id — the streaming form of `dedup_exact`. State holds one
+    * entry per id seen within the watermark horizon and is evicted as
+    * event time advances, so memory is bounded by the duplicate
+    * arrival window, not the stream length — the property that makes
+    * exact dedup feasible on an unbounded 100 TB/day stream.
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension snapshot (customer→nation). The static side broadcasts
+    * into every micro-batch — no stream-side state at all, the
+    * standard shape for dimension enrichment at scale.
+    */
+  def enrichedStream(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = graft.sources.Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("n_name"))
+  }
+
   /** Full streaming top-N chain (the reference's E1 pipeline,
     * SURVEY.md §3): windowed count aggregation in the stream, then
     * per-micro-batch rank-limit inside foreachBatch writing the

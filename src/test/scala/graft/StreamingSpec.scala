@@ -118,6 +118,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("streaming watermarked dedup equals batch distinct") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.dedupStream(spark, sf), "dedup_stream", "append")
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type")).distinct()
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("stream-static broadcast enrichment equals batch join") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.enrichedStream(spark, sf), "enrich_stream", "append")
+    val ev = graft.sources.Tables.events(spark, sf).filter(col("event_type") === "click")
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = graft.sources.Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"))
+    val batch = ev.join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("n_name"))
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   // ------------------------------------------------------- funnel FSM
   test("funnel FSM: stage advances only in order, first timestamps win") {
     val steps = Seq(
