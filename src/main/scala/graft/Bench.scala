@@ -28,15 +28,18 @@ object Bench {
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => return -1.0 }
-      finally
-        // queries may cache intermediates (e.g. the LSH shingle
-        // exchange); drop them so no query's timing pays for another's
-        // leftover blocks or eviction churn
-        spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      // OUTSIDE the timed window: queries may cache intermediates
+      // (e.g. the LSH shingle exchange); drop them so no query's
+      // timing pays for another's leftover blocks or eviction churn —
+      // or for its own teardown
+      spark.catalog.clearCache()
+      elapsed
     }
 
     // session warmup: JIT the scan/agg/codegen paths once

@@ -22,13 +22,20 @@ class BloomUv(bits: Int) extends Aggregator[Long, Array[Byte], Long] {
   require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be a power of two")
 
   /** Polynomial hash, seed 61, over the decimal rendering of the id —
-    * the reference's `Bloom.hash(value, 61)` semantics.
+    * the reference's `Bloom.hash(value, 61)` semantics, except the
+    * accumulator folds under a 2^40 mask each step. The reference lets
+    * the Java Long silently wrap for long inputs; a SQL BIGINT raises
+    * on the same overflow, so wrap-dependent values could never be
+    * oracle-checked. The mask keeps every intermediate below 2^46
+    * (exactly reproducible in any 64-bit engine) and subsumes the
+    * final `bits-1` mask, so distribution over the bitmap is
+    * unchanged for inputs the reference handles.
     */
   private def hash(id: Long): Int = {
     val s = java.lang.Long.toString(id)
     var h = 0L
     var i = 0
-    while (i < s.length) { h = h * 61 + s.charAt(i); i += 1 }
+    while (i < s.length) { h = (h * 61 + s.charAt(i)) & BloomUv.AccMask; i += 1 }
     (h & (bits - 1)).toInt
   }
 
@@ -58,6 +65,9 @@ class BloomUv(bits: Int) extends Aggregator[Long, Array[Byte], Long] {
 }
 
 object BloomUv {
+  /** Accumulator mask (2^40 - 1): keeps `h*61 + char` below 2^46. */
+  val AccMask: Long = (1L << 40) - 1
+
   /** Column aggregate: Bloom-bitmap UV with `bits` capacity. */
   def bloomUv(c: Column, bits: Int): Column =
     udaf(new BloomUv(bits), Encoders.scalaLong).apply(c)

@@ -35,20 +35,6 @@ object Joins {
       .drop("__salt")
   }
 
-  /** As-of join: for each left row, the single most recent right row
-    * with `rightTime <= leftTime` on the same key (ties on time resolve
-    * to the largest `rightTiebreak`; lefts with no prior right keep
-    * nulls).
-    *
-    * Implemented as a union + one running `last_value(ignoreNulls)`
-    * window — NOT as a range join. A range join on `rt <= lt` explodes
-    * to O(lefts × rights-per-key) intermediate rows before picking the
-    * max; the union form is one shuffle on the key, one sort, linear
-    * scan — the only formulation that survives 100 TB with
-    * thousands-deep key histories. Rights sort before lefts at equal
-    * time (`__side` desc) so an exactly-simultaneous right is visible
-    * to the left row.
-    */
   /** Band join: all (left, right) pairs with `|leftVal - rightVal| <=
     * band`. A raw range-predicate join plans as a nested-loop cross
     * product; this form buckets both sides by `floor(val/band)` and
@@ -69,6 +55,20 @@ object Joins {
       .drop("__lb")
   }
 
+  /** As-of join: for each left row, the single most recent right row
+    * with `rightTime <= leftTime` on the same key (ties on time resolve
+    * to the largest `rightTiebreak`; lefts with no prior right keep
+    * nulls).
+    *
+    * Implemented as a union + one running `last_value(ignoreNulls)`
+    * window — NOT as a range join. A range join on `rt <= lt` explodes
+    * to O(lefts × rights-per-key) intermediate rows before picking the
+    * max; the union form is one shuffle on the key, one sort, linear
+    * scan — the only formulation that survives 100 TB with
+    * thousands-deep key histories. Rights sort before lefts at equal
+    * time (`__side` desc) so an exactly-simultaneous right is visible
+    * to the left row.
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,

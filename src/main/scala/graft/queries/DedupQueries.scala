@@ -229,9 +229,21 @@ object DedupQueries {
     while (changed > 0 && iter < 50) {
       val nbr = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(col("doc_a")).agg(min(col("component")).as("ncomp"))
-      val next = labels.join(nbr, labels("doc_id") === nbr("doc_a"), "left")
+      // checkpointed so the pointer-jump self-join below does not
+      // recompute the whole edges-join pipeline twice per round
+      val stepped = labels.join(nbr, labels("doc_id") === nbr("doc_a"), "left")
         .select(labels("doc_id"),
           least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      // pointer jump (path compression): component := component's
+      // component. Plain propagation needs O(diameter) rounds — a
+      // 1000-doc near-dup chain would mean 1000 shuffles; with the
+      // jump, rounds are O(log n). The fixpoint is unchanged (labels
+      // always point at a real doc whose own label only ever shrinks).
+      val par = stepped.select(col("doc_id").as("p_id"), col("component").as("p_comp"))
+      val next = stepped.join(par, stepped("component") === par("p_id"), "left")
+        .select(stepped("doc_id"),
+          coalesce(col("p_comp"), stepped("component")).as("component"))
         .localCheckpoint()
       changed = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
@@ -239,6 +251,10 @@ object DedupQueries {
       labels = next
       iter += 1
     }
+    // with pointer jumping 50 rounds covers astronomically deep graphs
+    // (2^50 diameter) — but never return silently-wrong labels
+    require(changed == 0,
+      s"dedup_components did not converge after $iter rounds ($changed labels still changing)")
     labels
   }
 

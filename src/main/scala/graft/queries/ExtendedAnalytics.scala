@@ -147,7 +147,7 @@ object ExtendedAnalytics {
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
       |      list_transform(range(1, length(CAST(user_id AS VARCHAR)) + 1),
       |        i -> CAST(ascii(substr(CAST(user_id AS VARCHAR), i, 1)) AS BIGINT))),
-      |      (acc, c) -> acc * 61 + c) & 65535 AS bitpos
+      |      (acc, c) -> (acc * 61 + c) & 1099511627775) & 65535 AS bitpos
       |  FROM events WHERE event_type = 'view')
       |SELECT window_start, count(DISTINCT bitpos) AS uv_bloom
       |FROM h GROUP BY 1""".stripMargin

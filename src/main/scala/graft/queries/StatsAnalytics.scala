@@ -43,8 +43,12 @@ object StatsAnalytics {
       (sx / n).as("mean_qty"),
       (sxx / n - (sx / n) * (sx / n)).as("var_qty"),
       sqrt(sxx / n - (sx / n) * (sx / n)).as("std_qty"),
+      // nullif guard: a constant column makes the variance term 0 —
+      // Spark division yields NULL, DuckDB IEEE yields nan/inf; nullif
+      // pins both engines to NULL (corr undefined for constants)
       ((n * sxy - sx * sy) /
-        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+        nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), lit(0.0)))
+        .as("corr_qty_price"))
   }
 
   private val statsMomentsOracle =
@@ -61,7 +65,7 @@ object StatsAnalytics {
       |  sxx / n - (sx / n) * (sx / n) AS var_qty,
       |  sqrt(sxx / n - (sx / n) * (sx / n)) AS std_qty,
       |  (n * sxy - sx * sy) /
-      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |    nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0) AS corr_qty_price
       |FROM s""".stripMargin
 
   // -------------------------------------------------------- TPC-H Q6

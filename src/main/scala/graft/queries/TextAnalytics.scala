@@ -133,14 +133,18 @@ object TextAnalytics {
         size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).cast("long"))
       .withColumn("n_ws_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
       .select(col("doc_id"), col("n_bpe_tokens"), col("n_ws_tokens"),
-        (length(col("text")).cast("double") / col("n_bpe_tokens")).as("chars_per_token"))
+        // nullif guard: an empty document has 0 tokens — Spark's
+        // double division yields NULL but DuckDB's IEEE default yields
+        // inf; nullif pins both engines to NULL
+        (length(col("text")).cast("double") / nullif(col("n_bpe_tokens"), lit(0L)))
+          .as("chars_per_token"))
   }
 
   private val tokenizeOracle =
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS n_bpe_tokens,
        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
-       |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$BpeishPattern')) AS chars_per_token
+       |  CAST(length(text) AS DOUBLE) / nullif(len(regexp_extract_all(text, '$BpeishPattern')), 0) AS chars_per_token
        |FROM documents""".stripMargin
 
   // ---------------------------------------------------- dataset split

@@ -38,15 +38,26 @@ object Tables {
     * this is a no-op (filters still reach the scan either way: Catalyst
     * pushes predicates through RepartitionOperation).
     */
-  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+  /** Memoized "does this scan need fanning out" decision: the
+    * `df.rdd` probe forces a full analyze/optimize/plan pass, and the
+    * text/embedding readers are called several times per plan build
+    * (and in a loop by the connected-components query). The split
+    * count of a given parquet path is constant, so probe once.
+    */
+  private val needsFanOut =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def fanOut(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val fan = needsFanOut.computeIfAbsent(s"$key@$target",
+      _ => df.rdd.getNumPartitions < target)
+    if (fan) df.repartition(target) else df
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
-    fanOut(spark, read(spark, dir, "documents"))
+    fanOut(spark, read(spark, dir, "documents"), s"$dir/documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    fanOut(spark, read(spark, dir, "embeddings"))
+    fanOut(spark, read(spark, dir, "embeddings"), s"$dir/embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

@@ -164,14 +164,17 @@ object StreamingJobs {
       event_id: Long, event_type: String)
 
   /** Streaming funnel progression: per-user view→click→purchase state
-    * folded across micro-batches, snapshot emitted when the watermark
-    * passes the user's last activity (EventTimeTimeout at
-    * watermark+1 — each advance flushes the users whose funnel state
-    * changed in the batch that preceded it, so the output is a stream
-    * of funnel snapshots; the LAST snapshot per user equals the batch
-    * `funnel_analysis` row, which StreamingSpec asserts). State is
-    * removed at every flush, so per-user memory is bounded by activity,
-    * not cardinality.
+    * folded across micro-batches; a snapshot row is emitted whenever a
+    * batch advances (or first creates) a user's funnel state, so the
+    * output is a progression stream whose FURTHEST snapshot per user
+    * equals the batch `funnel_analysis` row (StreamingSpec asserts it).
+    * State is deliberately never timed out mid-stream: a funnel over
+    * all time cannot evict a user's progress without corrupting later
+    * stages (an earlier version flushed+removed on watermark advance
+    * and silently restarted any user active in a later micro-batch).
+    * A production deployment bounds state with an explicit horizon —
+    * fold `funnelStep` under an event-time timeout at
+    * lastActivity + horizon and accept stage resets past it.
     */
   def funnelStream(spark: SparkSession, dir: String): Dataset[FunnelResult] = {
     import spark.implicits._
@@ -182,21 +185,16 @@ object StreamingJobs {
       .as[FunnelRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelResult](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FunnelRow], state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            Iterator.single(StateMachines.funnelResult(uid, st))
-          } else {
-            val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
-            val st = it.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
-              .foldLeft(st0)((s, r) =>
-                StateMachines.funnelStep(s, r.event_type, r.ts.getTime / 1000L))
-            state.update(st)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-            Iterator.empty
-          }
+          val first = !state.exists
+          val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
+          val st = it.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            .foldLeft(st0)((s, r) =>
+              StateMachines.funnelStep(s, r.event_type, r.ts.getTime / 1000L))
+          state.update(st)
+          if (first || st != st0) Iterator.single(StateMachines.funnelResult(uid, st))
+          else Iterator.empty
       }
   }
 
