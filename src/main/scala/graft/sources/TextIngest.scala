@@ -112,4 +112,25 @@ object TextIngest {
     */
   def dropStaticResources(df: DataFrame): DataFrame =
     df.filter(!col("url").rlike("\\.(css|js)$"))
+
+  /** JSON-lines ingest with the same contract as the CSV readers:
+    * explicit schema (never inference — at TB scale an inference pass
+    * is a second full read and a nondeterminism source), PERMISSIVE
+    * `from_json` over raw text so corrupt lines land in a reject
+    * side-channel instead of killing the job. Rounds out the raw
+    * source matrix (CSV / access-log / JSON lines / parquet / Kafka /
+    * rate). `from_json` leaves every field null on corrupt input (no
+    * _corrupt interaction with pruning), so "all schema fields null
+    * but line non-empty" is the reject predicate.
+    */
+  def readJsonLinesWithRejects(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val raw = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"), from_json(col("value"), schema).as("r"))
+    val allNull = schema.fieldNames.map(f => col(s"r.$f").isNull).reduce(_ && _)
+    val good = raw.filter(!allNull).select(col("r.*"))
+    val bad = raw.filter(allNull).select(col("value").as("raw_line"))
+    (good, bad)
+  }
 }

@@ -176,11 +176,20 @@ object StreamingJobs {
     * fold `funnelStep` under an event-time timeout at
     * lastActivity + horizon and accept stage resets past it.
     */
-  def funnelStream(spark: SparkSession, dir: String): Dataset[FunnelResult] = {
+  def funnelStream(spark: SparkSession, dir: String): Dataset[FunnelResult] =
+    funnelOf(eventsStream(spark, dir))
+
+  /** Core funnel operator over any watermarked event frame with
+    * (user_id, ts, event_id, event_type) — split out so tests can
+    * drive it from a multi-file source with `maxFilesPerTrigger=1`
+    * (real cross-micro-batch state carry, not single-batch replay).
+    */
+  def funnelOf(events: DataFrame): Dataset[FunnelResult] = {
+    val spark = events.sparkSession
     import spark.implicits._
     // no event-type filter: users with no funnel events still get a
     // stage='none' row, matching the batch funnel_analysis contract
-    eventsStream(spark, dir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[FunnelRow]
       .groupByKey(_.user_id)

@@ -36,6 +36,24 @@ class IngestSinksSpec extends AnyFunSuite {
     assert(good.schema("ts").dataType.typeName == "timestamp")
   }
 
+  test("JSON-lines ingest parses with explicit schema; corrupt lines rejected") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts_sec", LongType)))
+    val path = tmpFile(Seq(
+      """{"user_id": 7, "event_type": "view", "ts_sec": 1511658000}""",
+      """{"user_id": 8, "event_type": "click", "ts_sec": 1511658060}""",
+      """not json at all""",
+      """{"broken": true}"""), ".jsonl")
+    val (good, bad) = TextIngest.readJsonLinesWithRejects(spark, path, schema)
+    assert(good.count() == 2)
+    assert(bad.count() == 2)
+    val first = good.orderBy("ts_sec").first()
+    assert(first.getAs[Long]("user_id") == 7L)
+    assert(first.getAs[String]("event_type") == "view")
+  }
+
   test("Apache log lines parse; static resources filter out") {
     val path = tmpFile(Seq(
       "83.149.9.216 - - 17/05/2015:10:05:03 +0000 GET /presentations/kibana-search.png",

@@ -155,6 +155,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(StateMachines.funnelResult(2L, FunnelState(None, None, None)).stage == "none")
   }
 
+  test("streaming funnel carries state across micro-batches (2-file replay)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cutSec = ev.selectExpr("percentile(CAST(ts AS LONG), 0.5)").first().getDouble(0)
+    val staged = Files.createTempDirectory("graft-funnel-2b")
+    def stageHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-funnel-half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(staged.toString, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    // event-time-ordered halves: batch 1 = first half, batch 2 = rest
+    stageHalf(ev.filter(expr(s"CAST(ts AS LONG) <= $cutSec")), "00.parquet")
+    stageHalf(ev.filter(expr(s"CAST(ts AS LONG) > $cutSec")), "01.parquet")
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1) // forces >= 2 micro-batches
+      .parquet(staged.toString)
+      .withWatermark("ts", "1 second")
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.funnelOf(src).toDF(), "funnel_2b", "append")
+    val batch = SparkEntry.queries("funnel_analysis")(spark, sf)
+    val last = stream
+      .withColumn("score",
+        when(col("t_purchase").isNotNull, 3).when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("score"), col("t_view"), col("t_click"),
+        col("t_purchase"), col("stage"))).as("s"))
+      .select(col("user_id"), col("s.t_view").as("t_view"), col("s.t_click").as("t_click"),
+        col("s.t_purchase").as("t_purchase"), col("s.stage").as("stage"))
+    assert(sortedRows(last) ==
+      sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
+  }
+
   test("streaming funnel snapshots converge to batch funnel_analysis") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.funnelStream(spark, sf).toDF(), "funnel_stream", "append")
