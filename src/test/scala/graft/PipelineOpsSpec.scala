@@ -40,6 +40,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fps(0) != fps(1), "reordering tokens must change the rolling fingerprint")
   }
 
+  test("asofJoin contract: latest at-or-before match, tie to max tiebreak, null when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l10"), (1L, 20L, "l20"), (1L, 5L, "l5"), (2L, 50L, "l50"))
+      .toDF("k", "t", "ltag")
+    // rights: key 1 at t=10 twice (tiebreak 100 vs 200), t=15; key 3 unmatched
+    val right = Seq((1L, 10L, 100L), (1L, 10L, 200L), (1L, 15L, 300L), (3L, 1L, 400L))
+      .toDF("rk", "rt", "rid")
+    val out = graft.operators.Joins.asofJoin(left, right,
+        col("k"), col("rk"), col("t"), col("rt"), col("rid"),
+        Seq(col("rid"), col("rt").as("matched_t")))
+      .select(col("ltag"), col("__match.rid"), col("__match.matched_t"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(out("l5") == (None, None)) // before any right
+    assert(out("l10") == (Some(200L), Some(10L))) // tie at t=10 -> max rid
+    assert(out("l20") == (Some(300L), Some(15L))) // latest <= 20
+    assert(out("l50") == (None, None)) // key 2 has no rights
+  }
+
+  test("bandJoin equals the naive range join, including band boundaries") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0), (2L, 0.049), (3L, 0.05), (4L, 0.101), (5L, -0.02))
+      .toDF("id_a", "va")
+    val b = Seq((10L, 0.05), (11L, 0.1), (12L, -0.07), (13L, 0.2)).toDF("id_b", "vb")
+    val banded = graft.operators.Joins.bandJoin(a, b, col("va"), col("vb"), 0.05)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = a.crossJoin(b).filter(abs(col("va") - col("vb")) <= 0.05)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive)
+    assert(banded.contains((3L, 11L))) // exactly band apart (0.05 vs 0.1)
+    assert(banded.contains((5L, 12L))) // negative values bucket correctly
+  }
+
+  test("dedup_components labels agree with pair reachability") {
+    val comp = SparkEntry.queries("dedup_components")(spark, sf).cache()
+    // every doc labeled, component is a real doc_id <= doc_id
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(comp.count() == docs)
+    assert(comp.filter(col("component") > col("doc_id")).isEmpty)
+    // both endpoints of every near-dup pair share a component
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, sf)
+      .select("doc_a", "doc_b")
+    val mismatched = pairs
+      .join(comp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("component", "ca"), "doc_a")
+      .join(comp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("component", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(mismatched.isEmpty)
+  }
+
   test("lang_id picks the profile with most marker hits") {
     import spark.implicits._
     val df = Seq(
