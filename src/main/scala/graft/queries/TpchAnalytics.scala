@@ -306,6 +306,82 @@ object TpchAnalytics {
       |       100.0 * promo_revenue / total_revenue AS promo_pct
       |FROM s""".stripMargin
 
+  // ------------------------------------------------------------ TPC-H 7
+  /** Volume shipping between two nations by year: both nation sides
+    * broadcast onto their fact tables before lineitem↔orders shuffles
+    * once; the bidirectional nation-pair predicate and year extraction
+    * happen map-side.
+    */
+  private def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_7")
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(na, nb))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(decPrice * (lit(1) - decDisc)).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val tpchQ7Oracle =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n
+      |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND n1.n_name IN ('NATION_3', 'NATION_7')
+      |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------- correlated subquery
+  /** Customers above their nation's average balance — the classic
+    * correlated scalar subquery, written as SQL so Catalyst's
+    * decorrelation rewrites it (to an aggregate + join) rather than
+    * hand-planning the join. The inner average is a decimal sum over a
+    * double count so both engines compute the identical scalar.
+    */
+  private def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal,
+        |       CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM graft_customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM graft_customer c2
+        |  WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
+  private val correlatedSubqueryOracle =
+    """SELECT c_custkey, c_acctbal, CAST(c_nationkey AS BIGINT) AS c_nationkey
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM customer c2
+      |  WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin
+
   // ------------------------------------------- extended window surface
   /** The rest of the SQL window-function surface: ntile, percent_rank,
     * cume_dist, lead-with-default, nth_value, and a value-RANGE frame
@@ -359,5 +435,7 @@ object TpchAnalytics {
     GraftQuery("tpch_q5_local_supplier", Some(tpchQ5Oracle), tpchQ5),
     GraftQuery("tpch_q14_promo", Some(tpchQ14Oracle), tpchQ14),
     GraftQuery("window_functions_ext", Some(windowFuncsExtOracle), windowFuncsExt),
+    GraftQuery("tpch_q7_nation_volume", Some(tpchQ7Oracle), tpchQ7),
+    GraftQuery("correlated_subquery", Some(correlatedSubqueryOracle), correlatedSubquery),
   )
 }
