@@ -217,9 +217,14 @@ object DedupQueries {
     * computes the same fixpoint as a recursive transitive closure.
     */
   private def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // both edge directions in ONE pass over the pairs pipeline (a
+    // union of two selects would run the whole SimHash candidate
+    // generation twice while populating the cache)
+    val edges = simhashPairs(spark, dir)
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       .cache()
     var labels = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("component"))
@@ -255,6 +260,9 @@ object DedupQueries {
     // (2^50 diameter) — but never return silently-wrong labels
     require(changed == 0,
       s"dedup_components did not converge after $iter rounds ($changed labels still changing)")
+    // labels are checkpointed (independent of edges) — don't leave the
+    // edge cache pinned in the session for the caller's lifetime
+    edges.unpersist(false)
     labels
   }
 

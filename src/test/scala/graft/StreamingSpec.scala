@@ -155,6 +155,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(StateMachines.funnelResult(2L, FunnelState(None, None, None)).stage == "none")
   }
 
+  /** Reduce a funnel-snapshot stream to each user's furthest-progressed
+    * snapshot (lexicographic struct max keyed by a stage score).
+    */
+  private def furthestSnapshots(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("score",
+        when(col("t_purchase").isNotNull, 3).when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("score"), col("t_view"), col("t_click"),
+        col("t_purchase"), col("stage"))).as("s"))
+      .select(col("user_id"), col("s.t_view").as("t_view"), col("s.t_click").as("t_click"),
+        col("s.t_purchase").as("t_purchase"), col("s.stage").as("stage"))
+
   test("streaming funnel carries state across micro-batches (2-file replay)") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val ev = graft.sources.Tables.events(spark, sf)
@@ -177,16 +191,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.funnelOf(src).toDF(), "funnel_2b", "append")
     val batch = SparkEntry.queries("funnel_analysis")(spark, sf)
-    val last = stream
-      .withColumn("score",
-        when(col("t_purchase").isNotNull, 3).when(col("t_click").isNotNull, 2)
-          .when(col("t_view").isNotNull, 1).otherwise(0))
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("score"), col("t_view"), col("t_click"),
-        col("t_purchase"), col("stage"))).as("s"))
-      .select(col("user_id"), col("s.t_view").as("t_view"), col("s.t_click").as("t_click"),
-        col("s.t_purchase").as("t_purchase"), col("s.stage").as("stage"))
-    assert(sortedRows(last) ==
+    assert(sortedRows(furthestSnapshots(stream)) ==
       sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
   }
 
@@ -194,19 +199,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.funnelStream(spark, sf).toDF(), "funnel_stream", "append")
     val batch = SparkEntry.queries("funnel_analysis")(spark, sf)
-    // keep each user's furthest-progressed snapshot (single-batch
-    // replay flushes once per user; this stays robust if the source
-    // ever splits into multiple micro-batches)
-    val last = stream
-      .withColumn("score",
-        when(col("t_purchase").isNotNull, 3).when(col("t_click").isNotNull, 2)
-          .when(col("t_view").isNotNull, 1).otherwise(0))
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("score"), col("t_view"), col("t_click"),
-        col("t_purchase"), col("stage"))).as("s"))
-      .select(col("user_id"), col("s.t_view").as("t_view"), col("s.t_click").as("t_click"),
-        col("s.t_purchase").as("t_purchase"), col("s.stage").as("stage"))
-    assert(sortedRows(last) ==
+    assert(sortedRows(furthestSnapshots(stream)) ==
       sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
   }
 }
