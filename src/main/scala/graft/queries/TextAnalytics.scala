@@ -173,11 +173,38 @@ object TextAnalytics {
       |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM d GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- per-source caps
+  /** Data-mixing cap: keep at most 20 documents per source, chosen by
+    * md5(doc_id) order — the deterministic subsample a corpus-mixing
+    * step applies to over-represented sources. Hash order (not doc_id
+    * order) makes the kept set an unbiased sample yet stable across
+    * reruns; the rank-limit plans as WindowGroupLimit, so each
+    * partition keeps only k rows in flight.
+    */
+  private def capPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("source"), col("doc_id"), col("rn"))
+  }
+
+  private val capPerGroupOracle =
+    """SELECT source, doc_id, rn FROM (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 20""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("text_stats", Some(textStatsOracle), textStats),
     GraftQuery("text_lang_id", Some(langIdOracle), langId),
     GraftQuery("text_fingerprint", Some(fingerprintOracle), fingerprint),
     GraftQuery("text_tokenize", Some(tokenizeOracle), tokenize),
     GraftQuery("dataset_split", Some(datasetSplitOracle), datasetSplit),
+    GraftQuery("cap_per_group", Some(capPerGroupOracle), capPerGroup),
   )
 }
