@@ -14,6 +14,11 @@ run / fork := true
 // Forked run output goes straight to stdout/stderr (no "[info] " log
 // prefix) so the driver can parse Bench's one-line JSON from stdout.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line after runMain:
+// it lands on stdout AFTER Bench's JSON line and broke the driver's
+// parse two rounds running (BENCH_r01/r02 "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,7 +65,16 @@ object Bench {
     // failed queries report -1 per-query AND a failure count: a broken
     // query must not make the total look faster
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parse: the JSON goes to stdout
+    // AND to bench_out.json (an unparseable stdout line — sbt chrome,
+    // interleaved WARNs — is otherwise indistinguishable from a
+    // missing bench).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }
