@@ -15,11 +15,16 @@ import graft.sources.Tables
   *   expression (graft.plans.FloatVecDot — one loop, no intermediate
   *   arrays); top-k is a rank-limit (WindowGroupLimit), so per-
   *   partition state is k rows per probe.
-  * - `embedding_neardup`: global top-50 most-similar pairs. Norms are
-  *   precomputed once per vector and joined in, so each of the O(n²)
-  *   candidate pairs costs exactly one vector pass — at 100 TB this
-  *   becomes LSH-bucketed first, but the per-pair discipline is what
-  *   makes either shape feasible.
+  * - `embedding_neardup`: top-50 most-similar candidate pairs from a
+  *   banded hyperplane LSH (4 bands x 8 planes). Candidates are pairs
+  *   whose 8-bit band signature matches in at least one band — two
+  *   equi-joins and a distinct, never an all-pairs product, so the
+  *   candidate count scales with collisions (~L/2^k of all pairs for
+  *   unrelated vectors), not n². For genuine near-dups (cos >= 0.99)
+  *   per-band recall is (1-theta/pi)^8 ~ 0.97 and any-of-4-bands
+  *   recall >0.999 — asserted on planted duplicates in
+  *   ScalePostureSpec. Norms are precomputed once per vector, so each
+  *   surviving candidate costs exactly one fused-dot pass.
   * - `ann_ivf`: IVF-style two-stage search — coarse quantize to
   *   per-label centroids, probe only the 2 nearest cells; the fine
   *   search touches ~2/10ths of the corpus and both stages stay as
@@ -76,25 +81,73 @@ object SimilarityQueries {
        |WHERE rn <= 5""".stripMargin
 
   // ------------------------------------------------------ near-dup pairs
-  private def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val a = vecsWithNorm(spark, dir, "vec_a", "ea", "na")
-    val b = vecsWithNorm(spark, dir, "vec_b", "eb", "nb")
-    a.crossJoin(b)
-      .filter(col("vec_a") < col("vec_b"))
+  private val NdBands = 4
+  private val NdBandPlanes = 8 // 4 bands x 8 planes = 32 hyperplanes
+
+  private lazy val ndPlanes: Seq[Seq[Double]] = mdPlanes(NdBands * NdBandPlanes)
+
+  /** 8-bit signature of one LSH band: bit j = sign of plane (band*8+j)
+    * dotted with the vector. Plane constants are the same md5-derived
+    * literals as [[lshBucketCol]], so DuckDB reproduces them exactly.
+    */
+  private def ndSigCol(vecCol: String, band: Int): Column =
+    (0 until NdBandPlanes).map { j =>
+      val dot = aggregate(
+        zip_with(typedLit(ndPlanes(band * NdBandPlanes + j)), col(vecCol),
+          (h, x) => h * x.cast("double")),
+        lit(0.0), (a, v) => a + v)
+      when(dot > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Banded-LSH near-dup candidate pairs over a (vec_id, embedding)
+    * frame: pairs whose band signature matches in >= 1 of the 4 bands,
+    * with their rounded cosine. Pure equi-join candidate generation —
+    * the 100 TB shape. Public for the planted-recall spec.
+    */
+  def neardupPairs(v: DataFrame): DataFrame = {
+    def keyed(idAs: String, vecAs: String, normAs: String, bandAs: String, sigAs: String) =
+      v.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
+        .withColumn(normAs, sqrt(dotCol(vecAs, vecAs)))
+        .select(col(idAs), col(vecAs), col(normAs),
+          posexplode(array((0 until NdBands).map(l => ndSigCol(vecAs, l)): _*))
+            .as(Seq(bandAs, sigAs)))
+    val a = keyed("vec_a", "ea", "na", "band_a", "sig_a")
+    val b = keyed("vec_b", "eb", "nb", "band_b", "sig_b")
+    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+        col("vec_a") < col("vec_b"))
       .withColumn("simr", round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
+      // a pair can collide in several bands; the shuffle after this
+      // dedup carries only (a, b, simr), never the vectors
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("simr")).as("simr"))
+  }
+
+  private def embeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    neardupPairs(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
       .orderBy(col("simr").desc, col("vec_a"), col("vec_b"))
       .limit(50)
-      .select(col("vec_a"), col("vec_b"), col("simr"))
-  }
+
+  /** DuckDB twin of [[ndSigCol]] for band index column `bandRef`. */
+  private def duckNdSig(vecCol: String, bandRef: String): String =
+    s"""CAST(list_aggregate(list_transform(range(0, $NdBandPlanes), j ->
+       |  CASE WHEN list_aggregate(list_transform(range(1, len($vecCol) + 1), i ->
+       |         (CAST(CAST('0x' || substr(md5(($NdBandPlanes * $bandRef + j) || '_' || i), 1, 8) AS UBIGINT) AS DOUBLE) / 2147483648.0 - 1.0)
+       |         * $vecCol[i]::DOUBLE), 'sum') > 0
+       |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), 'sum') AS BIGINT)""".stripMargin
 
   private val embeddingNeardupOracle =
     s"""WITH v AS (
        |  SELECT vec_id, embedding AS e,
        |         sqrt(${duckDot("embedding", "embedding")}) AS vn
-       |  FROM embeddings)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       round(${duckDot("a.e", "b.e")} / (a.vn * b.vn), 6) AS simr
-       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |  FROM embeddings),
+       |k AS (
+       |  SELECT vec_id, e, vn, g.band AS band, ${duckNdSig("e", "g.band")} AS sig
+       |  FROM v CROSS JOIN generate_series(0, ${NdBands - 1}) g(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(${duckDot("a.e", "b.e")} / (a.vn * b.vn), 6) AS simr
+       |  FROM k a JOIN k b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, simr FROM cand
        |ORDER BY simr DESC, vec_a, vec_b
        |LIMIT 50""".stripMargin
 
@@ -111,9 +164,9 @@ object SimilarityQueries {
     * scale the bucket join replaces the O(n²) pairwise scan; recall is
     * tunable by plane count and multi-probe.
     */
-  private lazy val planes: Seq[Seq[Double]] = {
+  private def mdPlanes(count: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until LshPlanes).map { p =>
+    (0 until count).map { p =>
       (1 to 64).map { i =>
         val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
           .take(4).map(b => f"${b & 0xff}%02x").mkString
@@ -121,6 +174,8 @@ object SimilarityQueries {
       }
     }
   }
+
+  private lazy val planes: Seq[Seq[Double]] = mdPlanes(LshPlanes)
 
   private def lshBucketCol(vecCol: String): Column = {
     (0 until LshPlanes).map { p =>

@@ -80,6 +80,32 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("embedding_neardup plans as equi-joins — no cartesian/nested-loop product") {
+    val df = SparkEntry.queries("embedding_neardup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidate generation must stay bucketed, plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("banded-LSH near-dup candidates recall planted duplicates, stay selective on noise") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // 20 planted dups: id 1000+i is a tiny perturbation of base i (cos >= 0.999)
+    val dups = (0 until 20).map { i =>
+      ((1000 + i).toLong, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = graft.queries.SimilarityQueries.neardupPairs(df).collect()
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000L)
+    assert(planted >= 19, s"expected >=19/20 planted dups recalled, got $planted")
+    // selectivity: unrelated random pairs collide at ~L/2^k = 4/256
+    val noise = pairs.length - planted
+    assert(noise < 200, s"candidate generation not selective: $noise noise pairs of ${60 * 59 / 2}")
+  }
+
   test("small single-split scans fan out to session parallelism") {
     val docs = graft.sources.Tables.documents(spark, sf)
     assert(docs.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
