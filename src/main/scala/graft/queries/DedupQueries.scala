@@ -176,7 +176,11 @@ object DedupQueries {
     * this radius (a <=6 radius would need 7 bands).
     */
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashDf(spark, dir)
+    // materialize the signatures once: the banded self-join otherwise
+    // recomputes the whole 32-vote aggregation for BOTH sides (the two
+    // subtrees do not canonicalize to a reused exchange), doubling the
+    // most expensive stage of the pipeline
+    val sh = simhashDf(spark, dir).localCheckpoint()
     val banded = sh
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bk", expr("shiftright(simhash, 8 * b) & 255"))
@@ -220,46 +224,65 @@ object DedupQueries {
     // both edge directions in ONE pass over the pairs pipeline (a
     // union of two selects would run the whole SimHash candidate
     // generation twice while populating the cache)
+    // eager localCheckpoint, not cache(): the rounds below re-plan
+    // their pipeline once per iteration, and a checkpoint is a LEAF
+    // plan — with cache() every round's logical plan still carries the
+    // whole SimHash candidate pipeline subtree through analysis and
+    // canonicalization, and that fixed planning cost dominates a small
+    // graph's wall-clock
     val edges = simhashPairs(spark, dir)
       .select(explode(array(
         struct(col("doc_a"), col("doc_b")),
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
-      .cache()
+      .localCheckpoint()
     var labels = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence is detected by the label-sum: every update strictly
+    // DECREASES some label (least/min semantics) and never increases
+    // one, so sum(component) is strictly monotone until the fixpoint —
+    // an aggregate over the fresh checkpoint replaces a whole
+    // old-vs-new join per round. Decimal sum: overflow-proof at any
+    // corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    while (!converged && iter < 50) {
       val nbr = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(col("doc_a")).agg(min(col("component")).as("ncomp"))
-      // checkpointed so the pointer-jump self-join below does not
-      // recompute the whole edges-join pipeline twice per round
       val stepped = labels.join(nbr, labels("doc_id") === nbr("doc_a"), "left")
         .select(labels("doc_id"),
           least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
-        .localCheckpoint()
       // pointer jump (path compression): component := component's
       // component. Plain propagation needs O(diameter) rounds — a
-      // 1000-doc near-dup chain would mean 1000 shuffles; with the
-      // jump, rounds are O(log n). The fixpoint is unchanged (labels
-      // always point at a real doc whose own label only ever shrinks).
+      // 1000-doc near-dup chain would mean 1000 shuffles; the jump
+      // halves the remaining depth, so rounds are O(log d). The
+      // fixpoint is unchanged (labels always point at a real doc whose
+      // own label only ever shrinks). The step and the jump ride in
+      // ONE checkpointed action per round — the two `stepped`
+      // occurrences in the self-join share their shuffle subtrees via
+      // ReusedExchange, so fusing them beats a second checkpoint:
+      // round cost on a small graph is driver-action overhead, not
+      // data volume. (Two fused jumps regress: the four-fold `stepped`
+      // nesting defeats exchange reuse under AQE.)
       val par = stepped.select(col("doc_id").as("p_id"), col("component").as("p_comp"))
       val next = stepped.join(par, stepped("component") === par("p_id"), "left")
         .select(stepped("doc_id"),
           coalesce(col("p_comp"), stepped("component")).as("component"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.component") =!= col("o.component")).count()
+      val newSum = labelSum(next)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels = next
       iter += 1
     }
     // with pointer jumping 50 rounds covers astronomically deep graphs
     // (2^50 diameter) — but never return silently-wrong labels
-    require(changed == 0,
-      s"dedup_components did not converge after $iter rounds ($changed labels still changing)")
+    require(converged,
+      s"dedup_components did not converge after $iter rounds")
     // labels are checkpointed (independent of edges) — don't leave the
     // edge cache pinned in the session for the caller's lifetime
     edges.unpersist(false)

@@ -30,39 +30,37 @@ object CCProfile {
 
     // mirror of DedupQueries.dedupComponents with timing
     val pairs = graft.SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)
-    val edges = pairs
+    val edges = t("edges checkpoint")(pairs
       .select(explode(array(
         struct(col("doc_a"), col("doc_b")),
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
-      .cache()
-    t("edges materialize")(edges.count())
+      .localCheckpoint())
 
     var labels = t("labels init checkpoint")(
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("doc_id").as("component"))
         .localCheckpoint())
-    var changed = 1L
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = t("init sum")(labelSum(labels))
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    while (!converged && iter < 50) {
       val nbr = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(col("doc_a")).agg(min(col("component")).as("ncomp"))
-      val stepped = t(s"round $iter stepped ckpt")(
-        labels.join(nbr, labels("doc_id") === nbr("doc_a"), "left")
-          .select(labels("doc_id"),
-            least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
-          .localCheckpoint())
+      val stepped = labels.join(nbr, labels("doc_id") === nbr("doc_a"), "left")
+        .select(labels("doc_id"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
       val par = stepped.select(col("doc_id").as("p_id"), col("component").as("p_comp"))
-      val next = t(s"round $iter jump ckpt")(
+      val next = t(s"round $iter step+jump ckpt")(
         stepped.join(par, stepped("component") === par("p_id"), "left")
           .select(stepped("doc_id"),
             coalesce(col("p_comp"), stepped("component")).as("component"))
           .localCheckpoint())
-      changed = t(s"round $iter changed count")(
-        next.as("n")
-          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.component") =!= col("o.component")).count())
-      println(s"[cc] round $iter changed=$changed")
+      val newSum = t(s"round $iter sum")(labelSum(next))
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels = next
       iter += 1
     }
