@@ -242,15 +242,21 @@ object SimilarityQueries {
     */
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
+    // per-label centroid in ONE aggregation pass: 64 decimal column
+    // sums + a count over the unexploded rows (the posexplode form
+    // multiplied shuffle volume 64x to group on (label, pos)). The
+    // per-dimension mean stays a DECIMAL sum divided once in double —
+    // order-independent, bit-stable floats in both engines.
+    val dims = 1 to 64
+    val dimSums = dims.map(i =>
+      sum(element_at(col("embedding"), i).cast("double").cast(DecimalType(30, 12))).as(s"s$i")) :+
+      count(lit(1)).as("cnt")
     val centroids = vecs
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("col").cast("double").cast(DecimalType(30, 12))).cast("double") /
-        count(lit(1))).as("v"))
       .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .agg(dimSums.head, dimSums.tail: _*)
       .select(col("label").as("c_label"),
-        expr("transform(pv, x -> CAST(x.v AS FLOAT))").as("cvec"))
+        array(dims.map(i =>
+          (col(s"s$i").cast("double") / col("cnt")).cast("float")): _*).as("cvec"))
     val probes = vecsWithNorm(spark, dir, "probe_id", "pe", "pn")
       .filter(col("probe_id") % 100 === 0)
     val wCell = org.apache.spark.sql.expressions.Window
