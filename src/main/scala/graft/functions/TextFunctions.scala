@@ -30,14 +30,18 @@ object TextFunctions {
     expr(s"size(filter($toksCol, t -> t IN ${inList(words)}))").cast("long")
 
   /** Word k-shingles (k consecutive tokens joined by a space); empty
-    * array when the document has fewer than k tokens. Fused custom
-    * expression — see graft.plans.TextExpressions for why the
-    * composed-builtin form is quadratic.
+    * array when the document has fewer than k tokens OR the input is
+    * NULL (never returns NULL — safe for size()/aggregation
+    * consumers). Fused custom expression — see
+    * graft.plans.TextExpressions for why the composed-builtin form is
+    * quadratic.
     */
   def wordShingles(toksCol: String, k: Int): Column =
     graft.plans.TextExpressions.wordShingles(expr(toksCol), k)
 
-  /** Character n-grams of trimmed text; empty array when shorter than n. */
+  /** Character n-grams of trimmed text; empty array when shorter than
+    * n or NULL (never returns NULL).
+    */
   def charNgrams(textCol: String, n: Int): Column =
     graft.plans.TextExpressions.charNgrams(trim(expr(textCol)), n)
 

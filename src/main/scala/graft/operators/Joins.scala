@@ -38,17 +38,25 @@ object Joins {
   /** Band join: all (left, right) pairs with `|leftVal - rightVal| <=
     * band`. A raw range-predicate join plans as a nested-loop cross
     * product; this form buckets both sides by `floor(val/band)` and
-    * equi-joins each left bucket against its three possible right
-    * buckets — shuffle volume is 3×rows and each pair is checked once,
-    * which is the formulation that survives dense value ranges at
-    * scale. Result set is identical to the naive range join (bucketing
-    * only prunes pairs that cannot satisfy the band).
+    * equi-joins each left bucket against its five possible right
+    * buckets — shuffle volume is 5×rows and each pair is checked at
+    * most once (the probe offsets are distinct), which is the
+    * formulation that survives dense value ranges at scale.
+    *
+    * Result set is identical to the naive range join: mathematically a
+    * qualifying pair's buckets differ by at most 1, but `val / band`
+    * rounds in floating point, and two values exactly `band` apart can
+    * land 2 buckets apart when the divisions round in opposite
+    * directions — hence the ±2 probe, which makes the bucketing
+    * rounding-proof (for |val| ≲ 2^50·band, where a double's ulp is
+    * still below one bucket; asserted against the naive join on
+    * boundary-adjacent values in PropertySpec).
     */
   def bandJoin(left: DataFrame, right: DataFrame,
       leftVal: Column, rightVal: Column, band: Double): DataFrame = {
     val l = left.withColumn("__lb", floor(leftVal / band).cast("long"))
     val r = right.withColumn("__rb0", floor(rightVal / band).cast("long"))
-      .withColumn("__lb", explode(array(col("__rb0") - 1, col("__rb0"), col("__rb0") + 1)))
+      .withColumn("__lb", explode(array((-2 to 2).map(d => col("__rb0") + d): _*)))
       .drop("__rb0")
     l.join(r, "__lb")
       .filter(abs(leftVal - rightVal) <= band)

@@ -32,10 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) =>
         WordShingles(exprs.head, intArg(exprs(1), "word_shingles"))))
+    // trim the input exactly like the DataFrame helper
+    // (TextFunctions.charNgrams) — the two public surfaces of the
+    // "same" function must agree on whitespace handling
     ext.injectFunction((
       new FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       (exprs: Seq[Expression]) =>
-        CharNgrams(exprs.head, intArg(exprs(1), "char_ngrams"))))
+        CharNgrams(
+          org.apache.spark.sql.catalyst.expressions.StringTrim(exprs.head),
+          intArg(exprs(1), "char_ngrams"))))
   }
 }

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -25,6 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextExprUtil {
   private val Space = UTF8String.fromString(" ")
   private val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  /** Shared immutable empty result — also the NULL-input result, so the
+    * expressions keep the composed-builtin contract they replaced
+    * ("empty array when shorter than n" extends to missing input) and
+    * size()/aggregation consumers never see NULL.
+    */
+  def emptyArray(): ArrayData = Empty
 
   /** All word k-shingles of `arr` (k consecutive tokens joined by a
     * space, nulls skipped like concat_ws); empty when fewer than k.
@@ -63,6 +71,9 @@ object TextExprUtil {
 case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // NULL input yields the empty array (the composed-builtin CASE form
+  // this expression replaced did the same) — never NULL out
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -70,12 +81,23 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
       s"WordShingles requires array<string> input, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    TextExprUtil.wordShingles(input.asInstanceOf[ArrayData], k)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextExprUtil.emptyArray()
+    else TextExprUtil.wordShingles(v.asInstanceOf[ArrayData], k)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.plans.TextExprUtil.wordShingles($a, $k);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+           |${CodeGenerator.javaType(dataType)} ${ev.value} = ${c.isNull}
+           |  ? graft.plans.TextExprUtil.emptyArray()
+           |  : graft.plans.TextExprUtil.wordShingles(${c.value}, $k);
+           |""".stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -84,6 +106,8 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"n-gram size must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // NULL input yields the empty array — see WordShingles
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -91,12 +115,23 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
       s"CharNgrams requires string input, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    TextExprUtil.charNgrams(input.asInstanceOf[UTF8String], n)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextExprUtil.emptyArray()
+    else TextExprUtil.charNgrams(v.asInstanceOf[UTF8String], n)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.plans.TextExprUtil.charNgrams($a, $n);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+           |${CodeGenerator.javaType(dataType)} ${ev.value} = ${c.isNull}
+           |  ? graft.plans.TextExprUtil.emptyArray()
+           |  : graft.plans.TextExprUtil.charNgrams(${c.value}, $n);
+           |""".stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -38,16 +38,20 @@ object StatsAnalytics {
       col("sx").cast("double"), col("sxx").cast("double"),
       col("sy").cast("double"), col("syy").cast("double"),
       col("sxy").cast("double"))
+    // greatest(0, ·) clamps: the moment difference can round to a tiny
+    // negative double for a (near-)constant column, where Spark's
+    // sqrt(negative) silently yields NaN but DuckDB's sqrt raises —
+    // clamping BOTH engines identically keeps the oracle runnable and
+    // the results equal. The nullif still catches the exact-zero case
+    // (corr undefined for constants → NULL on both engines).
     sums.select(
       col("l_returnflag"), n,
       (sx / n).as("mean_qty"),
-      (sxx / n - (sx / n) * (sx / n)).as("var_qty"),
-      sqrt(sxx / n - (sx / n) * (sx / n)).as("std_qty"),
-      // nullif guard: a constant column makes the variance term 0 —
-      // Spark division yields NULL, DuckDB IEEE yields nan/inf; nullif
-      // pins both engines to NULL (corr undefined for constants)
+      greatest(lit(0.0), sxx / n - (sx / n) * (sx / n)).as("var_qty"),
+      sqrt(greatest(lit(0.0), sxx / n - (sx / n) * (sx / n))).as("std_qty"),
       ((n * sxy - sx * sy) /
-        nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), lit(0.0)))
+        nullif(sqrt(greatest(lit(0.0), n * sxx - sx * sx)) *
+          sqrt(greatest(lit(0.0), n * syy - sy * sy)), lit(0.0)))
         .as("corr_qty_price"))
   }
 
@@ -62,10 +66,10 @@ object StatsAnalytics {
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, n,
       |  sx / n AS mean_qty,
-      |  sxx / n - (sx / n) * (sx / n) AS var_qty,
-      |  sqrt(sxx / n - (sx / n) * (sx / n)) AS std_qty,
+      |  greatest(0.0, sxx / n - (sx / n) * (sx / n)) AS var_qty,
+      |  sqrt(greatest(0.0, sxx / n - (sx / n) * (sx / n))) AS std_qty,
       |  (n * sxy - sx * sy) /
-      |    nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0) AS corr_qty_price
+      |    nullif(sqrt(greatest(0.0, n * sxx - sx * sx)) * sqrt(greatest(0.0, n * syy - sy * sy)), 0.0) AS corr_qty_price
       |FROM s""".stripMargin
 
   // -------------------------------------------------------- TPC-H Q6

@@ -74,6 +74,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(banded.contains((5L, 12L))) // negative values bucket correctly
   }
 
+  test("bandJoin is rounding-proof on boundary-adjacent values (property)") {
+    import spark.implicits._
+    // values packed around multiples of the band, including pairs
+    // exactly `band` apart whose FP divisions can round into buckets
+    // 2 apart — the case the ±2 probe exists for
+    val band = 0.1
+    val rnd = new scala.util.Random(11)
+    val vals = (0 until 400).map { i =>
+      val k = rnd.nextInt(40) - 20
+      val eps = rnd.nextInt(5) match {
+        case 0 => 0.0
+        case 1 => 1e-12
+        case 2 => -1e-12
+        case 3 => band
+        case _ => rnd.nextDouble() * band
+      }
+      (i.toLong, k * band + eps)
+    }
+    val a = vals.toDF("id_a", "va")
+    val b = vals.map { case (i, v) => (i + 10000L, v) }.toDF("id_b", "vb")
+    val banded = graft.operators.Joins.bandJoin(a, b, col("va"), col("vb"), band)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = a.crossJoin(b).filter(abs(col("va") - col("vb")) <= band)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive,
+      s"missing=${(naive -- banded).take(5)} extra=${(banded -- naive).take(5)}")
+  }
+
   test("dedup_components labels agree with pair reachability") {
     val comp = SparkEntry.queries("dedup_components")(spark, sf).cache()
     // every doc labeled, component is a real doc_id <= doc_id

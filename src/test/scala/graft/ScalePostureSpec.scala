@@ -66,6 +66,15 @@ class ScalePostureSpec extends AnyFunSuite {
       assert(sh == Seq("a b c", "b c d"))
       val ng = ext.sql("SELECT char_ngrams('abcd', 2) AS g").head().getSeq[String](0)
       assert(ng == Seq("ab", "bc", "cd"))
+      // SQL surface trims like the DataFrame helper (one behavior everywhere)
+      val ngTrim = ext.sql("SELECT char_ngrams('  abcd  ', 2) AS g").head().getSeq[String](0)
+      assert(ngTrim == Seq("ab", "bc", "cd"))
+      // NULL input -> empty array, not NULL (documented contract; safe
+      // for size()/aggregation consumers)
+      val nulls = ext.sql(
+        "SELECT size(word_shingles(CAST(NULL AS ARRAY<STRING>), 3)) AS a, " +
+          "size(char_ngrams(CAST(NULL AS STRING), 2)) AS b").head()
+      assert(nulls.getInt(0) == 0 && nulls.getInt(1) == 0)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
