@@ -424,6 +424,143 @@ object TpchAnalytics {
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
 
+  // ------------------------------------------------------------ TPC-H 2
+  /** Minimum-cost supplier (adapted Q2 — the schema has no partsupp, so
+    * the per-(part, supplier) "supply cost" is derived as the minimum
+    * unit price ever shipped in lineitem; the query keeps Q2's
+    * signature shape: a correlated scalar-min subquery over a
+    * dimension-chained join, decorrelated by Catalyst into an
+    * aggregate + join rather than hand-planned). Doubles stay exact
+    * cross-engine: min() is order-independent and the unit-price
+    * division is a single IEEE op on identical inputs.
+    */
+  private def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_region")
+    spark.sql(
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM graft_lineitem GROUP BY 1, 2)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, o.unit_cost
+        |FROM graft_part p, offers o, graft_supplier s, graft_nation n, graft_region r
+        |WHERE p.p_partkey = o.l_partkey AND s.s_suppkey = o.l_suppkey
+        |  AND p.p_size = 15
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE'
+        |  AND o.unit_cost = (
+        |    SELECT min(o2.unit_cost)
+        |    FROM offers o2, graft_supplier s2, graft_nation n2, graft_region r2
+        |    WHERE o2.l_partkey = p.p_partkey AND s2.s_suppkey = o2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  private val tpchQ2Oracle =
+    """WITH offers AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, o.unit_cost
+      |FROM part p, offers o, supplier s, nation n, region r
+      |WHERE p.p_partkey = o.l_partkey AND s.s_suppkey = o.l_suppkey
+      |  AND p.p_size = 15
+      |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'EUROPE'
+      |  AND o.unit_cost = (
+      |    SELECT min(o2.unit_cost)
+      |    FROM offers o2, supplier s2, nation n2, region r2
+      |    WHERE o2.l_partkey = p.p_partkey AND s2.s_suppkey = o2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------ TPC-H 9
+  /** Product-type profit by nation and year (adapted Q9 — supply cost
+    * is p_retailprice·quantity in place of the absent
+    * ps_supplycost·quantity; the shape is Q9's: five-way join, LIKE
+    * filter on the part name, year extraction, profit expression summed
+    * per (nation, year)). part/supplier/nation broadcast; lineitem
+    * shuffles once onto orders. Profit is computed in DECIMAL and cast
+    * to double after the sum.
+    */
+  private def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val decRetail = col("p_retailprice").cast(DecimalType(18, 2))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(decPrice * (lit(1) - decDisc) - decRetail * decQty)
+        .cast("double").as("sum_profit"))
+  }
+
+  private val tpchQ9Oracle =
+    """SELECT n_name AS nation,
+      |       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |            - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+      |FROM part, supplier, lineitem, orders, nation
+      |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%red%'
+      |GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- TPC-H 18
+  /** Large-volume customers: the classic IN-aggregate-subquery top-N.
+    * The HAVING subquery is a semi-join of orders against the
+    * per-order quantity rollup (one lineitem aggregation, reused);
+    * customers broadcast; top-100 is a TakeOrderedAndProject.
+    */
+  private def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+    val bigOrders = li.groupBy(col("l_orderkey"))
+      .agg(sum(decQty).as("q")).filter(col("q") > 250)
+      .select(col("l_orderkey").as("big_okey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .join(bigOrders, col("o_orderkey") === col("big_okey"), "left_semi")
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("odate_sec"),
+        col("o_totalprice"))
+      .agg(sum(decQty).cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val tpchQ18Oracle =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS odate_sec,
+      |       o_totalprice,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("tpch_q1_pricing_summary", Some(tpchQ1Oracle), tpchQ1),
     GraftQuery("tpch_q3_shipping_priority", Some(tpchQ3Oracle), tpchQ3),
@@ -437,5 +574,8 @@ object TpchAnalytics {
     GraftQuery("window_functions_ext", Some(windowFuncsExtOracle), windowFuncsExt),
     GraftQuery("tpch_q7_nation_volume", Some(tpchQ7Oracle), tpchQ7),
     GraftQuery("correlated_subquery", Some(correlatedSubqueryOracle), correlatedSubquery),
+    GraftQuery("tpch_q2_min_cost_supplier", Some(tpchQ2Oracle), tpchQ2),
+    GraftQuery("tpch_q9_product_profit", Some(tpchQ9Oracle), tpchQ9),
+    GraftQuery("tpch_q18_large_orders", Some(tpchQ18Oracle), tpchQ18),
   )
 }
