@@ -95,6 +95,44 @@ class IngestSinksSpec extends AnyFunSuite {
     assert(sizes("warn") > 0)
   }
 
+  test("kafka contract: wire projection is correct; plan wiring reaches connector resolution") {
+    import graft.sources.KafkaContract
+    import org.apache.spark.sql.Row
+    import java.sql.Timestamp
+    // 1. the value-cast projection against a static frame with the
+    // exact wire schema — the downstream plan a connector drop-in runs
+    val wire = spark.createDataFrame(
+      java.util.List.of(
+        Row("k1".getBytes("UTF-8"), """{"id":7}""".getBytes("UTF-8"),
+          "behavior", Int.box(0), Long.box(42L), Timestamp.valueOf("2024-01-01 10:00:00"), Int.box(0)),
+        Row(null, "plain".getBytes("UTF-8"),
+          "behavior", Int.box(1), Long.box(43L), Timestamp.valueOf("2024-01-01 10:00:01"), Int.box(0))),
+      KafkaContract.wireSchema)
+    val out = KafkaContract.fromKafka(wire)
+    assert(out.columns.toSeq == Seq("line", "kafka_ts", "topic", "partition", "offset"))
+    val rows = out.orderBy("offset").collect()
+    assert(rows(0).getString(0) == """{"id":7}""" && rows(1).getString(0) == "plain")
+    assert(rows(0).getLong(4) == 42L && rows(0).getString(2) == "behavior")
+
+    // 2. the source plan reaches DataSource resolution with the right
+    // format name: without the connector jar (absent from this image)
+    // that resolution is exactly what fails — anything else failing
+    // first (option validation, schema) would surface differently
+    val readErr = intercept[Exception] {
+      KafkaContract.source(spark, "localhost:9092", "behavior").schema
+    }
+    assert(readErr.getMessage.toLowerCase.contains("kafka"), readErr.getMessage)
+
+    // 3. same for the writer plan in Sinks.kafkaStream
+    val writeErr = intercept[Exception] {
+      Sinks.kafkaStream(
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load(),
+        "localhost:9092", "out_topic",
+        Files.createTempDirectory("graft-kafka-ckpt").toString)
+    }
+    assert(writeErr.getMessage.toLowerCase.contains("kafka"), writeErr.getMessage)
+  }
+
   test("salted join equals plain join") {
     val ev = Tables.events(spark, sf)
     val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
