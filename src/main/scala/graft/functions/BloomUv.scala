@@ -31,13 +31,7 @@ class BloomUv(bits: Int) extends Aggregator[Long, Array[Byte], Long] {
     * final `bits-1` mask, so distribution over the bitmap is
     * unchanged for inputs the reference handles.
     */
-  private def hash(id: Long): Int = {
-    val s = java.lang.Long.toString(id)
-    var h = 0L
-    var i = 0
-    while (i < s.length) { h = (h * 61 + s.charAt(i)) & BloomUv.AccMask; i += 1 }
-    (h & (bits - 1)).toInt
-  }
+  private def hash(id: Long): Int = BloomUv.bucket(id, bits)
 
   override def zero: Array[Byte] = new Array[Byte](bits / 8)
 
@@ -67,6 +61,18 @@ class BloomUv(bits: Int) extends Aggregator[Long, Array[Byte], Long] {
 object BloomUv {
   /** Accumulator mask (2^40 - 1): keeps `h*61 + char` below 2^46. */
   val AccMask: Long = (1L << 40) - 1
+
+  /** The seed-61 polynomial bucket of an id — shared by the batch
+    * aggregator and the streaming continuous-UV state machine so both
+    * count the identical collision-lossy buckets.
+    */
+  def bucket(id: Long, bits: Int): Int = {
+    val s = java.lang.Long.toString(id)
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 61 + s.charAt(i)) & AccMask; i += 1 }
+    (h & (bits - 1)).toInt
+  }
 
   /** Column aggregate: Bloom-bitmap UV with `bits` capacity. */
   def bloomUv(c: Column, bits: Int): Column =

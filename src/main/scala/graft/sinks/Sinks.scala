@@ -37,6 +37,31 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
 
+  /** Idempotent keyed upsert into a parquet directory partitioned by
+    * `keyCol` — the engine's stand-in for the reference's
+    * Redis-bitmap externalization (NF/app/UvWithBloom.scala:75-93:
+    * foreachBatch + keyed upsert to a KV store). Dynamic partition
+    * overwrite replaces exactly the keys present in `batch` and leaves
+    * every other key untouched, so replaying a delivered batch (the
+    * at-least-once case) reproduces the same final state — the
+    * property that makes the sink exactly-once in effect.
+    */
+  def upsertKeyed(batch: DataFrame, path: String, keyCol: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.write.mode("overwrite").partitionBy(keyCol).parquet(path)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Streaming form of [[upsertKeyed]]: one upsert per micro-batch. */
+  def upsertStream(df: DataFrame, path: String, keyCol: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertKeyed(batch, path, keyCol)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+
   /** Batch side-output split: one pass over a cached tagged union, one
     * writer call per tag. Returns rows-not-matching-any-tag so callers
     * can assert the union is total.

@@ -270,6 +270,51 @@ object StreamingJobs {
       .select(col("event_id"), col("user_id"), col("n_name"))
   }
 
+  // --------------------------------------------- continuous UV (W8/K2)
+  final case class UvEventRow(wstart: Long, user_id: Long)
+  final case class UvState(buckets: Array[Byte], uv: Long)
+  final case class UvSnapshot(window_start: Long, uv_bloom: Long)
+
+  /** Continuous per-window UV with the reference's Bloom semantics
+    * (NF/app/UvWithBloom.scala:41-69): the reference fires per ELEMENT
+    * — every event triggers a window evaluation that updates a Redis
+    * Bloom bitmap and re-emits the running count. The Spark-native
+    * equivalent is per MICRO-BATCH: per-window state holds the same
+    * seed-61 Bloom bitmap (`BloomUv.bucket`), each batch folds its
+    * events in, and a new running-count snapshot is emitted whenever
+    * the count advances. Observable behavior converges to the batch
+    * `q5_uv_bloom` per window (asserted in StreamingSpec); emission
+    * granularity (element vs micro-batch) is the documented W8 delta.
+    * State per window is the bitmap (`bits/8` bytes), not the visitor
+    * set — bounded regardless of traffic.
+    */
+  def continuousUvBloom(events: DataFrame, bits: Int = 1 << 16): Dataset[UvSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type") === "view")
+      .select(window(col("ts"), "1 hour").getField("start").cast("long").as("wstart"),
+        col("user_id"))
+      .as[UvEventRow]
+      .groupByKey(_.wstart)
+      .flatMapGroupsWithState[UvState, UvSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (w: Long, it: Iterator[UvEventRow], state: GroupState[UvState]) =>
+          val st0 = state.getOption.getOrElse(UvState(new Array[Byte](bits / 8), 0L))
+          val buf = st0.buckets
+          var uv = st0.uv
+          it.foreach { r =>
+            val bit = graft.functions.BloomUv.bucket(r.user_id, bits)
+            if ((buf(bit >>> 3) & (1 << (bit & 7))) == 0) {
+              buf(bit >>> 3) = (buf(bit >>> 3) | (1 << (bit & 7))).toByte
+              uv += 1
+            }
+          }
+          state.update(UvState(buf, uv))
+          if (uv != st0.uv) Iterator.single(UvSnapshot(w, uv)) else Iterator.empty
+      }
+  }
+
   /** Full streaming top-N chain (the reference's E1 pipeline,
     * SURVEY.md §3): windowed count aggregation in the stream, then
     * per-micro-batch rank-limit inside foreachBatch writing the

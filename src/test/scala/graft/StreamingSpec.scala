@@ -195,6 +195,81 @@ class StreamingSpec extends AnyFunSuite {
       sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
   }
 
+  test("continuous UV (W8): running snapshots across micro-batches converge to batch q5_uv_bloom") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = graft.sources.Tables.events(spark, sf)
+    val staged = Files.createTempDirectory("graft-uv-2b")
+    def stageHalf(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-uv-half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(staged.toString, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    // id-parity halves (NOT a time split): every hour window spans both
+    // micro-batches, so running-count re-emission is visible everywhere.
+    // No watermark: NoTimeout FMGWS needs none, and one would discard
+    // batch 2 wholesale as late data under this interleaving.
+    stageHalf(ev.filter(col("event_id") % 2 === 0), "00.parquet")
+    stageHalf(ev.filter(col("event_id") % 2 === 1), "01.parquet")
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1) // forces >= 2 micro-batches
+      .parquet(staged.toString)
+    val snaps = StreamingJobs.runToMemory(
+      StreamingJobs.continuousUvBloom(src).toDF(), "uv_cont", "append").cache()
+    // the reference's per-element fire means running counts: hour
+    // windows spanning both halves re-emit as their count advances
+    assert(snaps.groupBy("window_start").count().filter(col("count") >= 2).count() > 0,
+      "expected at least one window to emit an updated running count in batch 2")
+    // snapshots are emitted only on change and the count only grows —
+    // the per-window max IS the final state, and it equals the batch
+    // Bloom UV exactly
+    val finals = snaps.groupBy("window_start").agg(max("uv_bloom").as("uv_bloom"))
+    val batch = SparkEntry.queries("q5_uv_bloom")(spark, sf)
+    assert(sortedRows(finals) == sortedRows(batch))
+  }
+
+  test("keyed upsert (K2): per-key replacement, untouched keys survive, duplicate replay idempotent") {
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-kv").toString
+    def state(): Set[(Long, Long)] =
+      spark.read.parquet(path).select(col("window_start").cast("long"), col("uv_bloom"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = Seq((5L, 100L), (7L, 200L)).toDF("uv_bloom", "window_start")
+    graft.sinks.Sinks.upsertKeyed(b1, path, "window_start")
+    assert(state() == Set((100L, 5L), (200L, 7L)))
+    // upsert one key: it is replaced, the other key is untouched
+    val b2 = Seq((9L, 200L)).toDF("uv_bloom", "window_start")
+    graft.sinks.Sinks.upsertKeyed(b2, path, "window_start")
+    assert(state() == Set((100L, 5L), (200L, 9L)))
+    // at-least-once duplicate replay: same final state
+    graft.sinks.Sinks.upsertKeyed(b2, path, "window_start")
+    assert(state() == Set((100L, 5L), (200L, 9L)))
+
+    // end-to-end streaming externalization: continuous UV upserted per
+    // micro-batch; the store's final state equals batch q5_uv_bloom
+    val uvPath = Files.createTempDirectory("graft-kv-uv").toString
+    val q = graft.sinks.Sinks.upsertStream(
+      StreamingJobs.continuousUvBloom(StreamingJobs.eventsStream(spark, sf)).toDF(),
+      uvPath, "window_start")
+    q.awaitTermination()
+    val stored = spark.read.parquet(uvPath)
+      .select(col("window_start").cast("long").as("window_start"), col("uv_bloom"))
+    val batch = SparkEntry.queries("q5_uv_bloom")(spark, sf)
+    assert(sortedRows(stored) == sortedRows(batch))
+  }
+
+  test("streaming hotItemsTopN end-to-end equals batch q1_hot_items") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-topn").toString
+    val stream = StreamingJobs.hotItemsTopN(spark, sf, 3, out)
+      .select(col("window_start"), col("item_id"), col("cnt"), col("rn").cast("long").as("rn"))
+    val batch = SparkEntry.queries("q1_hot_items")(spark, sf)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("streaming funnel snapshots converge to batch funnel_analysis") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.funnelStream(spark, sf).toDF(), "funnel_stream", "append")
