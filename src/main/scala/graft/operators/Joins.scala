@@ -38,26 +38,39 @@ object Joins {
   /** Band join: all (left, right) pairs with `|leftVal - rightVal| <=
     * band`. A raw range-predicate join plans as a nested-loop cross
     * product; this form buckets both sides by `floor(val/band)` and
-    * equi-joins each left bucket against its five possible right
-    * buckets — shuffle volume is 5×rows and each pair is checked at
+    * equi-joins each left bucket against its three possible right
+    * buckets — shuffle volume is 3×rows and each pair is checked at
     * most once (the probe offsets are distinct), which is the
     * formulation that survives dense value ranges at scale.
     *
-    * Result set is identical to the naive range join: mathematically a
-    * qualifying pair's buckets differ by at most 1, but `val / band`
-    * rounds in floating point, and two values exactly `band` apart can
-    * land 2 buckets apart when the divisions round in opposite
-    * directions — hence the ±2 probe, which makes the bucketing
-    * rounding-proof (for |val| ≲ 2^50·band, where a double's ulp is
-    * still below one bucket; asserted against the naive join on
-    * boundary-adjacent values in PropertySpec).
+    * Result set is identical to the naive range join, including at
+    * bucket boundaries: mathematically a qualifying pair's buckets
+    * differ by at most 1, but `val / band` rounds in floating point,
+    * and two values exactly `band` apart can land 2 buckets apart when
+    * the divisions round in opposite directions. That can only happen
+    * when the right quotient sits within a few ulp of an integer, so
+    * the right side emits a ±2 probe CONDITIONALLY for quotients
+    * within a relative epsilon of a boundary (a handful of rows —
+    * typically exact multiples of the band — not a 5× blanket
+    * explode). Asserted against the naive join on boundary-adjacent
+    * values in PipelineOpsSpec.
     */
   def bandJoin(left: DataFrame, right: DataFrame,
       leftVal: Column, rightVal: Column, band: Double): DataFrame = {
     val l = left.withColumn("__lb", floor(leftVal / band).cast("long"))
-    val r = right.withColumn("__rb0", floor(rightVal / band).cast("long"))
-      .withColumn("__lb", explode(array((-2 to 2).map(d => col("__rb0") + d): _*)))
-      .drop("__rb0")
+    val rq = rightVal / band
+    val rb = floor(rq).cast("long")
+    // eps ≫ the 2-3 ulp the two divisions can accumulate, at any
+    // magnitude: absolute floor for small quotients, relative for large
+    val eps = greatest(lit(1e-9), abs(rq) * 1e-12)
+    val frac = rq - floor(rq)
+    val r = right
+      .withColumn("__probes", filter(array(
+        (-1 to 1).map(d => rb + d) :+
+          when(frac >= lit(1.0) - eps, rb + 2) :+
+          when(frac <= eps, rb - 2): _*), c => c.isNotNull))
+      .withColumn("__lb", explode(col("__probes")))
+      .drop("__probes")
     l.join(r, "__lb")
       .filter(abs(leftVal - rightVal) <= band)
       .drop("__lb")
