@@ -311,10 +311,64 @@ object SimilarityQueries {
        |  FROM s) t
        |WHERE rn <= 5""".stripMargin
 
+  // ------------------------------------------------- int8 quantization
+  /** Int8 embedding quantization round-trip: per-vector min/max affine
+    * codes (floor(x + 0.5) — explicit, so both engines round ties
+    * identically) and the reconstruction-error profile per vector.
+    * This is the storage/bandwidth lever for ANN at 100 TB — a 4x
+    * smaller index with error bounded by scale/2, and the max/mean
+    * error columns are the acceptance check a pipeline would gate on.
+    * Pure column expressions over one scan; codes stay distributed.
+    */
+  private def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("mn", array_min(col("e")).cast("double"))
+      .withColumn("mx", array_max(col("e")).cast("double"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255)
+      .withColumn("codes", when(col("mx") === col("mn"),
+          transform(col("e"), _ => lit(0L)))
+        .otherwise(transform(col("e"), v =>
+          least(lit(255L), floor((v.cast("double") - col("mn")) / col("scale") + 0.5).cast("long")))))
+      .withColumn("max_abs_err",
+        round(aggregate(zip_with(col("codes"), col("e"),
+            (c, v) => abs(col("mn") + c * col("scale") - v.cast("double"))),
+          lit(0.0), (a, x) => greatest(a, x)), 9))
+      .withColumn("mean_abs_err",
+        round(aggregate(zip_with(col("codes"), col("e"),
+            (c, v) => abs(col("mn") + c * col("scale") - v.cast("double"))),
+          lit(0.0), (a, x) => a + x) / size(col("e")), 9))
+      .select(col("vec_id"), round(col("mn"), 6).as("qmin"), round(col("mx"), 6).as("qmax"),
+        col("max_abs_err"), col("mean_abs_err"))
+  }
+
+  private val embeddingQuantizeOracle =
+    """WITH q AS (
+      |  SELECT vec_id, embedding AS e,
+      |    CAST(list_aggregate(e, 'min') AS DOUBLE) AS mn,
+      |    CAST(list_aggregate(e, 'max') AS DOUBLE) AS mx
+      |  FROM embeddings),
+      |s AS (SELECT *, (mx - mn) / 255 AS scale FROM q),
+      |c AS (
+      |  SELECT *, CASE WHEN mx = mn
+      |    THEN list_transform(e, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(e, x -> least(CAST(255 AS BIGINT), CAST(floor((x::DOUBLE - mn) / scale + 0.5) AS BIGINT)))
+      |    END AS codes
+      |  FROM s),
+      |err AS (
+      |  SELECT vec_id, mn, mx,
+      |    list_aggregate(list_transform(range(1, len(e) + 1), i -> abs(mn + codes[i] * scale - e[i]::DOUBLE)), 'max') AS max_raw,
+      |    list_aggregate(list_transform(range(1, len(e) + 1), i -> abs(mn + codes[i] * scale - e[i]::DOUBLE)), 'sum') / len(e) AS mean_raw
+      |  FROM c)
+      |SELECT vec_id, round(mn, 6) AS qmin, round(mx, 6) AS qmax,
+      |       round(max_raw, 9) AS max_abs_err, round(mean_raw, 9) AS mean_abs_err
+      |FROM err""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("ann_bruteforce", Some(annBruteforceOracle), annBruteforce),
     GraftQuery("embedding_neardup", Some(embeddingNeardupOracle), embeddingNeardup),
     GraftQuery("ann_lsh", Some(annLshOracle), annLsh),
     GraftQuery("ann_ivf", Some(annIvfOracle), annIvf),
+    GraftQuery("embedding_quantize", Some(embeddingQuantizeOracle), embeddingQuantize),
   )
 }

@@ -199,6 +199,109 @@ object TextAnalytics {
       |  FROM documents) t
       |WHERE rn <= 20""".stripMargin
 
+  // --------------------------------------------- quality filter chain
+  /** Gopher/C4-style document quality filter: word-count bounds, a
+    * repetition cap (most-frequent-token share), a minimum stopword
+    * ratio, and mean-word-length bounds, with the FIRST failing rule
+    * recorded — the standard pre-training corpus gate. The repetition
+    * signal needs per-token counts, so it runs as explode → two-level
+    * aggregate (token counts, then per-doc max) joined back onto the
+    * per-doc scan signals — all shuffle-partitioned by doc, nothing
+    * driver-side, and at 100 TB the explode feeds the same hash
+    * aggregation the dedup tier already scales on.
+    */
+  private def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_stop", TextFunctions.markerCount("toks", TextFunctions.Stopwords))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("avg_word_len",
+        length(regexp_replace(trim(col("text")), " ", "")).cast("double") / col("n_words"))
+      .select("doc_id", "toks", "n_words", "stop_ratio", "avg_word_len")
+    val rep = base
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+    base.drop("toks")
+      .join(rep, "doc_id")
+      .withColumn("fail_reason",
+        when(col("n_words") < 20, "too_few_words")
+          .when(col("rep_ratio") > 0.12, "repetitive")
+          .when(col("stop_ratio") < 0.03, "low_stopwords")
+          .when(col("avg_word_len") < 2.0 || col("avg_word_len") > 12.0, "odd_word_length")
+          .otherwise("ok"))
+      .withColumn("passes", col("fail_reason") === "ok")
+      .select("doc_id", "n_words", "rep_ratio", "stop_ratio", "avg_word_len",
+        "fail_reason", "passes")
+  }
+
+  private val qualityFilterOracle =
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt, string_split(trim(text), ' ') AS w FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(w) AS stop_ratio,
+      |    CAST(length(replace(tt, ' ', '')) AS DOUBLE) / len(w) AS avg_word_len
+      |  FROM t),
+      |rep AS (
+      |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+      |  FROM (SELECT doc_id, t2.t, count(*) AS c
+      |        FROM (SELECT doc_id, unnest(w) AS t FROM t) t2 GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |j AS (SELECT base.*, rep.rep_ratio FROM base JOIN rep USING (doc_id)),
+      |r AS (
+      |  SELECT *, CASE
+      |    WHEN n_words < 20 THEN 'too_few_words'
+      |    WHEN rep_ratio > 0.12 THEN 'repetitive'
+      |    WHEN stop_ratio < 0.03 THEN 'low_stopwords'
+      |    WHEN avg_word_len < 2.0 OR avg_word_len > 12.0 THEN 'odd_word_length'
+      |    ELSE 'ok' END AS fail_reason
+      |  FROM j)
+      |SELECT doc_id, n_words, rep_ratio, stop_ratio, avg_word_len, fail_reason,
+      |       fail_reason = 'ok' AS passes
+      |FROM r""".stripMargin
+
+  // -------------------------------------------------------- PII scrub
+  /** PII redaction: email and phone patterns replaced with typed
+    * placeholder tokens, with pre-scrub match counts. The corpus is
+    * synthetic word soup, so deterministic per-document contact lines
+    * are appended first — that exercises identical regex semantics in
+    * both engines (patterns are RE2-safe: no lookaround, no \\d/\\s
+    * class shorthands whose unicode scope differs) rather than
+    * trivially matching nothing. The scrub-hash equality proves
+    * byte-identical redaction output cross-engine.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  private def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("decorated",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" now")))
+      .withColumn("n_emails", size(regexp_extract_all(col("decorated"), lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col("decorated"), lit(PhonePat), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("decorated"), EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("scrubbed")).as("scrub_hash"))
+  }
+
+  private val piiScrubOracle =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@mail.example.com or +1-555-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS decorated
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(decorated, '$EmailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(decorated, '$PhonePat')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(decorated, '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g')) AS scrub_hash
+       |FROM d""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("text_stats", Some(textStatsOracle), textStats),
     GraftQuery("text_lang_id", Some(langIdOracle), langId),
@@ -206,5 +309,7 @@ object TextAnalytics {
     GraftQuery("text_tokenize", Some(tokenizeOracle), tokenize),
     GraftQuery("dataset_split", Some(datasetSplitOracle), datasetSplit),
     GraftQuery("cap_per_group", Some(capPerGroupOracle), capPerGroup),
+    GraftQuery("text_quality_filter", Some(qualityFilterOracle), qualityFilter),
+    GraftQuery("doc_pii_scrub", Some(piiScrubOracle), piiScrub),
   )
 }

@@ -270,6 +270,30 @@ object StreamingJobs {
       .select(col("event_id"), col("user_id"), col("n_name"))
   }
 
+  /** Streaming twin of batch `sessionize`: per-user 30-minute-gap
+    * session windows via `session_window` — merging window state keyed
+    * by user, evicted once the watermark passes a session's close.
+    * The batch query's gaps-and-islands oracle is the ground truth
+    * (StreamingSpec asserts stream == batch).
+    */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // raw source, not eventsStream: the session clock is the floored
+    // second column, and a stream allows exactly ONE watermark column
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(stagedPath(dir, "events"))
+      .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("tsec", "1 second")
+      .groupBy(session_window(col("tsec"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("session_window.end").cast("long").as("session_end"),
+        col("n_events"))
+  }
+
   // --------------------------------------------- continuous UV (W8/K2)
   final case class UvEventRow(wstart: Long, user_id: Long)
   final case class UvState(buckets: Array[Byte], uv: Long)

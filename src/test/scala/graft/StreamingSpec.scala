@@ -195,6 +195,13 @@ class StreamingSpec extends AnyFunSuite {
       sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
   }
 
+  test("streaming session windows equal batch sessionize") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.sessionizeStream(spark, sf), "sess_stream", "complete")
+    val batch = SparkEntry.queries("sessionize")(spark, sf)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("continuous UV (W8): running snapshots across micro-batches converge to batch q5_uv_bloom") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val ev = graft.sources.Tables.events(spark, sf)
