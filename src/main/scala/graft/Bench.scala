@@ -51,11 +51,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.all)(s => SparkEntry.all.filter(q => s(q.name)))
 
-    // best-of-3: the host shows multi-second I/O-stall windows that can
-    // swallow two back-to-back runs of a sub-second query; a third
-    // sample makes the minimum a stable steady-state estimate
+    // best-of-3 sampled ROUND-ROBIN (three full passes over the list,
+    // not three back-to-back runs per query): the host shows
+    // multi-second I/O-stall windows that cluster in time — consecutive
+    // sampling lets one window poison every sample of one query, while
+    // pass-interleaving spreads a window across different queries and
+    // the per-query minimum stays a clean steady-state estimate
+    val samples = Seq.fill(3)(selected.map(q => q.name -> once(q.name))).flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val results = selected.map { q =>
-      val runs = Seq.fill(3)(once(q.name))
+      val runs = samples(q.name)
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
       q.name -> best
     }
