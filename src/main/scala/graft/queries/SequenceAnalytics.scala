@@ -184,10 +184,43 @@ object SequenceAnalytics {
       |FROM l WHERE next_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ EWMA smooth
+  /** Per-user exponentially weighted moving average of event values —
+    * the standard stream-smoothing statistic. An EWMA is inherently a
+    * sequential fold (each step depends on the previous), which SQL
+    * windows cannot express; the distributed shape is
+    * sort-within-group + fold: collect each user's (ts, id, value)
+    * run, sort it deterministically, and fold `0.3·x + 0.7·acc` —
+    * per-user state is one run in flight, partitioned by user across
+    * the cluster. Both engines fold in the identical order, so the
+    * doubles match bit-for-bit (same discipline as the vector dots).
+    */
+  private def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("sec"), col("event_id"), col("value")))).as("run"))
+      .select(col("user_id"), col("n_events"),
+        round(aggregate(col("run"), lit(0.0).cast("double"),
+          (acc, x) => lit(0.3) * x.getField("value") + lit(0.7) * acc), 6).as("ewma"))
+  }
+
+  private val ewmaOracle =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE), list(CAST(value AS DOUBLE)
+      |      ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id)),
+      |    (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+      |FROM events
+      |GROUP BY user_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("asof_join", Some(asofOracle), asofJoin),
     GraftQuery("funnel_analysis", Some(funnelOracle), funnel),
     GraftQuery("retention_cohort", Some(retentionOracle), retention),
     GraftQuery("event_transitions", Some(transitionsOracle), transitions),
+    GraftQuery("ewma_smooth", Some(ewmaOracle), ewmaSmooth),
   )
 }

@@ -57,4 +57,17 @@ object KafkaContract {
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load())
+
+  /** Batch producer/loader (the reference's KafkaProducer data loader,
+    * DW-Flink HotItemsAnalysis app/KafkaProducer.scala:19-32: read a
+    * file, write each line to the topic): any frame, JSON-encoded into
+    * the value column, written with the batch kafka sink. Requires the
+    * connector jar.
+    */
+  def load(df: DataFrame, servers: String, topic: String): Unit =
+    df.selectExpr("CAST(null AS STRING) AS key", "to_json(struct(*)) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .save()
 }

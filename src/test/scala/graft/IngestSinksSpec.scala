@@ -131,6 +131,12 @@ class IngestSinksSpec extends AnyFunSuite {
         Files.createTempDirectory("graft-kafka-ckpt").toString)
     }
     assert(writeErr.getMessage.toLowerCase.contains("kafka"), writeErr.getMessage)
+
+    // 4. and the batch producer/loader path (S4)
+    val loadErr = intercept[Exception] {
+      KafkaContract.load(Tables.events(spark, sf).limit(1), "localhost:9092", "behavior")
+    }
+    assert(loadErr.getMessage.toLowerCase.contains("kafka"), loadErr.getMessage)
   }
 
   test("salted join equals plain join") {
