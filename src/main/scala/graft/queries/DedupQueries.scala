@@ -307,6 +307,81 @@ object DedupQueries {
        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
        |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- near-dup PageRank
+  /** PageRank-style importance over the SimHash near-dup graph (3
+    * fixed power iterations, damping 0.85): ranks which documents sit
+    * at the center of duplicate clusters — the signal a dedup pipeline
+    * uses to pick the canonical copy (keep the hub, drop satellites).
+    * Per-node incoming contributions are summed by a SORTED fold
+    * (collect → array_sort → aggregate), not a parallel double sum, so
+    * the result is bit-deterministic and the DuckDB twin folds the
+    * identical order — the same discipline as the vector dots and the
+    * EWMA. Each iteration is one join + one grouped fold + one left
+    * join, all partitioned on doc_id; iteration count is fixed, so the
+    * whole query is a static 3-deep plan, no driver loop.
+    */
+  private val PrIters = 3
+  private val PrDamping = 0.85
+
+  private def neardupPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = simhashPairs(spark, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
+    var ranks = nodes.withColumn("r", lit(1.0))
+    for (_ <- 1 to PrIters) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("doc_id"))
+        .join(deg, "src")
+        .select(col("dst"), col("src"), (col("r") / col("deg")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("csum"))
+      ranks = nodes
+        .join(contribs, nodes("doc_id") === contribs("dst"), "left")
+        .select(nodes("doc_id"),
+          (lit(1 - PrDamping) + lit(PrDamping) * coalesce(col("csum"), lit(0.0))).as("r"))
+    }
+    ranks.select(col("doc_id"), round(col("r"), 6).as("rank"))
+  }
+
+  private val pagerankOracle = {
+    // unrolled iterations, each folding contributions in src order —
+    // identical association to the Spark sorted fold
+    def iter(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT n.doc_id, 0.15 + 0.85 * coalesce(s.csum, 0.0) AS r
+         |  FROM documents n LEFT JOIN (
+         |    SELECT e.dst,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list(p.r / deg.deg ORDER BY e.src)), (acc, x) -> acc + x) AS csum
+         |    FROM e JOIN $prev p ON e.src = p.doc_id JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst) s
+         |  ON n.doc_id = s.dst)""".stripMargin
+    s"""WITH $duckSimhash,
+       |banded AS (
+       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
+       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS r FROM documents),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT doc_id, round(r, 6) AS rank FROM r3""".stripMargin
+  }
+
   // ------------------------------------------------- n-gram Jaccard
   /** Character-3-gram Jaccard over a deterministic 10% sample, with a
     * stop-gram cutoff (grams in >100 docs dropped) — the cutoff is what
@@ -356,5 +431,6 @@ object DedupQueries {
     GraftQuery("dedup_simhash_pairs", Some(simhashPairsOracle), simhashPairs),
     GraftQuery("dedup_ngram_jaccard", Some(ngramOracle), ngramJaccard),
     GraftQuery("dedup_components", Some(componentsOracle), dedupComponents),
+    GraftQuery("neardup_pagerank", Some(pagerankOracle), neardupPagerank),
   )
 }
