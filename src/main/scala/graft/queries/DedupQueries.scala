@@ -307,6 +307,52 @@ object DedupQueries {
        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
        |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin
 
+  // -------------------------------------------- split decontamination
+  /** Train/test contamination check — the decontamination pass every
+    * LLM data pipeline runs before training: test-split documents that
+    * share word-3-shingles with train-split documents (GPT-3-style
+    * n-gram overlap, scaled down to this corpus's ~30-word docs). Uses
+    * the SAME md5-threshold split as `dataset_split` (so the check
+    * matches what the split actually ships) and the same stop-gram
+    * cutoff as the Jaccard join (df <= 100) — hot shingles carry no
+    * contamination signal and would quadratically blow up the join.
+    * Shape: shingle explode → split tag → rare filter → shared-shingle
+    * equi-join → per-pair count; candidate volume scales with true
+    * overlap, never test×train.
+    */
+  private def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val tagged = sh.withColumn("u",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"))
+      .withColumn("split",
+        when(col("u") < 0.8, "train").when(col("u") < 0.9, "val").otherwise("test"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select(col("sh"))
+    val test = tagged.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("sh"))
+      .join(rare, "sh")
+    val train = tagged.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("sh"))
+    test.join(train, "sh")
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  private val contaminationOracle =
+    s"""WITH $duckShingles,
+       |d AS (
+       |  SELECT sh.*, CASE
+       |    WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0 < 0.8 THEN 'train'
+       |    WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0 < 0.9 THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM sh),
+       |rare AS (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= 100),
+       |te AS (SELECT doc_id AS test_doc, d.sh FROM d JOIN rare USING (sh) WHERE split = 'test'),
+       |tr AS (SELECT doc_id AS train_doc, sh FROM d WHERE split = 'train')
+       |SELECT test_doc, train_doc, count(*) AS n_shared
+       |FROM te JOIN tr USING (sh)
+       |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------- near-dup PageRank
   /** PageRank-style importance over the SimHash near-dup graph (3
     * fixed power iterations, damping 0.85): ranks which documents sit
@@ -432,5 +478,6 @@ object DedupQueries {
     GraftQuery("dedup_ngram_jaccard", Some(ngramOracle), ngramJaccard),
     GraftQuery("dedup_components", Some(componentsOracle), dedupComponents),
     GraftQuery("neardup_pagerank", Some(pagerankOracle), neardupPagerank),
+    GraftQuery("split_contamination", Some(contaminationOracle), splitContamination),
   )
 }

@@ -561,6 +561,108 @@ object TpchAnalytics {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------------ TPC-H 4
+  /** Order-priority checking (adapted Q4 — lineitem has no
+    * commit/receipt dates, so "late" is a shipment more than 10 days
+    * after the order date): EXISTS semi-join with a cross-table
+    * predicate, grouped priority counts. The semi-join keeps the
+    * orders side lean — no lineitem row survives the probe.
+    */
+  private def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 10 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  private val tpchQ4Oracle =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 10 DAY)
+      |GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- TPC-H 19
+  /** Discounted-revenue (Q19 shape): a three-branch disjunctive
+    * predicate over joined (brand, size, quantity) bands — the classic
+    * test that OR-of-ANDs stays a single broadcast join + filter
+    * rather than a union of three scans.
+    */
+  private def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 30)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(sum(decPrice * (lit(1) - decDisc)).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val tpchQ19Oracle =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+      |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  // ----------------------------------------------------------- TPC-H 22
+  /** Global-sales-opportunity (Q22 shape — no phone column, so grouped
+    * by nation): customers above the global positive-balance average
+    * who have placed no orders since mid-2000 — lapsed high-balance
+    * accounts. Scalar subquery (decimal-exact average) + NOT EXISTS
+    * anti-join, written in SQL so Catalyst plans the decorrelation.
+    */
+  private def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       count(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM graft_customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM graft_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+        |GROUP BY 1""".stripMargin)
+  }
+
+  private val tpchQ22Oracle =
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |       count(*) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      |GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("tpch_q1_pricing_summary", Some(tpchQ1Oracle), tpchQ1),
     GraftQuery("tpch_q3_shipping_priority", Some(tpchQ3Oracle), tpchQ3),
@@ -577,5 +679,8 @@ object TpchAnalytics {
     GraftQuery("tpch_q2_min_cost_supplier", Some(tpchQ2Oracle), tpchQ2),
     GraftQuery("tpch_q9_product_profit", Some(tpchQ9Oracle), tpchQ9),
     GraftQuery("tpch_q18_large_orders", Some(tpchQ18Oracle), tpchQ18),
+    GraftQuery("tpch_q4_priority_check", Some(tpchQ4Oracle), tpchQ4),
+    GraftQuery("tpch_q19_disjunctive_rev", Some(tpchQ19Oracle), tpchQ19),
+    GraftQuery("tpch_q22_lapsed_customers", Some(tpchQ22Oracle), tpchQ22),
   )
 }
