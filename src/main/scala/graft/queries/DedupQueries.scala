@@ -50,6 +50,22 @@ object DedupQueries {
       |    ELSE [] END) AS sh
       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents))""".stripMargin
 
+  /** Distinct word-5-shingles per doc (decontamination granularity). */
+  private def shingles5(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("shs", array_distinct(TextFunctions.wordShingles("toks", 5)))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+  }
+
+  private val duckShingles5 =
+    """sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_distinct(list_transform(range(1, len(w) - 3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+      |    ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents))""".stripMargin
+
   // ------------------------------------------------------ MinHash + LSH
   private val NumPerms = 8
   private val NumBands = 4 // 2 rows per band
@@ -321,7 +337,7 @@ object DedupQueries {
     * overlap, never test×train.
     */
   private def splitContamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = shingles5(spark, dir)
     val tagged = sh.withColumn("u",
         expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"))
       .withColumn("split",
@@ -339,7 +355,7 @@ object DedupQueries {
   }
 
   private val contaminationOracle =
-    s"""WITH $duckShingles,
+    s"""WITH $duckShingles5,
        |d AS (
        |  SELECT sh.*, CASE
        |    WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0 < 0.8 THEN 'train'

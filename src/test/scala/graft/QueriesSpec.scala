@@ -12,7 +12,8 @@ class QueriesSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
   // Queries where an empty result at sf0.001 is legitimate (tiny data).
-  private val mayBeEmpty = Set("q8_blacklist", "q9_login_fail", "q9_login_burst")
+  private val mayBeEmpty =
+    Set("q8_blacklist", "q9_login_fail", "q9_login_burst", "split_contamination")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name} runs and returns rows at sf0.001") {
