@@ -435,15 +435,21 @@ object TpchAnalytics {
     * division is a single IEEE op on identical inputs.
     */
   private def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
     Tables.part(spark, dir).createOrReplaceTempView("graft_part")
     Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
     Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
     Tables.region(spark, dir).createOrReplaceTempView("graft_region")
+    // the offers rollup feeds BOTH the outer join chain and the
+    // correlated-min subquery; SQL CTEs are inlined (re-executed) per
+    // reference, so materialize it once — the "CTE materialization" a
+    // warehouse would do for a reused aggregate
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_offers")
     spark.sql(
-      """WITH offers AS (
-        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
-        |  FROM graft_lineitem GROUP BY 1, 2)
+      """WITH offers AS (SELECT * FROM graft_offers)
         |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, o.unit_cost
         |FROM graft_part p, offers o, graft_supplier s, graft_nation n, graft_region r
         |WHERE p.p_partkey = o.l_partkey AND s.s_suppkey = o.l_suppkey
