@@ -115,6 +115,23 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(noise < 200, s"candidate generation not selective: $noise noise pairs of ${60 * 59 / 2}")
   }
 
+  test("new relational shapes plan as intended: semi-join, single-join disjunction, no cartesians") {
+    // Q4: EXISTS compiles to a semi-join, not an aggregate-and-join
+    val q4 = SparkEntry.queries("tpch_q4_priority_check")(spark, sf)
+    assert(q4.queryExecution.executedPlan.toString().contains("LeftSemi"))
+    // Q19: OR-of-ANDs stays ONE join over one lineitem scan, not a
+    // union of three plans
+    val q19 = SparkEntry.queries("tpch_q19_disjunctive_rev")(spark, sf)
+    val q19Plan = q19.queryExecution.executedPlan.toString()
+    assert("(?i)scan parquet".r.findAllIn(q19Plan).length == 2, q19Plan)
+    // decontamination + pagerank: equi-join pipelines, never a product
+    for (name <- Seq("split_contamination", "neardup_pagerank")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay bucketed:\n$plan")
+    }
+  }
+
   test("small single-split scans fan out to session parallelism") {
     val docs = graft.sources.Tables.documents(spark, sf)
     assert(docs.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
