@@ -65,6 +65,20 @@ object StreamingJobs {
       .agg(count(lit(1)).as("pv"))
       .select(col("window.start").cast("long").as("window_start"), col("pv"))
 
+  /** Streaming twin of q6_marketing_by_channel: 1h/15m sliding counts
+    * per (channel, behavior) — the reference's AppMarketingByChannel
+    * as a watermarked window aggregation.
+    */
+  def marketingByChannel(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .withColumn("channel_id", col("user_id") % 5)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("channel_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("channel_id"), col("event_type"), col("cnt"))
+
   /** Streaming twin of q1's windowed count stage (rank runs on the
     * sink side / foreachBatch, per SURVEY.md §3 E1).
     */

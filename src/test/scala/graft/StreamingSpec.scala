@@ -195,6 +195,13 @@ class StreamingSpec extends AnyFunSuite {
       sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
   }
 
+  test("streaming marketing-by-channel equals batch q6") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.marketingByChannel(spark, sf), "mkt_stream", "complete")
+    val batch = SparkEntry.queries("q6_marketing_by_channel")(spark, sf)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("streaming session windows equal batch sessionize") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.sessionizeStream(spark, sf), "sess_stream", "complete")
