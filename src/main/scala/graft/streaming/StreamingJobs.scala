@@ -376,6 +376,31 @@ object StreamingJobs {
     spark.read.parquet(outPath)
   }
 
+  /** Streaming hot-pages chain (the reference's E2 pipeline,
+    * NetworkFlow top-5 URLs): negated-regex filter, 30m/5m sliding
+    * counts in the stream, rank-limit per micro-batch in foreachBatch
+    * — same shape as [[hotItemsTopN]] over the URL-style dimension.
+    */
+  def hotPagesTopN(spark: SparkSession, dir: String, k: Int, outPath: String): DataFrame = {
+    val counts = eventsStream(spark, dir)
+      .filter(!col("event_type").rlike("(error|signup)$"))
+      .withColumn("item_id", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(window(col("ts"), "30 minutes", "5 minutes"), col("item_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("window_start"), col("item_id"), col("cnt"))
+    val q = counts.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TopK.topK(batch, k,
+            Seq(col("window_start")), Seq(col("cnt").desc, col("item_id")))
+          .write.mode("overwrite").parquet(outPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table
     * (AvailableNow file replay) and return the materialized result.
     */

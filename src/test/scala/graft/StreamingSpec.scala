@@ -284,6 +284,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("streaming hotPagesTopN end-to-end equals batch q2_hot_pages") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-pages").toString
+    val stream = StreamingJobs.hotPagesTopN(spark, sf, 5, out)
+      .select(col("window_start"), col("item_id"), col("cnt"), col("rn").cast("long").as("rn"))
+    val batch = SparkEntry.queries("q2_hot_pages")(spark, sf)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("streaming funnel snapshots converge to batch funnel_analysis") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.funnelStream(spark, sf).toDF(), "funnel_stream", "append")
