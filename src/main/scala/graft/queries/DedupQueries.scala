@@ -252,8 +252,16 @@ object DedupQueries {
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       .localCheckpoint()
+    // seed labels with round 0 already applied: component =
+    // min(doc_id, min neighbor) — the first propagation step always
+    // changes labels wherever edges exist, so folding it into the
+    // init saves one full loop round (join + checkpoint + sum)
+    val nbr0 = edges.groupBy(col("doc_a")).agg(min(col("doc_b")).as("n0"))
     var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("component"))
+      .select(col("doc_id"))
+      .join(nbr0, col("doc_id") === nbr0("doc_a"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("n0"), col("doc_id"))).as("component"))
       .localCheckpoint()
     // Convergence is detected by the label-sum: every update strictly
     // DECREASES some label (least/min semantics) and never increases
