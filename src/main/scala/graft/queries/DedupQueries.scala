@@ -331,6 +331,47 @@ object DedupQueries {
        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
        |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------- edit-distance verify
+  /** Verification-grade edit distance over the SimHash candidate
+    * pairs: Levenshtein on the 64-char document prefixes plus a
+    * normalized similarity ratio — the "confirm stage" a dedup
+    * pipeline runs on its candidates when set-similarity is too
+    * coarse. Distances only for candidate pairs (never all pairs), so
+    * the quadratic DP cost is bounded by candidates × prefix².
+    */
+  private def pairEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(trim(col("text")), 1, 64).as("prefix"))
+    val pairs = simhashPairs(spark, dir)
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
+          greatest(length(col("pa")), length(col("pb"))), 6).as("sim_ratio"))
+  }
+
+  private val pairEditOracle =
+    s"""WITH $duckSimhash,
+       |banded AS (
+       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
+       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |  FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+       |p AS (SELECT doc_id, substr(trim(text), 1, 64) AS prefix FROM documents)
+       |SELECT doc_a, doc_b, hamming,
+       |       CAST(levenshtein(pa.prefix, pb.prefix) AS BIGINT) AS edit_dist,
+       |       round(1.0 - CAST(levenshtein(pa.prefix, pb.prefix) AS DOUBLE) /
+       |             greatest(length(pa.prefix), length(pb.prefix)), 6) AS sim_ratio
+       |FROM cand JOIN p pa ON cand.doc_a = pa.doc_id JOIN p pb ON cand.doc_b = pb.doc_id""".stripMargin
+
   // -------------------------------------------- split decontamination
   /** Train/test contamination check — the decontamination pass every
     * LLM data pipeline runs before training: test-split documents that
@@ -503,5 +544,6 @@ object DedupQueries {
     GraftQuery("dedup_components", Some(componentsOracle), dedupComponents),
     GraftQuery("neardup_pagerank", Some(pagerankOracle), neardupPagerank),
     GraftQuery("split_contamination", Some(contaminationOracle), splitContamination),
+    GraftQuery("pair_edit_distance", Some(pairEditOracle), pairEditDistance),
   )
 }

@@ -302,6 +302,51 @@ object TextAnalytics {
        |  md5(regexp_replace(regexp_replace(decorated, '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g')) AS scrub_hash
        |FROM d""".stripMargin
 
+  // --------------------------------------------- stratified sampling
+  /** Deterministic stratified (per-source) sampling — the corpus-mixing
+    * step that takes different rates from different sources. Membership
+    * is an md5 threshold on a salted doc key (independent of
+    * `dataset_split`'s hash: different salt, different stream), so the
+    * sample is reproducible, batch-content-independent, and composable
+    * with the split. Output is the per-source audit: configured rate,
+    * kept count, and realized rate.
+    */
+  private val SampleRates: Seq[(String, Double)] =
+    Seq("src0" -> 0.5, "src1" -> 0.25)
+  private val DefaultRate = 0.1
+
+  private def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldLeft(lit(DefaultRate)) { case (e, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(e)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("u",
+        expr("CAST(conv(substr(md5(CONCAT('smp', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"))
+      .withColumn("rate", rate)
+      .groupBy(col("source"))
+      .agg(max(col("rate")).as("rate"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("realized", round(col("n_kept").cast("double") / col("n_total"), 6))
+  }
+
+  private val stratifiedSampleOracle = {
+    val rateCase = SampleRates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(CAST('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u,
+       |    $rateCase AS rate
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, max(rate) AS rate, count(*) AS n_total,
+       |         CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM d GROUP BY 1)
+       |SELECT source, rate, n_total, n_kept,
+       |       round(CAST(n_kept AS DOUBLE) / n_total, 6) AS realized
+       |FROM g""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("text_stats", Some(textStatsOracle), textStats),
     GraftQuery("text_lang_id", Some(langIdOracle), langId),
@@ -311,5 +356,6 @@ object TextAnalytics {
     GraftQuery("cap_per_group", Some(capPerGroupOracle), capPerGroup),
     GraftQuery("text_quality_filter", Some(qualityFilterOracle), qualityFilter),
     GraftQuery("doc_pii_scrub", Some(piiScrubOracle), piiScrub),
+    GraftQuery("stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
   )
 }
