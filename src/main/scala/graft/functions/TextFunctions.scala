@@ -57,4 +57,21 @@ object TextFunctions {
     */
   def rollingFingerprint(toksCol: String): Column =
     expr(s"aggregate($toksCol, 0L, (acc, t) -> (acc * 31 + $tokenHashSql) % 1000000007)")
+
+  /** PII patterns — RE2-safe (no lookaround, no \d/\s class shorthands
+    * whose unicode scope differs between engines), so Spark's Java
+    * regex and DuckDB's RE2 match the identical spans.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phones with typed placeholder tokens. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+
+  /** Pre-scrub match counts for the audit columns. */
+  def countEmails(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+  def countPhones(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
 }

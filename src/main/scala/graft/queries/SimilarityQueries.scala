@@ -320,9 +320,12 @@ object SimilarityQueries {
     * error columns are the acceptance check a pipeline would gate on.
     * Pure column expressions over one scan; codes stay distributed.
     */
-  private def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("e"))
+  /** Quantization over any (vec_id, embedding) frame — public so the
+    * constant-vector guard (mx == mn → all-zero codes, zero error) is
+    * testable with planted inputs the corpus never produces.
+    */
+  def quantizeFrame(v: DataFrame): DataFrame = {
+    v.select(col("vec_id"), col("embedding").as("e"))
       .withColumn("mn", array_min(col("e")).cast("double"))
       .withColumn("mx", array_max(col("e")).cast("double"))
       .withColumn("scale", (col("mx") - col("mn")) / 255)
@@ -341,6 +344,9 @@ object SimilarityQueries {
       .select(col("vec_id"), round(col("mn"), 6).as("qmin"), round(col("mx"), 6).as("qmax"),
         col("max_abs_err"), col("mean_abs_err"))
   }
+
+  private def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    quantizeFrame(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
 
   private val embeddingQuantizeOracle =
     """WITH q AS (

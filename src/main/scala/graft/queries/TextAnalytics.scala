@@ -273,8 +273,8 @@ object TextAnalytics {
     * trivially matching nothing. The scrub-hash equality proves
     * byte-identical redaction output cross-engine.
     */
-  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val EmailPat = TextFunctions.EmailPattern
+  private val PhonePat = TextFunctions.PhonePattern
 
   private def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
@@ -282,10 +282,9 @@ object TextAnalytics {
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@mail.example.com or +1-555-"),
           lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" now")))
-      .withColumn("n_emails", size(regexp_extract_all(col("decorated"), lit(EmailPat), lit(0))).cast("long"))
-      .withColumn("n_phones", size(regexp_extract_all(col("decorated"), lit(PhonePat), lit(0))).cast("long"))
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(col("decorated"), EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"))
+      .withColumn("n_emails", TextFunctions.countEmails(col("decorated")))
+      .withColumn("n_phones", TextFunctions.countPhones(col("decorated")))
+      .withColumn("scrubbed", TextFunctions.scrubPii(col("decorated")))
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
         md5(col("scrubbed")).as("scrub_hash"))
   }

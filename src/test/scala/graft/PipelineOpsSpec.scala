@@ -118,6 +118,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mismatched.isEmpty)
   }
 
+  test("embedding quantization: constant vectors code to zero with zero error; errors bounded by scale/2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(2.5f, 2.5f, 2.5f, 2.5f)), // constant: mx == mn guard
+      (2L, Array(0.0f, 1.0f, 2.0f, 255.0f)),
+      (3L, Array(-3.0f, 0.0f, 3.0f, 6.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.queries.SimilarityQueries.quantizeFrame(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // constant vector: zero reconstruction error (all-zero codes, scale 0 path)
+    assert(out(1L).getDouble(3) == 0.0 && out(1L).getDouble(4) == 0.0)
+    // non-constant: max error bounded by half a quantization step
+    for (id <- Seq(2L, 3L)) {
+      val (mn, mx) = (out(id).getDouble(1), out(id).getDouble(2))
+      val halfStep = (mx - mn) / 255 / 2 + 1e-12
+      assert(out(id).getDouble(3) <= halfStep, s"vec $id err ${out(id).getDouble(3)} > $halfStep")
+    }
+  }
+
+  test("PII scrub redacts every email/phone variant and leaves clean text intact") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      ("a@b.co and c.d+x@e-f.org wrote", 2L, 0L),
+      ("call +1-555-0100 or +44-202-7946", 0L, 2L),
+      ("mixed a@b.io then +1-555-0100 done", 1L, 1L),
+      ("no pii here at all", 0L, 0L))
+    val df = rows.map(_._1).toDF("t")
+      .withColumn("ne", TextFunctions.countEmails(col("t")))
+      .withColumn("np", TextFunctions.countPhones(col("t")))
+      .withColumn("s", TextFunctions.scrubPii(col("t")))
+    val got = df.collect()
+    rows.zip(got).foreach { case ((txt, ne, np), r) =>
+      assert(r.getLong(1) == ne && r.getLong(2) == np, s"counts for '$txt'")
+      val s = r.getString(3)
+      assert(!s.matches(s".*${TextFunctions.EmailPattern}.*"), s"email survives in '$s'")
+      assert(!s.matches(s".*${TextFunctions.PhonePattern}.*"), s"phone survives in '$s'")
+      if (ne == 0 && np == 0) assert(s == txt, "clean text must be untouched")
+      else assert(s.contains("<EMAIL>") || s.contains("<PHONE>"))
+    }
+  }
+
   test("lang_id picks the profile with most marker hits") {
     import spark.implicits._
     val df = Seq(
