@@ -118,6 +118,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mismatched.isEmpty)
   }
 
+  test("corpus preparation pipeline composes end-to-end: quality -> dedup -> near-dup prune -> cap") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val raw = docs.count()
+    // stage 1: quality gate
+    val keepQuality = SparkEntry.queries("text_quality_filter")(spark, sf)
+      .filter(col("passes")).select(col("doc_id"))
+    val q1 = docs.join(keepQuality, "doc_id")
+    // stage 2: exact dedup — keep each content group's canonical doc
+    val canon = SparkEntry.queries("dedup_exact")(spark, sf)
+      .select(col("canonical_id").as("doc_id"))
+    val q2 = q1.join(canon, "doc_id")
+    // stage 3: near-dup prune — drop the larger id of each confirmed pair
+    val nearDrop = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val q3 = q2.join(nearDrop, Seq("doc_id"), "left_anti")
+    // stage 4: per-source cap (deterministic md5 order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val prepared = q3.withColumn("rn", row_number().over(w)).filter(col("rn") <= 50).drop("rn")
+
+    val (n1, n2, n3, nf) = (q1.count(), q2.count(), q3.count(), prepared.count())
+    assert(raw >= n1 && n1 >= n2 && n2 >= n3 && n3 >= nf, s"$raw >= $n1 >= $n2 >= $n3 >= $nf")
+    assert(nf > 0)
+    // prepared corpus has no exact duplicates left
+    assert(prepared.groupBy(md5(col("text"))).count().filter(col("count") > 1).isEmpty)
+    // and respects the per-source cap
+    assert(prepared.groupBy("source").count().filter(col("count") > 50).isEmpty)
+    // and no surviving doc is the dropped side of a confirmed near-dup pair
+    assert(prepared.join(nearDrop, Seq("doc_id"), "left_semi").isEmpty)
+  }
+
   test("embedding quantization: constant vectors code to zero with zero error; errors bounded by scale/2") {
     import spark.implicits._
     val df = Seq(
