@@ -104,13 +104,27 @@ object SimilarityQueries {
     * with their rounded cosine. Pure equi-join candidate generation —
     * the 100 TB shape. Public for the planted-recall spec.
     */
+  /** A (vec_id, embedding) frame exploded to one row per LSH band with
+    * its 8-bit signature, plus the precomputed norm — the join-ready
+    * shape for banded candidate generation. Works on static AND
+    * streaming frames (stateless column work), which is what makes the
+    * streaming near-dup lookup a plain stream-static equi-join.
+    */
+  def bandKeyed(v: DataFrame, idAs: String, vecAs: String,
+      normAs: String, bandAs: String, sigAs: String): DataFrame =
+    v.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
+      .withColumn(normAs, sqrt(dotCol(vecAs, vecAs)))
+      .select(col(idAs), col(vecAs), col(normAs),
+        posexplode(array((0 until NdBands).map(l => ndSigCol(vecAs, l)): _*))
+          .as(Seq(bandAs, sigAs)))
+
+  /** Fused-dot cosine between two (vector, norm) column pairs. */
+  def cosineCol(aVec: String, aNorm: String, bVec: String, bNorm: String): Column =
+    round(dotCol(aVec, bVec) / (col(aNorm) * col(bNorm)), 6)
+
   def neardupPairs(v: DataFrame): DataFrame = {
     def keyed(idAs: String, vecAs: String, normAs: String, bandAs: String, sigAs: String) =
-      v.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
-        .withColumn(normAs, sqrt(dotCol(vecAs, vecAs)))
-        .select(col(idAs), col(vecAs), col(normAs),
-          posexplode(array((0 until NdBands).map(l => ndSigCol(vecAs, l)): _*))
-            .as(Seq(bandAs, sigAs)))
+      bandKeyed(v, idAs, vecAs, normAs, bandAs, sigAs)
     val a = keyed("vec_a", "ea", "na", "band_a", "sig_a")
     val b = keyed("vec_b", "eb", "nb", "band_b", "sig_b")
     a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&

@@ -376,6 +376,54 @@ object StreamingJobs {
     spark.read.parquet(outPath)
   }
 
+  // ------------------------------------------- streaming ANN lookup
+  /** Online near-dup alerts: incoming embeddings matched against a
+    * static banded-LSH index of the corpus — a stream-static equi-join
+    * on (band, signature), fused-dot cosine on the collisions, alert
+    * above the threshold. Completely STATELESS on the stream side
+    * (band signatures are per-row column work, the index broadcasts or
+    * shuffles once), so throughput scales with executors and nothing
+    * accumulates; this is the shape online dedup/similarity takes in
+    * an ingestion pipeline at scale.
+    */
+  def neardupAlertStream(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import graft.queries.SimilarityQueries._
+    val index = bandKeyed(
+      graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "idx_id", "ei", "ni", "band_i", "sig_i")
+    val incoming = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .parquet(stagedPath(dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+    bandKeyed(incoming, "in_id", "ev", "nv", "band_v", "sig_v")
+      .join(index,
+        col("band_v") === col("band_i") && col("sig_v") === col("sig_i") &&
+          col("in_id") =!= col("idx_id"))
+      .withColumn("simr", cosineCol("ev", "nv", "ei", "ni"))
+      .filter(col("simr") >= threshold)
+      // a pair can collide in several bands; distinct is per-micro-batch
+      // (stateless) — cross-batch duplicates are the at-least-once
+      // contract the keyed-upsert sink absorbs
+      .select(col("in_id"), col("idx_id"), col("simr")).distinct()
+  }
+
+  /** Batch twin of [[neardupAlertStream]] on the same frames. */
+  def neardupAlertBatch(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import graft.queries.SimilarityQueries._
+    val v = graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val index = bandKeyed(v, "idx_id", "ei", "ni", "band_i", "sig_i")
+    bandKeyed(v, "in_id", "ev", "nv", "band_v", "sig_v")
+      .join(index,
+        col("band_v") === col("band_i") && col("sig_v") === col("sig_i") &&
+          col("in_id") =!= col("idx_id"))
+      .withColumn("simr", cosineCol("ev", "nv", "ei", "ni"))
+      .filter(col("simr") >= threshold)
+      .select(col("in_id"), col("idx_id"), col("simr")).distinct()
+  }
+
   /** Streaming hot-pages chain (the reference's E2 pipeline,
     * NetworkFlow top-5 URLs): negated-regex filter, 30m/5m sliding
     * counts in the stream, rank-limit per micro-batch in foreachBatch

@@ -284,6 +284,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("streaming near-dup alerts equal the batch banded lookup") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.neardupAlertStream(spark, sf, 0.2), "nd_alert", "append")
+    val batch = StreamingJobs.neardupAlertBatch(spark, sf, 0.2)
+    assert(batch.count() > 0, "threshold must produce alerts at this scale")
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("streaming hotPagesTopN end-to-end equals batch q2_hot_pages") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-pages").toString
