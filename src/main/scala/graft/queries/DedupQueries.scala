@@ -333,7 +333,7 @@ object DedupQueries {
 
   // ---------------------------------------------- edit-distance verify
   /** Verification-grade edit distance over the SimHash candidate
-    * pairs: Levenshtein on the 64-char document prefixes plus a
+    * pairs: Levenshtein on the 32-char document prefixes plus a
     * normalized similarity ratio — the "confirm stage" a dedup
     * pipeline runs on its candidates when set-similarity is too
     * coarse. Distances only for candidate pairs (never all pairs), so
@@ -341,14 +341,16 @@ object DedupQueries {
     */
   private def pairEditDistance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), substring(trim(col("text")), 1, 64).as("prefix"))
+      .select(col("doc_id"), substring(trim(col("text")), 1, 32).as("prefix"))
     val pairs = simhashPairs(spark, dir)
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("hamming"),
-        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
-        round(lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
+      // one DP evaluation per pair: the ratio references the computed
+      // column, not a second levenshtein call
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"),
+        round(lit(1.0) - col("edit_dist").cast("double") /
           greatest(length(col("pa")), length(col("pb"))), 6).as("sim_ratio"))
   }
 
@@ -365,7 +367,7 @@ object DedupQueries {
        |cand AS (
        |  SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
        |  FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3),
-       |p AS (SELECT doc_id, substr(trim(text), 1, 64) AS prefix FROM documents)
+       |p AS (SELECT doc_id, substr(trim(text), 1, 32) AS prefix FROM documents)
        |SELECT doc_a, doc_b, hamming,
        |       CAST(levenshtein(pa.prefix, pb.prefix) AS BIGINT) AS edit_dist,
        |       round(1.0 - CAST(levenshtein(pa.prefix, pb.prefix) AS DOUBLE) /
