@@ -86,14 +86,19 @@ object DedupQueries {
     * collisions, never with n².
     */
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    // eager checkpoints, not cache(): sh and sigs are each read by
+    // multiple downstream joins, and a checkpoint is a LEAF plan — the
+    // candidate/intersection joins re-plan against a scan instead of
+    // re-analyzing the whole shingle pipeline (same lesson as the
+    // SimHash signature table)
+    val sh = shingles(spark, dir).localCheckpoint()
     val hashed = sh.withColumn("hv",
       expr(s"CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS LONG) % $P"))
     // signatures AND shingle-set sizes in one aggregation pass
     val sigAggs = (0 until NumPerms).map(p =>
       min(expr(s"(${PermA(p)} * hv + ${PermB(p)}) % $P")).as(s"s$p")) :+
       count(lit(1)).as("c")
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*).cache()
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*).localCheckpoint()
     // band key packs the two row-signatures into one BIGINT (s < P, so
     // s0*P + s1 < 2^62) — no hashing needed for the bucket join key
     val bandCols = (0 until NumBands).map(b =>
