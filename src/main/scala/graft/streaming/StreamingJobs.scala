@@ -449,6 +449,37 @@ object StreamingJobs {
     spark.read.parquet(outPath)
   }
 
+  /** Append-mode top-N over FINALIZED windows — the bounded-state form
+    * of [[hotItemsTopN]] for unbounded streams: the windowed count
+    * aggregation emits a window only once its end passes the
+    * watermark, the rank-limit runs per finalized window inside
+    * foreachBatch, and results land through the idempotent keyed
+    * upsert. Aggregation state is bounded by the watermark horizon
+    * (complete-mode output keeps every window alive forever — fine for
+    * a replay, wrong for a 100 TB/day stream); the upsert makes
+    * at-least-once redelivery safe. This is the deployment shape; the
+    * complete-mode variant exists for latest-partial-ranking use.
+    *
+    * Watermark subtlety: the event-type filter is pushed BELOW the
+    * EventTimeWatermark operator by the optimizer, so the watermark
+    * tracks the max CLICK time — windows containing the stream's last
+    * click stay open at shutdown (asserted in StreamingSpec).
+    */
+  def hotItemsTopNAppend(spark: SparkSession, dir: String, k: Int, outPath: String): DataFrame = {
+    val counts = hotItemCounts(spark, dir)
+    val q = counts.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ranked = graft.operators.TopK.topK(batch, k,
+          Seq(col("window_start")), Seq(col("cnt").desc, col("item_id")))
+        if (!ranked.isEmpty) graft.sinks.Sinks.upsertKeyed(ranked, outPath, "window_start")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table
     * (AvailableNow file replay) and return the materialized result.
     */

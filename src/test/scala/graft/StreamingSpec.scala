@@ -292,6 +292,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("append-mode hotItemsTopN ranks exactly the finalized windows") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-topn-append").toString
+    val stream = StreamingJobs.hotItemsTopNAppend(spark, sf, 3, out)
+      .select(col("window_start").cast("long").as("window_start"), col("item_id"),
+        col("cnt"), col("rn").cast("long").as("rn"))
+    // append mode emits a window once its END passes the final
+    // watermark. The watermark tracks the CLICK-filtered stream, not
+    // the raw events: Catalyst pushes the event-type filter below the
+    // EventTimeWatermark operator, so only click rows feed the stats —
+    // final watermark = max click ts - 1s.
+    val maxClick = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .selectExpr("max(CAST(ts AS LONG))").first().getLong(0)
+    val batch = SparkEntry.queries("q1_hot_items")(spark, sf)
+      .filter(col("window_start") + 3600 <= maxClick - 1)
+    assert(batch.count() > 0)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("streaming hotPagesTopN end-to-end equals batch q2_hot_pages") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-pages").toString
