@@ -292,6 +292,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("streaming state and file sink survive a query restart from checkpoint (exactly-once)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cutSec = ev.selectExpr("percentile(CAST(ts AS LONG), 0.5)").first().getDouble(0)
+    val srcDir = Files.createTempDirectory("graft-restart-src")
+    val cp = Files.createTempDirectory("graft-restart-cp").toString
+    val out = Files.createTempDirectory("graft-restart-out").toString
+    def stageHalf(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-restart-half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(srcDir.toString, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Unit = {
+      val counts = spark.readStream
+        .schema(ev.schema)
+        .parquet(srcDir.toString)
+        .withWatermark("ts", "1 second")
+        .filter(col("event_type") === "view")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("pv"))
+        .select(col("window.start").cast("long").as("window_start"), col("pv"))
+      val q = counts.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: first half only, then the query STOPS (AvailableNow)
+    stageHalf(ev.filter(expr(s"CAST(ts AS LONG) <= $cutSec")), "00.parquet")
+    runOnce()
+    // phase 2: second half lands; a NEW query resumes from the same
+    // checkpoint — window state and sink offsets must carry over
+    stageHalf(ev.filter(expr(s"CAST(ts AS LONG) > $cutSec")), "01.parquet")
+    runOnce()
+    val result = spark.read.parquet(out)
+    // exactly-once: append emits each finalized window once; a replayed
+    // or double-written window would surface as a duplicate key
+    assert(result.groupBy("window_start").count().filter(col("count") > 1).isEmpty,
+      "restart must not duplicate windows")
+    // correctness: equals batch q3 over the finalized windows (the
+    // view-filter pushdown makes the watermark track view times)
+    val maxView = ev.filter(col("event_type") === "view")
+      .selectExpr("max(CAST(ts AS LONG))").first().getLong(0)
+    val batch = SparkEntry.queries("q3_pv_hourly")(spark, sf)
+      .filter(col("window_start") + 3600 <= maxView - 1)
+    assert(batch.count() > 0)
+    assert(sortedRows(result) == sortedRows(batch))
+  }
+
   test("append-mode hotItemsTopN ranks exactly the finalized windows") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-topn-append").toString
