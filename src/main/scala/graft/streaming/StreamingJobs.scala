@@ -79,6 +79,26 @@ object StreamingJobs {
       .select(col("window.start").cast("long").as("window_start"),
         col("channel_id"), col("event_type"), col("cnt"))
 
+  /** Streaming twin of q8_ad_geo: stream-static broadcast dimension
+    * enrichment (customer→nation) feeding a 1h/20m sliding count per
+    * province — the reference's AdStatisticsByGeo main output with zero
+    * stream-side join state.
+    */
+  def adGeoStream(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = graft.sources.Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(window(col("ts"), "1 hour", "20 minutes"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("n_name").as("province"), col("cnt"))
+  }
+
   /** Streaming twin of q1's windowed count stage (rank runs on the
     * sink side / foreachBatch, per SURVEY.md §3 E1).
     */

@@ -195,6 +195,13 @@ class StreamingSpec extends AnyFunSuite {
       sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
   }
 
+  test("streaming ad-geo counts equal batch q8_ad_geo") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.adGeoStream(spark, sf), "geo_stream", "complete")
+    val batch = SparkEntry.queries("q8_ad_geo")(spark, sf)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("streaming marketing-by-channel equals batch q6") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.marketingByChannel(spark, sf), "mkt_stream", "complete")
