@@ -79,6 +79,16 @@ object StreamingJobs {
       .select(col("window.start").cast("long").as("window_start"),
         col("channel_id"), col("event_type"), col("cnt"))
 
+  /** Streaming twin of q7_marketing_total: the channel-free 1h/15m
+    * sliding totals (reference's AppMarketing).
+    */
+  def marketingTotal(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("window_start"), col("cnt"))
+
   /** Streaming twin of q8_ad_geo: stream-static broadcast dimension
     * enrichment (customer→nation) feeding a 1h/20m sliding count per
     * province — the reference's AdStatisticsByGeo main output with zero

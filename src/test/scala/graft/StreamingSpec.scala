@@ -209,6 +209,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("streaming marketing totals equal batch q7") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.marketingTotal(spark, sf), "mkt_total_stream", "complete")
+    val batch = SparkEntry.queries("q7_marketing_total")(spark, sf)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("streaming session windows equal batch sessionize") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.sessionizeStream(spark, sf), "sess_stream", "complete")
