@@ -64,13 +64,18 @@ object Bench {
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
       q.name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (millisecond) precision: full-precision doubles push
+    // the JSON line past the driver's stdout tail buffer, and a
+    // front-truncated line parses as null (BENCH_r02/r03)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // failed queries report -1 per-query AND a failure count: a broken
     // query must not make the total look faster
     val failed = results.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parse: the JSON goes to stdout
     // AND to bench_out.json (an unparseable stdout line — sbt chrome,
     // interleaved WARNs — is otherwise indistinguishable from a

@@ -111,29 +111,44 @@ object SimilarityQueries {
     * streaming near-dup lookup a plain stream-static equi-join.
     */
   def bandKeyed(v: DataFrame, idAs: String, vecAs: String,
-      normAs: String, bandAs: String, sigAs: String): DataFrame =
+      normAs: String, bandAs: String, sigAs: String,
+      sigsAs: String = "sigs_all"): DataFrame =
     v.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
       .withColumn(normAs, sqrt(dotCol(vecAs, vecAs)))
-      .select(col(idAs), col(vecAs), col(normAs),
-        posexplode(array((0 until NdBands).map(l => ndSigCol(vecAs, l)): _*))
-          .as(Seq(bandAs, sigAs)))
+      // keep the full per-band signature array alongside the exploded
+      // (band, sig) join key: a downstream join can then keep ONLY the
+      // first band in which a pair collides (`firstCollidingBand`) —
+      // exact pair-dedup as a stateless column filter, no distinct()
+      .withColumn(sigsAs, array((0 until NdBands).map(l => ndSigCol(vecAs, l)): _*))
+      .select(col(idAs), col(vecAs), col(normAs), col(sigsAs),
+        posexplode(col(sigsAs)).as(Seq(bandAs, sigAs)))
+
+  /** TRUE iff `bandCol` (0-based) is the first band in which the two
+    * signature arrays agree — keeps exactly one row per colliding pair
+    * after a banded self/stream-static join, with no stateful dedup.
+    */
+  def firstCollidingBand(sigsA: String, sigsB: String, bandCol: String): Column =
+    !exists(
+      zip_with(slice(col(sigsA), lit(1), col(bandCol)),
+        slice(col(sigsB), lit(1), col(bandCol)), (a, b) => a === b),
+      x => x)
 
   /** Fused-dot cosine between two (vector, norm) column pairs. */
   def cosineCol(aVec: String, aNorm: String, bVec: String, bNorm: String): Column =
     round(dotCol(aVec, bVec) / (col(aNorm) * col(bNorm)), 6)
 
   def neardupPairs(v: DataFrame): DataFrame = {
-    def keyed(idAs: String, vecAs: String, normAs: String, bandAs: String, sigAs: String) =
-      bandKeyed(v, idAs, vecAs, normAs, bandAs, sigAs)
-    val a = keyed("vec_a", "ea", "na", "band_a", "sig_a")
-    val b = keyed("vec_b", "eb", "nb", "band_b", "sig_b")
+    val a = bandKeyed(v, "vec_a", "ea", "na", "band_a", "sig_a", "sigs_a")
+    val b = bandKeyed(v, "vec_b", "eb", "nb", "band_b", "sig_b", "sigs_b")
     a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
         col("vec_a") < col("vec_b"))
-      .withColumn("simr", round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
-      // a pair can collide in several bands; the shuffle after this
-      // dedup carries only (a, b, simr), never the vectors
-      .groupBy(col("vec_a"), col("vec_b"))
-      .agg(max(col("simr")).as("simr"))
+      // a pair can collide in several bands (same simr each time —
+      // same vectors); keeping only the first colliding band dedups
+      // exactly with a stateless filter instead of a pair-keyed
+      // shuffle, so the banded join is the plan's ONLY exchange
+      .filter(firstCollidingBand("sigs_a", "sigs_b", "band_a"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dotCol("ea", "eb") / (col("na") * col("nb")), 6).as("simr"))
   }
 
   private def embeddingNeardup(spark: SparkSession, dir: String): DataFrame =

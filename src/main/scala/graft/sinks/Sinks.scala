@@ -46,17 +46,24 @@ object Sinks {
     * at-least-once case) reproduces the same final state — the
     * property that makes the sink exactly-once in effect.
     */
-  def upsertKeyed(batch: DataFrame, path: String, keyCol: String): Unit = {
-    val spark = batch.sparkSession
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.write.mode("overwrite").partitionBy(keyCol).parquet(path)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-  }
+  def upsertKeyed(batch: DataFrame, path: String, keyCol: String): Unit =
+    // per-write option, NOT the session conf: mutating
+    // spark.sql.sources.partitionOverwriteMode around the write races
+    // with concurrent writers in the same session (a clobbered restore
+    // silently turns an upsert into a full-table overwrite)
+    batch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(keyCol).parquet(path)
 
-  /** Streaming form of [[upsertKeyed]]: one upsert per micro-batch. */
-  def upsertStream(df: DataFrame, path: String, keyCol: String): StreamingQuery =
+  /** Streaming form of [[upsertKeyed]]: one upsert per micro-batch.
+    * Checkpointed like every other durable sink in this file — a
+    * restart resumes from the last committed offset instead of
+    * replaying the whole source (the replay would be *correct* because
+    * the upsert is idempotent, but at 100 TB it is not acceptable).
+    */
+  def upsertStream(df: DataFrame, path: String, keyCol: String, checkpoint: String): StreamingQuery =
     df.writeStream
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertKeyed(batch, path, keyCol)
       }

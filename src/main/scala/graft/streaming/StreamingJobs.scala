@@ -113,7 +113,14 @@ object StreamingJobs {
     * sink side / foreachBatch, per SURVEY.md §3 E1).
     */
   def hotItemCounts(spark: SparkSession, dir: String): DataFrame =
-    eventsStream(spark, dir)
+    hotItemCountsFrom(eventsStream(spark, dir))
+
+  /** [[hotItemCounts]] over a caller-supplied (already watermarked)
+    * events stream — lets tests drive the chain from arbitrary
+    * sources, including empty ones.
+    */
+  def hotItemCountsFrom(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type") === "click")
       .withColumn("item_id", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(window(col("ts"), "1 hour", "5 minutes"), col("item_id"))
@@ -339,7 +346,7 @@ object StreamingJobs {
   }
 
   // --------------------------------------------- continuous UV (W8/K2)
-  final case class UvEventRow(wstart: Long, user_id: Long)
+  final case class UvEventRow(wstart: Long, user_id: Long, ts: java.sql.Timestamp)
   final case class UvState(buckets: Array[Byte], uv: Long)
   final case class UvSnapshot(window_start: Long, uv_bloom: Long)
 
@@ -355,31 +362,54 @@ object StreamingJobs {
     * granularity (element vs micro-batch) is the documented W8 delta.
     * State per window is the bitmap (`bits/8` bytes), not the visitor
     * set — bounded regardless of traffic.
+    *
+    * With `evict = true` (requires a watermark on `ts`) a finalized
+    * window's bitmap is dropped once the watermark passes its end:
+    * per-window state is bounded AND the window count is bounded by
+    * the watermark horizon, so total state no longer grows with every
+    * new hour on a long-running stream. `evict = false` keeps every
+    * window's bitmap alive (fine for replays and un-watermarked
+    * sources — the checkpoint-restart spec feeds one); that unbounded
+    * window-count caveat is documented with the W8 delta in SURVEY §8.
     */
-  def continuousUvBloom(events: DataFrame, bits: Int = 1 << 16): Dataset[UvSnapshot] = {
+  def continuousUvBloom(events: DataFrame, bits: Int = 1 << 16,
+      evict: Boolean = false): Dataset[UvSnapshot] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeout =
+      if (evict) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .filter(col("event_type") === "view")
       .select(window(col("ts"), "1 hour").getField("start").cast("long").as("wstart"),
-        col("user_id"))
+        col("user_id"), col("ts"))
       .as[UvEventRow]
       .groupByKey(_.wstart)
-      .flatMapGroupsWithState[UvState, UvSnapshot](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[UvState, UvSnapshot](OutputMode.Append, timeout) {
         (w: Long, it: Iterator[UvEventRow], state: GroupState[UvState]) =>
-          val st0 = state.getOption.getOrElse(UvState(new Array[Byte](bits / 8), 0L))
-          val buf = st0.buckets
-          var uv = st0.uv
-          it.foreach { r =>
-            val bit = graft.functions.BloomUv.bucket(r.user_id, bits)
-            if ((buf(bit >>> 3) & (1 << (bit & 7))) == 0) {
-              buf(bit >>> 3) = (buf(bit >>> 3) | (1 << (bit & 7))).toByte
-              uv += 1
+          if (evict && state.hasTimedOut) {
+            // watermark passed the window end: the count is final and
+            // already emitted; free the bitmap
+            state.remove()
+            Iterator.empty
+          } else {
+            val st0 = state.getOption.getOrElse(UvState(new Array[Byte](bits / 8), 0L))
+            val buf = st0.buckets
+            var uv = st0.uv
+            it.foreach { r =>
+              val bit = graft.functions.BloomUv.bucket(r.user_id, bits)
+              if ((buf(bit >>> 3) & (1 << (bit & 7))) == 0) {
+                buf(bit >>> 3) = (buf(bit >>> 3) | (1 << (bit & 7))).toByte
+                uv += 1
+              }
             }
+            state.update(UvState(buf, uv))
+            if (evict)
+              // fire at window end, clamped above the current watermark
+              // (a timer at-or-below the watermark throws)
+              state.setTimeoutTimestamp(
+                math.max((w + 3600L) * 1000L, state.getCurrentWatermarkMs() + 1L))
+            if (uv != st0.uv) Iterator.single(UvSnapshot(w, uv)) else Iterator.empty
           }
-          state.update(UvState(buf, uv))
-          if (uv != st0.uv) Iterator.single(UvSnapshot(w, uv)) else Iterator.empty
       }
   }
 
@@ -391,8 +421,29 @@ object StreamingJobs {
     * HI/app/HotItems.scala:82-134). Each batch overwrites with the
     * latest complete ranking; returns the final result read back.
     */
-  def hotItemsTopN(spark: SparkSession, dir: String, k: Int, outPath: String): DataFrame = {
-    val counts = hotItemCounts(spark, dir)
+  /** Read back a foreachBatch-produced parquet directory; when no
+    * micro-batch wrote output (empty source, no finalized window) the
+    * directory has no parquet files and a plain read throws "Unable to
+    * infer schema" — return an empty frame of the ranked shape
+    * (`countsSchema` + the topK `rn` column) instead.
+    */
+  private def readRankedOrEmpty(spark: SparkSession, outPath: String,
+      countsSchema: StructType): DataFrame =
+    try spark.read.parquet(outPath)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.toLowerCase.contains("schema") =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          countsSchema.add("rn", IntegerType, nullable = false))
+    }
+
+  def hotItemsTopN(spark: SparkSession, dir: String, k: Int, outPath: String): DataFrame =
+    hotItemsTopNFrom(eventsStream(spark, dir), k, outPath)
+
+  /** [[hotItemsTopN]] over a caller-supplied events stream. */
+  def hotItemsTopNFrom(events: DataFrame, k: Int, outPath: String): DataFrame = {
+    val spark = events.sparkSession
+    val counts = hotItemCountsFrom(events)
     val q = counts.writeStream
       .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -403,7 +454,7 @@ object StreamingJobs {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    readRankedOrEmpty(spark, outPath, counts.schema)
   }
 
   // ------------------------------------------- streaming ANN lookup
@@ -420,7 +471,7 @@ object StreamingJobs {
     import graft.queries.SimilarityQueries._
     val index = bandKeyed(
       graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      "idx_id", "ei", "ni", "band_i", "sig_i")
+      "idx_id", "ei", "ni", "band_i", "sig_i", "sigs_i")
     val incoming = spark.readStream
       .schema(StructType(Seq(
         StructField("vec_id", LongType),
@@ -428,30 +479,33 @@ object StreamingJobs {
         StructField("label", IntegerType))))
       .parquet(stagedPath(dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
-    bandKeyed(incoming, "in_id", "ev", "nv", "band_v", "sig_v")
+    bandKeyed(incoming, "in_id", "ev", "nv", "band_v", "sig_v", "sigs_v")
       .join(index,
         col("band_v") === col("band_i") && col("sig_v") === col("sig_i") &&
           col("in_id") =!= col("idx_id"))
+      // a pair can collide in several bands; keeping only the first
+      // colliding band is an exact dedup as a stateless column filter.
+      // (A .distinct() here would compile to StreamingDeduplicate —
+      // unbounded key state on an unbounded stream.)
+      .filter(firstCollidingBand("sigs_v", "sigs_i", "band_v"))
       .withColumn("simr", cosineCol("ev", "nv", "ei", "ni"))
       .filter(col("simr") >= threshold)
-      // a pair can collide in several bands; distinct is per-micro-batch
-      // (stateless) — cross-batch duplicates are the at-least-once
-      // contract the keyed-upsert sink absorbs
-      .select(col("in_id"), col("idx_id"), col("simr")).distinct()
+      .select(col("in_id"), col("idx_id"), col("simr"))
   }
 
   /** Batch twin of [[neardupAlertStream]] on the same frames. */
   def neardupAlertBatch(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     import graft.queries.SimilarityQueries._
     val v = graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val index = bandKeyed(v, "idx_id", "ei", "ni", "band_i", "sig_i")
-    bandKeyed(v, "in_id", "ev", "nv", "band_v", "sig_v")
+    val index = bandKeyed(v, "idx_id", "ei", "ni", "band_i", "sig_i", "sigs_i")
+    bandKeyed(v, "in_id", "ev", "nv", "band_v", "sig_v", "sigs_v")
       .join(index,
         col("band_v") === col("band_i") && col("sig_v") === col("sig_i") &&
           col("in_id") =!= col("idx_id"))
+      .filter(firstCollidingBand("sigs_v", "sigs_i", "band_v"))
       .withColumn("simr", cosineCol("ev", "nv", "ei", "ni"))
       .filter(col("simr") >= threshold)
-      .select(col("in_id"), col("idx_id"), col("simr")).distinct()
+      .select(col("in_id"), col("idx_id"), col("simr"))
   }
 
   /** Streaming hot-pages chain (the reference's E2 pipeline,
@@ -476,7 +530,7 @@ object StreamingJobs {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    readRankedOrEmpty(spark, outPath, counts.schema)
   }
 
   /** Append-mode top-N over FINALIZED windows — the bounded-state form
@@ -507,7 +561,9 @@ object StreamingJobs {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    // empty-fallback column order differs from a partitioned read-back
+    // (partition column last); callers select by name
+    readRankedOrEmpty(spark, outPath, counts.schema)
   }
 
   /** Run a streaming DataFrame to completion into an in-memory table

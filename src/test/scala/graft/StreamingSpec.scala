@@ -281,7 +281,8 @@ class StreamingSpec extends AnyFunSuite {
     val uvPath = Files.createTempDirectory("graft-kv-uv").toString
     val q = graft.sinks.Sinks.upsertStream(
       StreamingJobs.continuousUvBloom(StreamingJobs.eventsStream(spark, sf)).toDF(),
-      uvPath, "window_start")
+      uvPath, "window_start",
+      Files.createTempDirectory("graft-kv-uv-cp").toString)
     q.awaitTermination()
     val stored = spark.read.parquet(uvPath)
       .select(col("window_start").cast("long").as("window_start"), col("uv_bloom"))
@@ -383,6 +384,52 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("window_start"), col("item_id"), col("cnt"), col("rn").cast("long").as("rn"))
     val batch = SparkEntry.queries("q2_hot_pages")(spark, sf)
     assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("continuousUvBloom with eviction: same final counts, state store drained") {
+    // evict=true arms an event-time timer at each window's end; the
+    // AvailableNow replay runs a final timeout batch after the data,
+    // so every window's bitmap is removed — yet the emitted snapshots'
+    // per-window max still equals the batch Bloom UV exactly
+    val q = StreamingJobs.continuousUvBloom(
+        StreamingJobs.eventsStream(spark, sf), evict = true).toDF()
+      .writeStream.format("memory").queryName("uv_evict").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val finals = spark.table("uv_evict")
+      .groupBy("window_start").agg(max("uv_bloom").as("uv_bloom"))
+    val batch = SparkEntry.queries("q5_uv_bloom")(spark, sf)
+    assert(sortedRows(finals) == sortedRows(batch))
+    val lastState = q.recentProgress.reverse
+      .find(p => p.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+    // the final watermark is max(view ts) - 1s, which is strictly
+    // inside the last window — that window can never time out, so
+    // exactly the windows still open at shutdown survive eviction
+    val maxView = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .selectExpr("max(CAST(ts AS LONG))").first().getLong(0)
+    val openWindows = spark.table("uv_evict").select("window_start").distinct()
+      .filter(col("window_start") + 3600 > maxView - 1).count()
+    assert(openWindows < spark.table("uv_evict").select("window_start").distinct().count(),
+      "test needs at least one finalized window to prove eviction")
+    assert(lastState.contains(openWindows),
+      s"expected only the $openWindows un-finalized window(s) to survive, got $lastState")
+  }
+
+  test("topN read-back returns an empty typed frame when no batch wrote output") {
+    import java.nio.file.Files
+    // a source directory with no files: AvailableNow completes without
+    // any micro-batch, foreachBatch never runs, outPath stays empty
+    val empty = Files.createTempDirectory("graft-empty-src")
+    val out = Files.createTempDirectory("graft-topn-none").toString
+    val result = StreamingJobs.hotItemsTopNFrom(
+      spark.readStream.schema(StreamingJobs.eventsRawSchema)
+        .parquet(empty.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 second"),
+      3, out)
+    assert(result.isEmpty)
+    assert(result.columns.toSeq == Seq("window_start", "item_id", "cnt", "rn"))
   }
 
   test("streaming funnel snapshots converge to batch funnel_analysis") {
