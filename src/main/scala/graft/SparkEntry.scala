@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All registered capabilities, in registration order. */
   lazy val all: Seq[GraftQuery] =
-    EventAnalytics.queries ++ TpchAnalytics.queries ++
+    EventAnalytics.queries ++ TpchAnalytics.queries ++ TpchAnalytics2.queries ++
       TextAnalytics.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
       StatefulQueries.queries ++ ExtendedAnalytics.queries ++

@@ -13,7 +13,11 @@ class QueriesSpec extends AnyFunSuite {
 
   // Queries where an empty result at sf0.001 is legitimate (tiny data).
   private val mayBeEmpty =
-    Set("q8_blacklist", "q9_login_fail", "q9_login_burst", "split_contamination")
+    Set("q8_blacklist", "q9_login_fail", "q9_login_burst", "split_contamination",
+      // sf0.001 has ~10 suppliers across 25 nations: NATION_7 (q11's
+      // supplying nation) has none there, and q20's dominance test can
+      // select zero suppliers from so thin a pair graph
+      "tpch_q11_important_stock", "tpch_q20_excess_supply")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name} runs and returns rows at sf0.001") {
