@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Corpus-mining tier: the term-weighting and clustering operators a
+  * training-data pipeline runs after cleaning — TF-IDF keyword
+  * extraction, BM25 retrieval scoring, and k-means over embeddings
+  * (the operator that trains an IVF index's coarse quantizer).
+  *
+  * Determinism: IDF/BM25 logs are doubles computed from exact integer
+  * counts (identical inputs both engines) and rounded to 6 decimals
+  * before any ranking; BM25's per-document sum quantizes each term's
+  * contribution to DECIMAL(28,9) first so the 3-term addition is
+  * order-independent; k-means centroid updates are the IVF
+  * decimal-sum-per-dimension pattern, and every argmin is pinned by
+  * round(dist, 6) + centroid-id tiebreak.
+  */
+object CorpusMining {
+
+  /** Tokens: lowercase alpha-numeric runs. The same RE2-safe class
+    * splits in Spark (Java regex) and DuckDB (RE2) identically.
+    */
+  private def tokensCol: Column =
+    filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  // -------------------------------------------------------------- TF-IDF
+  /** Top-5 TF-IDF terms per document. One explode pass builds the
+    * (doc, term) frequency table; document frequency is a rollup OF
+    * that table (same exchange, reused by AQE); the vocabulary-sized
+    * df side broadcasts back onto tf, so the per-doc ranking is the
+    * only doc-keyed shuffle. At 100 TB tf is huge but stays
+    * (doc,term)-partitioned end-to-end; df/N are vocabulary/scalar
+    * sized — exactly the sides that broadcast.
+    */
+  private def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_r").desc, col("term"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_r",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf_r"), col("rn"))
+  }
+
+  private val tfidfOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.term
+       |  FROM documents, unnest($duckToks) AS t(term)),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT doc_id, term, tf, df, tfidf_r, rn FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf_r,
+       |         row_number() OVER (
+       |           PARTITION BY tf.doc_id
+       |           ORDER BY round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) DESC, tf.term) AS rn
+       |  FROM tf JOIN df USING (term) CROSS JOIN n) s
+       |WHERE rn <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- BM25
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("spark", "window", "join")
+
+  /** BM25 retrieval scoring: top-20 documents for a fixed 3-term
+    * query. Term statistics (df, avgdl, N) are tiny and broadcast;
+    * the only doc-keyed work is the per-doc length rollup and the
+    * filtered tf — the query-term filter lands BEFORE the tf group-by,
+    * so the scored side is |docs containing a query term|, not the
+    * full posting table. Each term's contribution quantizes to
+    * DECIMAL(28,9) before the per-doc sum, making the 3-double
+    * addition order-independent cross-engine.
+    */
+  private def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // avgdl = exact BIGINT sum / exact count — one double division
+    val stats = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val tfq = toks.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tfq.join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    contrib
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(round(col("c"), 9).cast(DecimalType(28, 9))).cast("double"), 6)
+          .as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25Oracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.term
+       |  FROM documents, unnest($duckToks) AS t(term)),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n_docs FROM dl),
+       |tfq AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |  WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+       |contrib AS (
+       |  SELECT tfq.doc_id,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * (${Bm25K1} + 1.0))
+       |      / (tf + ${Bm25K1} * (1.0 - ${Bm25B} + ${Bm25B} * dl.dl / avgdl)) AS c
+       |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id,
+       |       round(CAST(SUM(CAST(round(c, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
+       |       CAST(count(*) AS BIGINT) AS n_terms
+       |FROM contrib
+       |GROUP BY 1
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------- k-means
+  private val KmeansK = 8
+
+  /** Squared L2 distance between a double-array centroid and a float
+    * vector, as the same sequential fold both engines run.
+    */
+  private def dist2Col(centCol: String, vecCol: String): Column =
+    aggregate(
+      zip_with(col(centCol), col(vecCol),
+        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+      lit(0.0), (a, v) => a + v)
+
+  private def duckDist2(centCol: String, vecCol: String): String =
+    s"""list_aggregate(list_transform(range(1, len($centCol) + 1),
+       |  i -> ($centCol[i] - $vecCol[i]::DOUBLE) * ($centCol[i] - $vecCol[i]::DOUBLE)), 'sum')""".stripMargin
+
+  /** K-means over the embedding corpus — 2 Lloyd iterations, k=8,
+    * md5-ordered seeds — the coarse-quantizer training step an IVF
+    * index needs. Every stage is a join or an aggregation:
+    * assignment = crossJoin against the k-row broadcast centroid
+    * table + rank-1 argmin (WindowGroupLimit); update = the
+    * unexploded 64-column decimal-sum pattern from ann_ivf (one pass,
+    * order-independent, bit-stable doubles). Nothing iterates on the
+    * driver and no stage materializes O(n·k) state beyond the argmin
+    * shuffle, so iteration count and k scale independently of corpus
+    * size. Output: final assignment + rounded distance per vector.
+    */
+  private def kmeansEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
+    // deterministic seeds: the k smallest md5(vec_id) — a TakeOrdered
+    // (per-partition heap), not a global sort
+    val wSeed = Window.orderBy(col("skey"), col("vec_id"))
+    val seeds = v.withColumn("skey", md5(col("vec_id").cast("string")))
+      .orderBy(col("skey"), col("vec_id")).limit(KmeansK)
+      .withColumn("cid", row_number().over(wSeed).cast("long") - 1)
+      .select(col("cid"), transform(col("e"), x => x.cast("double")).as("cv"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val wMin = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d"), col("cid"))
+      v.crossJoin(broadcast(cents))
+        .withColumn("d", round(dist2Col("cv", "e"), 6))
+        .withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("cid"), col("d"))
+    }
+
+    def update(assigned: DataFrame): DataFrame = {
+      val dims = 1 to 64
+      val dimSums = dims.map(i =>
+        sum(element_at(col("e"), i).cast("double").cast(DecimalType(30, 12))).as(s"s$i")) :+
+        count(lit(1)).as("cnt")
+      assigned.groupBy(col("cid"))
+        .agg(dimSums.head, dimSums.tail: _*)
+        .select(col("cid"),
+          array(dims.map(i => col(s"s$i").cast("double") / col("cnt")): _*).as("cv"))
+    }
+
+    val a2 = assign(update(assign(seeds)))
+    a2.select(col("vec_id"), col("cid").as("cluster"), col("d").as("dist2_r"))
+  }
+
+  private val kmeansOracle = {
+    val d2 = duckDist2("cv", "e")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |seeds AS (
+       |  SELECT e, rn - 1 AS cid FROM (
+       |    SELECT e, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM v) s
+       |  WHERE rn <= $KmeansK),
+       |c0 AS (SELECT cid, list_transform(e, x -> x::DOUBLE) AS cv FROM seeds),
+       |a1 AS (
+       |  SELECT vec_id, e, cid FROM (
+       |    SELECT v.vec_id, v.e, c0.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round($d2, 6), c0.cid) AS rn
+       |    FROM v CROSS JOIN c0) s
+       |  WHERE rn = 1),
+       |s1 AS (
+       |  SELECT cid, g.i AS pos,
+       |         CAST(SUM(CAST(e[g.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+       |  FROM a1 CROSS JOIN generate_series(1, 64) g(i)
+       |  GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM s1 GROUP BY 1),
+       |a2 AS (
+       |  SELECT vec_id, cid, d FROM (
+       |    SELECT v.vec_id, c1.cid, round($d2, 6) AS d,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round($d2, 6), c1.cid) AS rn
+       |    FROM v CROSS JOIN c1) s
+       |  WHERE rn = 1)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist2_r
+       |FROM a2""".stripMargin
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("tfidf_top_terms", Some(tfidfOracle), tfidfTopTerms),
+    GraftQuery("bm25_search", Some(bm25Oracle), bm25Search),
+    GraftQuery("kmeans_embeddings", Some(kmeansOracle), kmeansEmbeddings),
+  )
+}
