@@ -542,6 +542,56 @@ object DedupQueries {
       |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
       |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5""".stripMargin
 
+  // --------------------------------------- triangle counts (graph)
+  /** Per-document triangle counts over the SimHash near-dup graph —
+    * the local clustering signal that separates tight duplicate
+    * cliques (many triangles) from chains of borderline pairs (none),
+    * which is how a dedup pipeline decides between "collapse the
+    * whole cluster" and "verify pairwise". Edges are oriented a<b, so
+    * each triangle enumerates exactly once as a<b<c: two self-joins —
+    * both partitioned by the join key, candidates ∝ wedges, never
+    * all-pairs — then one explode + rollup for the per-node counts.
+    */
+  private def neardupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = simhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(e.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private val trianglesOracle =
+    s"""WITH $duckSimhash,
+       |banded AS (
+       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
+       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |e AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e1.doc_b = e2.doc_a
+       |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |nodes AS (
+       |  SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM nodes GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
     GraftQuery("dedup_minhash_lsh", Some(minhashOracle), minhashLsh),
@@ -552,5 +602,6 @@ object DedupQueries {
     GraftQuery("neardup_pagerank", Some(pagerankOracle), neardupPagerank),
     GraftQuery("split_contamination", Some(contaminationOracle), splitContamination),
     GraftQuery("pair_edit_distance", Some(pairEditOracle), pairEditDistance),
+    GraftQuery("neardup_triangles", Some(trianglesOracle), neardupTriangles),
   )
 }
