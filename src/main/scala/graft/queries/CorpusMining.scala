@@ -49,7 +49,10 @@ object CorpusMining {
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_r").desc, col("term"))
-    tf.join(broadcast(dfT), "term")
+    // no broadcast hint on dfT: vocabulary size is unbounded at corpus
+    // scale, so let AQE pick broadcast vs shuffle from the actual size
+    // (a forced hint would bypass the threshold and can OOM at 100 TB)
+    tf.join(dfT, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_r",
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
@@ -190,18 +193,24 @@ object CorpusMining {
         .select(col("vec_id"), col("e"), col("cid"), col("d"))
     }
 
-    def update(assigned: DataFrame): DataFrame = {
+    // a centroid that captures zero vectors this round keeps its
+    // previous position (deterministic re-seed via left join +
+    // coalesce) so the output always has exactly k cells — the IVF
+    // coarse-quantizer contract
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
       val dims = 1 to 64
       val dimSums = dims.map(i =>
         sum(element_at(col("e"), i).cast("double").cast(DecimalType(30, 12))).as(s"s$i")) :+
         count(lit(1)).as("cnt")
-      assigned.groupBy(col("cid"))
+      val means = assigned.groupBy(col("cid"))
         .agg(dimSums.head, dimSums.tail: _*)
         .select(col("cid"),
-          array(dims.map(i => col(s"s$i").cast("double") / col("cnt")): _*).as("cv"))
+          array(dims.map(i => col(s"s$i").cast("double") / col("cnt")): _*).as("mv"))
+      prev.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }
 
-    val a2 = assign(update(assign(seeds)))
+    val a2 = assign(update(assign(seeds), seeds))
     a2.select(col("vec_id"), col("cid").as("cluster"), col("d").as("dist2_r"))
   }
 
@@ -226,7 +235,9 @@ object CorpusMining {
        |         CAST(SUM(CAST(e[g.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
        |  FROM a1 CROSS JOIN generate_series(1, 64) g(i)
        |  GROUP BY 1, 2),
-       |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM s1 GROUP BY 1),
+       |c1m AS (SELECT cid, list(m ORDER BY pos) AS mv FROM s1 GROUP BY 1),
+       |c1 AS (SELECT c0.cid, coalesce(c1m.mv, c0.cv) AS cv
+       |       FROM c0 LEFT JOIN c1m USING (cid)),
        |a2 AS (
        |  SELECT vec_id, cid, d FROM (
        |    SELECT v.vec_id, c1.cid, round($d2, 6) AS d,

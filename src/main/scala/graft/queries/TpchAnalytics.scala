@@ -363,14 +363,14 @@ object TpchAnalytics {
     * double count so both engines compute the identical scalar.
     */
   private def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_corr_customer")
     spark.sql(
       """SELECT c_custkey, c_acctbal,
         |       CAST(c_nationkey AS BIGINT) AS c_nationkey
-        |FROM graft_customer c
+        |FROM graft_corr_customer c
         |WHERE c_acctbal > (
         |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-        |  FROM graft_customer c2
+        |  FROM graft_corr_customer c2
         |  WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
   }
 
@@ -435,10 +435,10 @@ object TpchAnalytics {
     * division is a single IEEE op on identical inputs.
     */
   private def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
-    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
-    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
-    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
-    Tables.region(spark, dir).createOrReplaceTempView("graft_region")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q2_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q2_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_q2_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_q2_region")
     // the offers rollup feeds BOTH the outer join chain and the
     // correlated-min subquery; SQL CTEs are inlined (re-executed) per
     // reference, so materialize it once — the "CTE materialization" a
@@ -447,18 +447,18 @@ object TpchAnalytics {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
       .localCheckpoint()
-      .createOrReplaceTempView("graft_offers")
+      .createOrReplaceTempView("graft_q2_offers")
     spark.sql(
-      """WITH offers AS (SELECT * FROM graft_offers)
+      """WITH offers AS (SELECT * FROM graft_q2_offers)
         |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, o.unit_cost
-        |FROM graft_part p, offers o, graft_supplier s, graft_nation n, graft_region r
+        |FROM graft_q2_part p, offers o, graft_q2_supplier s, graft_q2_nation n, graft_q2_region r
         |WHERE p.p_partkey = o.l_partkey AND s.s_suppkey = o.l_suppkey
         |  AND p.p_size = 15
         |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
         |  AND r.r_name = 'EUROPE'
         |  AND o.unit_cost = (
         |    SELECT min(o2.unit_cost)
-        |    FROM offers o2, graft_supplier s2, graft_nation n2, graft_region r2
+        |    FROM offers o2, graft_q2_supplier s2, graft_q2_nation n2, graft_q2_region r2
         |    WHERE o2.l_partkey = p.p_partkey AND s2.s_suppkey = o2.l_suppkey
         |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
         |      AND r2.r_name = 'EUROPE')
@@ -638,18 +638,18 @@ object TpchAnalytics {
     * anti-join, written in SQL so Catalyst plans the decorrelation.
     */
   private def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q22_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q22_orders")
     spark.sql(
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       count(*) AS numcust,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-        |FROM graft_customer c
+        |FROM graft_q22_customer c
         |WHERE c_acctbal > (
         |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-        |    FROM graft_customer WHERE c_acctbal > 0.0)
+        |    FROM graft_q22_customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (
-        |    SELECT 1 FROM graft_orders
+        |    SELECT 1 FROM graft_q22_orders
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
         |GROUP BY 1""".stripMargin)

@@ -67,7 +67,10 @@ object TpchAnalytics2 {
           .cast("double").as("nation_volume"),
         sum(decVol).cast("double").as("total_volume"))
       .select(col("o_year"),
-        (col("nation_volume") / col("total_volume")).as("mkt_share"),
+        // guard the zero-volume year: NULL, not NaN — NaN ordering
+        // differs across downstream consumers
+        when(col("total_volume") =!= 0.0,
+          col("nation_volume") / col("total_volume")).as("mkt_share"),
         col("nation_volume"), col("total_volume"))
   }
 
@@ -87,7 +90,8 @@ object TpchAnalytics2 {
       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |    AND p_type = 'PROMO'
       |  GROUP BY 1)
-      |SELECT o_year, nation_volume / total_volume AS mkt_share,
+      |SELECT o_year,
+      |       CASE WHEN total_volume <> 0.0 THEN nation_volume / total_volume END AS mkt_share,
       |       nation_volume, total_volume
       |FROM s""".stripMargin
 
@@ -252,10 +256,10 @@ object TpchAnalytics2 {
       .agg(sum(decVol).as("total_rev"))
       .localCheckpoint()
       .createOrReplaceTempView("graft_q15_revenue")
-    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q15_supplier")
     spark.sql(
       """SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
-        |FROM graft_supplier, graft_q15_revenue
+        |FROM graft_q15_supplier, graft_q15_revenue
         |WHERE s_suppkey = l_suppkey
         |  AND total_rev = (SELECT MAX(total_rev) FROM graft_q15_revenue)
         |ORDER BY s_suppkey""".stripMargin)
@@ -318,17 +322,17 @@ object TpchAnalytics2 {
     * scalar.
     */
   private def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
-    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q17_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q17_part")
     spark.sql(
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_weekly_revenue,
         |       CAST(COUNT(*) AS BIGINT) AS n_small
-        |FROM graft_lineitem l, graft_part p
+        |FROM graft_q17_lineitem l, graft_q17_part p
         |WHERE p.p_partkey = l.l_partkey
         |  AND p.p_brand = 'Brand#2' AND p.p_size < 10
         |  AND l.l_quantity < (
         |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-        |    FROM graft_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+        |    FROM graft_q17_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
   }
 
   private val tpchQ17Oracle =
@@ -360,11 +364,11 @@ object TpchAnalytics2 {
       .agg(sum(decQty).as("sq"))
       .localCheckpoint()
       .createOrReplaceTempView("graft_q20_shipped")
-    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
-    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q20_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_q20_nation")
     spark.sql(
       """SELECT s_suppkey, s_name
-        |FROM graft_supplier JOIN graft_nation ON s_nationkey = n_nationkey
+        |FROM graft_q20_supplier JOIN graft_q20_nation ON s_nationkey = n_nationkey
         |WHERE n_name = 'NATION_19'
         |  AND s_suppkey IN (
         |    SELECT l_suppkey FROM graft_q20_shipped g
