@@ -19,7 +19,8 @@ object SparkEntry {
       SimilarityQueries.queries ++ Multimodal.queries ++
       StatefulQueries.queries ++ ExtendedAnalytics.queries ++
       RelationalExtras.queries ++ SequenceAnalytics.queries ++
-      StatsAnalytics.queries ++ CorpusMining.queries ++ SketchQueries.queries
+      StatsAnalytics.queries ++ CorpusMining.queries ++ SketchQueries.queries ++
+      PipelineShaping.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

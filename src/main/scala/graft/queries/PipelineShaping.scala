@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Pipeline-shaping tier: the operators that turn a cleaned corpus
+  * into model-ready training batches, plus the warehouse-side history
+  * build —
+  *
+  *  - corpus n-gram statistics (the LM-data profile every mixture
+  *    decision starts from),
+  *  - document chunking (overlapping token windows — the unit a
+  *    context-length-bounded trainer actually consumes),
+  *  - sequence packing (concat-and-cut assignment of docs to
+  *    fixed-size context windows, the step that decides padding waste),
+  *  - boilerplate-span detection (per-doc share of shingles repeated
+  *    across the corpus — the C4-style "remove repeated lines" signal),
+  *  - SCD Type-2 interval build (gaps-and-islands change suppression
+  *    over an event stream — the classic warehouse dimension history).
+  *
+  * Scale posture: every operator is explode → partial-agg → key-join /
+  * window with an explicit partitioning key; nothing is all-pairs and
+  * nothing sorts globally (packing windows partition by `source`, SCD2
+  * windows by `user_id` — at 100 TB those are the natural shard keys
+  * and each group's sort is a spillable per-partition sort).
+  */
+object PipelineShaping {
+
+  // ----------------------------------------------------- n-gram counts
+  /** Corpus-wide top-50 word bigrams with occurrence and document
+    * frequency — the n-gram profile used for mixture weighting and
+    * contamination screens. One explode pass; the rollup's partial
+    * aggregation absorbs the heavy hitters map-side, and the top-50 is
+    * a TakeOrderedAndProject (per-partition heap), never a global sort.
+    */
+  private def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), explode(TextFunctions.wordShingles("toks", 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(50)
+  }
+
+  private val ngramCountsOracle =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      |    ELSE [] END) AS bigram
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents))
+      |SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+      |FROM bg GROUP BY 1
+      |ORDER BY n_occurrences DESC, bigram
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------- document chunking
+  private val ChunkSize = 32
+  private val ChunkStride = 24 // 8-token overlap between consecutive chunks
+
+  /** Overlapping token-window chunks (32 tokens, stride 24): each doc
+    * expands to ceil(n/stride) chunks, the final one partial. Chunk
+    * starts come from `sequence()` + `posexplode` and the chunk text
+    * from `slice` — all codegen'd builtins over the one token array,
+    * so the expansion rides the scan with zero shuffles; the md5 chunk
+    * hash is the dedupable unit downstream chunk-level dedup keys on.
+    */
+  private def docChunking(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start")),
+        col("toks"))
+      .withColumn("chunk", slice(col("toks"), col("start"), lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  private val docChunkingOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |ch AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS start FROM t)
+       |SELECT doc_id, (start - 1) // $ChunkStride AS chunk_idx,
+       |       CAST(len(list_slice(w, start, start + ${ChunkSize - 1})) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(list_slice(w, start, start + ${ChunkSize - 1}), ' ')) AS chunk_hash
+       |FROM ch""".stripMargin
+
+  // ---------------------------------------------------- sequence packing
+  private val CtxTokens = 256
+
+  /** Concat-and-cut sequence packing: docs are concatenated in doc_id
+    * order within each source and cut into 256-token context windows;
+    * a doc belongs to the window its first token lands in. Output is
+    * the per-(source, bin) packing manifest — doc count, token count,
+    * id range — the thing a batch loader materializes. The running
+    * offset is ONE window cumsum partitioned by `source` (the shard
+    * key a real pipeline packs within), so no global sort exists and
+    * sources pack in parallel; the manifest rollup reuses the same
+    * (source)-keyed exchange.
+    */
+  private def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+      .withColumn("cum", sum(col("dl")).over(w))
+      .withColumn("bin", expr(s"(cum - dl) div $CtxTokens"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  private val sequencePackingOracle =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, doc_id, dl,
+       |         sum(dl) OVER (PARTITION BY source ORDER BY doc_id
+       |                       ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT source, CAST((cum - dl) // $CtxTokens AS BIGINT) AS bin,
+       |       count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM o GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- boilerplate spans
+  /** Per-document boilerplate ratio: the share of a doc's distinct
+    * word-3-shingles that occur in at least one OTHER document — the
+    * corpus-level repeated-span signal C4-style cleaning thresholds
+    * on. Document frequency is a rollup OF the shingle table (shingle-
+    * keyed, reused exchange) joined back on the shingle key; candidate
+    * volume is the shingle table itself, never doc-pairs.
+    */
+  private def boilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("shs", array_distinct(TextFunctions.wordShingles("toks", 3)))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+  }
+
+  private val boilerplateOracle =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+      |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+      |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+      |FROM sh JOIN df USING (sh)
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------ SCD Type-2
+  /** SCD Type-2 history build over the event stream: consecutive
+    * same-type events per user collapse into one validity interval
+    * (gaps-and-islands change suppression), each interval closed by
+    * the next change's start and the last left open (`is_current`).
+    * All three window stages — change flag, island id, interval close
+    * — partition by `user_id`, so the plan has ONE user-keyed exchange
+    * and the interval rollup rides it. Timestamps surface as epoch
+    * microseconds (exact BIGINTs both engines).
+    */
+  private def scd2UserState(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wIsl = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+          col("event_type") =!= lag(col("event_type"), 1).over(wOrd), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(wRun))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(unix_micros(col("ts"))).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wIsl))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1L).otherwise(0L))
+  }
+
+  private val scd2Oracle =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_type, ts_us, event_id,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR event_type <> lag(event_type) OVER w
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, ts_us,
+      |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT user_id, run_id, min(event_type) AS event_type,
+      |         CAST(min(ts_us) AS BIGINT) AS valid_from_us, count(*) AS n_events
+      |  FROM runs GROUP BY 1, 2)
+      |SELECT user_id, run_id, event_type, valid_from_us,
+      |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+      |       n_events,
+      |       CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM iv""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("ngram_counts", Some(ngramCountsOracle), ngramCounts),
+    GraftQuery("doc_chunking", Some(docChunkingOracle), docChunking),
+    GraftQuery("sequence_packing", Some(sequencePackingOracle), sequencePacking),
+    GraftQuery("boilerplate_spans", Some(boilerplateOracle), boilerplateSpans),
+    GraftQuery("scd2_user_state", Some(scd2Oracle), scd2UserState),
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the pipeline-shaping tier (exact values
+  * are oracle-gated; these assert the properties the oracle can't
+  * state — partition/coverage/interval laws).
+  */
+class PipelineShapingSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("ngram_counts: doc frequency never exceeds occurrences, top-50 bounded") {
+    val df = SparkEntry.queries("ngram_counts")(spark, sf)
+    assert(df.count() <= 50)
+    assert(df.filter(col("n_docs") > col("n_occurrences")).isEmpty)
+  }
+
+  test("doc_chunking: chunk indexes contiguous from 0, full coverage with overlap") {
+    val chunks = SparkEntry.queries("doc_chunking")(spark, sf)
+    // per doc: chunk_idx runs 0..max with no gaps
+    val idx = chunks.groupBy("doc_id")
+      .agg(min("chunk_idx").as("lo"), max("chunk_idx").as("hi"),
+        count(lit(1)).as("n"))
+    assert(idx.filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1).isEmpty)
+    // every chunk holds 1..32 tokens; chunks cover at least all tokens
+    assert(chunks.filter(col("n_tokens") < 1 || col("n_tokens") > 32).isEmpty)
+    val covered = chunks.groupBy("doc_id").agg(sum("n_tokens").as("ct"))
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n"))
+    assert(covered.join(toks, "doc_id").filter(col("ct") < col("n")).isEmpty,
+      "chunks must cover every token at least once")
+  }
+
+  test("sequence_packing: bins partition each source's token stream") {
+    val bins = SparkEntry.queries("sequence_packing")(spark, sf)
+    val perSource = bins.groupBy("source")
+      .agg(sum("n_tokens").as("bt"), sum("n_docs").as("bd"),
+        min("bin").as("lo"), max("bin").as("hi"))
+    val truth = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(sum(size(split(trim(col("text")), " "))).as("tt"),
+        count(lit(1)).as("td"))
+    val j = perSource.join(truth, "source")
+    assert(j.filter(col("bt") =!= col("tt") || col("bd") =!= col("td")).isEmpty,
+      "every doc and every token lands in exactly one bin")
+    assert(j.filter(col("lo") =!= 0).isEmpty, "first bin is 0 per source")
+    // bin ids are dense: max bin < total tokens / ctx + 1
+    assert(j.filter(col("hi") > col("tt") / 256 + 1).isEmpty)
+  }
+
+  test("boilerplate_spans: ratio is a proper fraction of the shingle rollup") {
+    val df = SparkEntry.queries("boilerplate_spans")(spark, sf)
+    assert(df.filter(col("n_dup_shingles") > col("n_shingles")).isEmpty)
+    assert(df.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).isEmpty)
+  }
+
+  test("scd2_user_state: intervals chain without overlap, one open per user") {
+    val iv = SparkEntry.queries("scd2_user_state")(spark, sf)
+    // exactly one open (is_current) interval per user
+    val open = iv.groupBy("user_id").agg(sum("is_current").as("n_open"))
+    assert(open.filter(col("n_open") =!= 1).isEmpty)
+    // closed intervals end strictly after they start, and runs chain:
+    // each interval's valid_to equals the next run's valid_from
+    assert(iv.filter(col("valid_to_us").isNotNull &&
+      col("valid_to_us") <= col("valid_from_us")).isEmpty)
+    val chained = iv.as("a").join(iv.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.run_id") === col("b.run_id") - 1)
+    assert(chained.filter(col("a.valid_to_us") =!= col("b.valid_from_us")).isEmpty)
+    // interval event counts partition the event table
+    val total = iv.agg(sum("n_events")).first().getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+  }
+}
