@@ -249,9 +249,75 @@ object CorpusMining {
        |FROM a2""".stripMargin
   }
 
+  // ------------------------------------------------------- PMI bigrams
+  private val PmiMinCount = 5
+
+  /** Pointwise-mutual-information collocations: the top-50 bigrams
+    * whose parts co-occur far more than independence predicts — the
+    * phrase-mining signal tokenizer/vocab builders rank merge
+    * candidates with. Unigram and bigram tables are each one explode +
+    * rollup; the PMI join keys on the two component terms, so both
+    * sides stay term-partitioned (vocabulary-sized — AQE picks
+    * broadcast when they fit, shuffle when they don't); corpus totals
+    * are scalars and broadcast. All logs are over exact integer counts
+    * rounded to 6 decimals before ranking, with the bigram as the
+    * unique tiebreak.
+    */
+  private def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = Tables.documents(spark, dir).select(tokensCol.as("toks"))
+    val uni = toksDf.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val nUni = uni.agg(sum(col("cu")).as("n_uni"))
+    val big = toksDf
+      .select(explode(graft.plans.TextExpressions.wordShingles(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= PmiMinCount)
+    val nBig = toksDf
+      .select(sum(greatest(size(col("toks")) - 1, lit(0))).as("n_big"))
+    big
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("term").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(nBig))
+      .crossJoin(broadcast(nUni))
+      .withColumn("pmi", round(
+        log((col("cb").cast("double") / col("n_big")) /
+          ((col("c1").cast("double") / col("n_uni")) *
+            (col("c2").cast("double") / col("n_uni")))), 6))
+      .select(col("bigram"), col("cb").as("n_cooccur"),
+        col("c1"), col("c2"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(50)
+  }
+
+  private val pmiOracle =
+    s"""WITH t AS (SELECT $duckToks AS l FROM documents),
+       |uni AS (
+       |  SELECT u.term, CAST(count(*) AS BIGINT) AS cu
+       |  FROM t, unnest(l) AS u(term) GROUP BY 1),
+       |nu AS (SELECT CAST(sum(cu) AS BIGINT) AS n_uni FROM uni),
+       |bg AS (
+       |  SELECT b.bigram, CAST(count(*) AS BIGINT) AS cb
+       |  FROM t, unnest(CASE WHEN len(l) >= 2
+       |    THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+       |    ELSE [] END) AS b(bigram)
+       |  GROUP BY 1 HAVING count(*) >= $PmiMinCount),
+       |nb AS (SELECT CAST(sum(greatest(len(l) - 1, 0)) AS BIGINT) AS n_big FROM t)
+       |SELECT bigram, cb AS n_cooccur, u1.cu AS c1, u2.cu AS c2,
+       |       round(ln((CAST(cb AS DOUBLE) / n_big) /
+       |         ((CAST(u1.cu AS DOUBLE) / n_uni) * (CAST(u2.cu AS DOUBLE) / n_uni))), 6) AS pmi
+       |FROM bg
+       |JOIN uni u1 ON u1.term = string_split(bigram, ' ')[1]
+       |JOIN uni u2 ON u2.term = string_split(bigram, ' ')[2]
+       |CROSS JOIN nb CROSS JOIN nu
+       |ORDER BY pmi DESC, bigram
+       |LIMIT 50""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("tfidf_top_terms", Some(tfidfOracle), tfidfTopTerms),
     GraftQuery("bm25_search", Some(bm25Oracle), bm25Search),
     GraftQuery("kmeans_embeddings", Some(kmeansOracle), kmeansEmbeddings),
+    GraftQuery("pmi_bigrams", Some(pmiOracle), pmiBigrams),
   )
 }

@@ -224,11 +224,86 @@ object PipelineShaping {
       |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM iv""".stripMargin
 
+  // ------------------------------------------------------ forward fill
+  /** Per-user forward fill (LOCF imputation): every event carries the
+    * value of the user's most recent `purchase` — the feature-
+    * engineering backfill that turns sparse signals into dense
+    * training columns. One user-partitioned window (`last(...,
+    * ignoreNulls)` over an unbounded-preceding frame); the carried
+    * value is the raw stored double (no arithmetic), so equality is
+    * bit-exact cross-engine. A deterministic 1-in-20 user sample keeps
+    * the dumped result compact; the filter pushes to the scan.
+    */
+  private def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .withColumn("pv",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        last(col("pv"), ignoreNulls = true).over(w).as("last_purchase_value"))
+  }
+
+  private val forwardFillOracle =
+    """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type,
+      |       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+      |FROM events
+      |WHERE user_id % 20 = 0""".stripMargin
+
+  // -------------------------------------------- incremental agg merge
+  /** Incremental materialized-view maintenance: per-user lifetime
+    * aggregates kept as MERGEABLE partials (count → sum, decimal sum →
+    * sum, max → max), with a delta slice folded into the base partials
+    * instead of recomputing from scratch. The merge is a union of two
+    * partial tables + one re-aggregation on the view key — at 100 TB
+    * the base partials are a compact keyed table and each refresh
+    * touches only the delta, which is the entire point of the pattern.
+    * The DuckDB oracle computes the view from raw events in one pass,
+    * proving merge == full recompute exactly (decimal sums make the
+    * fold order-independent).
+    */
+  private def incrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+    // deterministic 80/20 base/delta slice by event_id — stands in for
+    // "yesterday's partials" + "today's arrivals"
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_value"),
+          max(col("ts_us")).as("last_ts_us"))
+    val base = partials(e.filter(col("event_id") % 5 =!= 4))
+    val delta = partials(e.filter(col("event_id") % 5 === 4))
+    base.unionByName(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        // exact decimal merge; surfaced as double per the oracle
+        // convention (DECIMAL(18,2) holds every partial exactly)
+        sum(col("sum_value")).cast("decimal(18,2)").cast("double").as("sum_value"),
+        max(col("last_ts_us")).as("last_ts_us"))
+      .withColumn("avg_value",
+        round(col("sum_value") / col("n_events"), 6))
+  }
+
+  private val incrementalAggOracle =
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+      |       CAST(max(epoch_ns(ts) // 1000) AS BIGINT) AS last_ts_us,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("ngram_counts", Some(ngramCountsOracle), ngramCounts),
     GraftQuery("doc_chunking", Some(docChunkingOracle), docChunking),
     GraftQuery("sequence_packing", Some(sequencePackingOracle), sequencePacking),
     GraftQuery("boilerplate_spans", Some(boilerplateOracle), boilerplateSpans),
     GraftQuery("scd2_user_state", Some(scd2Oracle), scd2UserState),
+    GraftQuery("forward_fill", Some(forwardFillOracle), forwardFill),
+    GraftQuery("incremental_agg_merge", Some(incrementalAggOracle), incrementalAggMerge),
   )
 }

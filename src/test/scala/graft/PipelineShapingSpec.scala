@@ -72,4 +72,38 @@ class PipelineShapingSpec extends AnyFunSuite {
     val total = iv.agg(sum("n_events")).first().getLong(0)
     assert(total == graft.sources.Tables.events(spark, sf).count())
   }
+
+  test("forward_fill: carried value equals the user's latest preceding purchase") {
+    val df = SparkEntry.queries("forward_fill")(spark, sf)
+    // rows before any purchase are null; purchase rows carry their own value
+    val events = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") % 20 === 0)
+    assert(df.count() == events.count())
+    val purchases = df.filter(col("event_type") === "purchase")
+    val evVals = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    assert(purchases.join(evVals, "event_id")
+      .filter(col("last_purchase_value") =!= col("value")).isEmpty,
+      "a purchase row must carry its own value")
+  }
+
+  test("incremental_agg_merge: merged partials equal a direct full aggregation") {
+    val merged = SparkEntry.queries("incremental_agg_merge")(spark, sf)
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_direct"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("s_direct"))
+    val j = merged.join(direct, "user_id")
+    assert(j.filter(col("n_events") =!= col("n_direct") ||
+      col("sum_value") =!= col("s_direct")).isEmpty,
+      "delta merge must reproduce the full recompute exactly")
+  }
+
+  test("pmi_bigrams: co-occurrence bounded by component counts") {
+    val df = SparkEntry.queries("pmi_bigrams")(spark, sf)
+    assert(df.count() <= 50)
+    assert(df.filter(col("n_cooccur") > col("c1") ||
+      col("n_cooccur") > col("c2")).isEmpty)
+  }
 }
