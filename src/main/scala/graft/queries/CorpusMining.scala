@@ -174,7 +174,12 @@ object CorpusMining {
     * size. Output: final assignment + rounded distance per vector.
     */
   private def kmeansEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the vector table once: it appears four times in the
+    // unrolled Lloyd plan (seeds, two assignments, one update) and a
+    // leaf checkpoint replaces four parquet scans + fan-out exchanges
+    // with one materialization
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
+      .localCheckpoint()
     // deterministic seeds: the k smallest md5(vec_id) — a TakeOrdered
     // (per-partition heap), not a global sort
     val wSeed = Window.orderBy(col("skey"), col("vec_id"))

@@ -132,6 +132,34 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline-shaping tier plans with the minimal exchange set") {
+    def exchanges(name: String): (Int, String) = {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+      ("(?m)^\\s*[+:]?[- ]*Exchange ".r.findAllIn(plan).length, plan)
+    }
+    // chunking is explode-over-scan: the only exchange is the small-scan
+    // fan-out (none beyond it)
+    val (chunkEx, chunkPlan) = exchanges("doc_chunking")
+    assert(chunkEx <= 1, s"doc_chunking must not shuffle beyond fan-out:\n$chunkPlan")
+    // packing: ONE source-keyed exchange feeds both the window and the
+    // manifest rollup
+    val (packEx, packPlan) = exchanges("sequence_packing")
+    assert(packEx <= 2, s"sequence_packing must reuse the source exchange:\n$packPlan")
+    // SCD2: all three window stages + interval rollup ride ONE
+    // user-keyed exchange
+    val (scdEx, scdPlan) = exchanges("scd2_user_state")
+    assert(scdEx <= 2, s"scd2 stages must share the user_id exchange:\n$scdPlan")
+    // forward fill: one user-keyed exchange after the pushed sample
+    // filter; the modulo predicate must reach the scan's data filters
+    val ff = SparkEntry.queries("forward_fill")(spark, sf)
+    val ffPlan = ff.queryExecution.executedPlan.toString()
+    assert("(?m)^\\s*[+:]?[- ]*Exchange ".r.findAllIn(ffPlan).length <= 2, ffPlan)
+    // incremental merge: no cartesians, partial-agg merge is keyed
+    val (_, mergePlan) = exchanges("incremental_agg_merge")
+    assert(!mergePlan.contains("CartesianProduct") &&
+      !mergePlan.contains("BroadcastNestedLoopJoin"), mergePlan)
+  }
+
   test("small single-split scans fan out to session parallelism") {
     val docs = graft.sources.Tables.documents(spark, sf)
     assert(docs.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
