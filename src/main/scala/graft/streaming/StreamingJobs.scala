@@ -566,6 +566,63 @@ object StreamingJobs {
     readRankedOrEmpty(spark, outPath, counts.schema)
   }
 
+  // --------------------------------------------------- SCD2 intervals
+  final case class Scd2Row(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  final case class Scd2State(run_id: Long, event_type: String,
+      valid_from_us: Long, n_events: Long)
+  final case class Scd2Interval(user_id: Long, run_id: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long, n_events: Long, is_current: Long)
+
+  /** Streaming twin of batch `scd2_user_state`: per-user current-state
+    * intervals maintained in GroupState and emitted the moment a type
+    * change CLOSES them — the streaming history build where each closed
+    * interval appends exactly once (the still-open run lives only in
+    * state, the same contract as a warehouse's open SCD2 row).
+    * State per user is one small case class, independent of history
+    * length, so the operator's footprint is O(active users) at scale.
+    * StreamingSpec asserts the closed-interval stream equals the batch
+    * query's closed rows on the same data.
+    */
+  def scd2Stream(spark: SparkSession, dir: String): Dataset[Scd2Interval] =
+    scd2Of(eventsStream(spark, dir))
+
+  /** Core SCD2 operator over any watermarked (user_id, ts, event_id,
+    * event_type) frame — split out so tests can drive it from a
+    * multi-file source with real micro-batch boundaries.
+    */
+  def scd2Of(events: DataFrame): Dataset[Scd2Interval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Scd2Row]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Interval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Scd2Row], state: GroupState[Scd2State]) =>
+          // epoch micros exactly as the batch query's unix_micros
+          def us(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[Scd2Interval]
+          for (r <- it.toSeq.sortBy(r => (r.ts.getTime, r.event_id))) {
+            val tUs = us(r.ts)
+            if (st == null)
+              st = Scd2State(1L, r.event_type, tUs, 1L)
+            else if (r.event_type == st.event_type)
+              st = st.copy(n_events = st.n_events + 1L)
+            else {
+              out += Scd2Interval(uid, st.run_id, st.event_type,
+                st.valid_from_us, tUs, st.n_events, 0L)
+              st = Scd2State(st.run_id + 1L, r.event_type, tUs, 1L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table
     * (AvailableNow file replay) and return the materialized result.
     */

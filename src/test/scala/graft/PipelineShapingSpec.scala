@@ -100,6 +100,18 @@ class PipelineShapingSpec extends AnyFunSuite {
       "delta merge must reproduce the full recompute exactly")
   }
 
+  test("zorder_layout: every 64-key bucket is an aligned 8x8 tile (skippable on both dims)") {
+    val df = SparkEntry.queries("zorder_layout")(spark, sf)
+    // the 6 low Morton bits carry 3 bits per dimension: a bucket's
+    // bounding box can never exceed 8 cells on either axis
+    assert(df.filter(col("qx_max") - col("qx_min") >= 8 ||
+      col("qy_max") - col("qy_min") >= 8).isEmpty,
+      "z-bucket bounding boxes must stay within the aligned tile")
+    assert(df.count() <= 64)
+    val total = df.agg(sum("n_rows")).first().getLong(0)
+    assert(total == graft.sources.Tables.lineitem(spark, sf).count())
+  }
+
   test("pmi_bigrams: co-occurrence bounded by component counts") {
     val df = SparkEntry.queries("pmi_bigrams")(spark, sf)
     assert(df.count() <= 50)

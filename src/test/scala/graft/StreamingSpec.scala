@@ -432,6 +432,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.columns.toSeq == Seq("window_start", "item_id", "cnt", "rn"))
   }
 
+  test("streaming SCD2 closed intervals equal batch scd2_user_state closed rows") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.scd2Stream(spark, sf).toDF(), "scd2_stream", "append")
+    val batch = SparkEntry.queries("scd2_user_state")(spark, sf)
+      .filter(col("valid_to_us").isNotNull)
+      .select("user_id", "run_id", "event_type", "valid_from_us",
+        "valid_to_us", "n_events", "is_current")
+    assert(sortedRows(stream.select("user_id", "run_id", "event_type",
+      "valid_from_us", "valid_to_us", "n_events", "is_current")) ==
+      sortedRows(batch))
+  }
+
   test("streaming funnel snapshots converge to batch funnel_analysis") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.funnelStream(spark, sf).toDF(), "funnel_stream", "append")
