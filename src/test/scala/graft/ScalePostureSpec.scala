@@ -160,6 +160,42 @@ class ScalePostureSpec extends AnyFunSuite {
       !mergePlan.contains("BroadcastNestedLoopJoin"), mergePlan)
   }
 
+  test("runtime bloom filter injects on selective-dim shuffle joins") {
+    // At 100 TB a selective dimension predicate should reach the fact
+    // scan as a runtime bloom filter (Catalyst's InjectRuntimeFilter).
+    // The size thresholds that gate it are tuned for real tables, so
+    // lower them to observe the plan shape at test scale; broadcast is
+    // disabled because the bloom filter targets shuffle joins (a
+    // broadcast join already prunes at the hash lookup).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> scala.util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val orders = graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString()
+      assert(optimized.contains("bloom_filter_might_contain") ||
+        optimized.toLowerCase.contains("bloomfilter"),
+        s"expected an injected runtime bloom filter, plan:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("small single-split scans fan out to session parallelism") {
     val docs = graft.sources.Tables.documents(spark, sf)
     assert(docs.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
