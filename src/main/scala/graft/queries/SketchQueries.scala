@@ -114,8 +114,41 @@ object SketchQueries {
       |  FROM events) t
       |WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------------- HLL sketch rollup
+  /** Mergeable-sketch UV rollup: per-day user sketches
+    * (`hll_sketch_agg`, the Datasketches HLL built into Spark 4)
+    * unioned into a per-event-type total with `hll_union_agg` — the
+    * store-sketch-bytes-not-raw-data pattern that makes distinct-count
+    * rollups O(days × sketch_size) instead of a re-scan at 100 TB.
+    * The sketch union is exactly associative, so the unioned estimate
+    * EQUALS a direct sketch over the raw stream — asserted against
+    * `hll_sketch_agg` over the unsliced data in PipelineShapingSpec, and
+    * bounded against the exact distinct here (both engines' rows
+    * carry the exact UV; the estimate column is rows-only for the
+    * driver since HLL internals are engine-private).
+    */
+  private def uvSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(ts AS LONG) DIV 86400").as("day"), col("user_id"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct(col("user_id")).as("uv_day_exact"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("uv_est"),
+        sum(col("uv_day_exact")).as("uv_day_sum"))
+      .join(
+        e.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("uv_exact")),
+        "event_type")
+      .select(col("event_type"), col("n_days"), col("uv_est"),
+        col("uv_exact"), col("uv_day_sum"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("heavy_hitters_cms", Some(heavyHittersOracle), heavyHittersCms),
     GraftQuery("cdc_latest_compaction", Some(cdcLatestOracle), cdcLatest),
+    GraftQuery("uv_sketch_rollup", None, uvSketchRollup),
   )
 }

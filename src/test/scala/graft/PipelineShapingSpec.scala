@@ -112,6 +112,21 @@ class PipelineShapingSpec extends AnyFunSuite {
     assert(total == graft.sources.Tables.lineitem(spark, sf).count())
   }
 
+  test("uv_sketch_rollup: daily-sketch union equals the direct sketch, bounds hold") {
+    val df = SparkEntry.queries("uv_sketch_rollup")(spark, sf)
+    // union-of-daily == direct sketch over raw rows (exact associativity)
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("uv_direct"))
+    assert(df.join(direct, "event_type")
+      .filter(col("uv_est") =!= col("uv_direct")).isEmpty,
+      "sketch union must be exactly associative")
+    // estimate within HLL error of exact; day-sum is an upper bound
+    assert(df.filter(abs(col("uv_est") - col("uv_exact")) >
+      col("uv_exact") * 0.05 + lit(2)).isEmpty)
+    assert(df.filter(col("uv_day_sum") < col("uv_exact")).isEmpty)
+  }
+
   test("pmi_bigrams: co-occurrence bounded by component counts") {
     val df = SparkEntry.queries("pmi_bigrams")(spark, sf)
     assert(df.count() <= 50)
