@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Data-mixture diagnostics: the information-theoretic and sampling
+  * operators that decide WHAT goes into a training mix —
+  *
+  *  - per-document unigram entropy (gibberish / repetition signal),
+  *  - per-source KL divergence from the corpus distribution (which
+  *    sources skew the mix),
+  *  - weight-proportional sampling without replacement (importance
+  *    sampling for mixture construction).
+  *
+  * Determinism discipline: every entropy/divergence term is a double
+  * computed from exact integer counts, quantized to DECIMAL(38,12)
+  * BEFORE the per-group sum — decimal addition is order-independent,
+  * so the fold needs no sorted collect and scales to any group size.
+  * Sampling keys derive from md5 (identical hex cross-engine).
+  */
+object MixtureAnalytics {
+
+  private def toks(text: Column): Column = split(trim(text), " ")
+
+  // ------------------------------------------------------- doc entropy
+  /** Per-document unigram (Shannon) entropy in nats, plus the
+    * normalized form (entropy / ln(distinct_terms), 1.0 for uniform):
+    * low-entropy documents are repetition-heavy — the cheap quality
+    * gate before expensive model-based scoring. One explode → one
+    * (doc,term) rollup; the per-doc total rides a doc-partitioned
+    * window on the same exchange the final rollup reuses.
+    */
+  private def docEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(wDoc))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("term_ent",
+        round(-col("p") * log(col("p")), 12).cast(DecimalType(38, 12)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        max(col("n")).as("n_tokens"),
+        round(sum(col("term_ent")).cast("double"), 6).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          round(col("entropy") / log(col("n_distinct").cast("double")), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  private val docEntropyOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),
+      |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+      |p AS (
+      |  SELECT doc_id, t, c, sum(c) OVER (PARTITION BY doc_id) AS n
+      |  FROM tc),
+      |e AS (
+      |  SELECT doc_id, n,
+      |         CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 12)
+      |              AS DECIMAL(38,12)) AS term_ent
+      |  FROM p)
+      |SELECT doc_id, count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS n_tokens,
+      |       round(CAST(sum(term_ent) AS DOUBLE), 6) AS entropy,
+      |       CASE WHEN count(*) > 1
+      |            THEN round(round(CAST(sum(term_ent) AS DOUBLE), 6) / ln(CAST(count(*) AS DOUBLE)), 6)
+      |            ELSE 0.0 END AS norm_entropy
+      |FROM e GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------ source divergence
+  /** KL(source ‖ corpus) over unigram distributions: how far each
+    * source's language drifts from the corpus mix — the signal that
+    * reweights or caps a source. Term tables are term-partitioned
+    * rollups; the corpus distribution joins back on the term key;
+    * totals broadcast. Contributions quantize to decimal before the
+    * per-source sum (order-independent at any vocabulary size).
+    */
+  private def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("t"))
+    val bySrc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("cs"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val global = bySrc.groupBy(col("t")).agg(sum(col("cs")).as("cg"))
+    val gTot = global.agg(sum(col("cg")).as("ng"))
+    bySrc
+      .join(global, "t")
+      .join(srcTot, "source")
+      .crossJoin(broadcast(gTot))
+      .withColumn("ps", col("cs").cast("double") / col("ns"))
+      .withColumn("pg", col("cg").cast("double") / col("ng"))
+      .withColumn("kl_term",
+        round(col("ps") * log(col("ps") / col("pg")), 12).cast(DecimalType(38, 12)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        max(col("ns")).as("n_tokens"),
+        round(sum(col("kl_term")).cast("double"), 6).as("kl_divergence"))
+  }
+
+  private val sourceDivergenceOracle =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(trim(text), ' ')) AS t FROM documents),
+      |bs AS (SELECT source, t, count(*) AS cs FROM tok GROUP BY 1, 2),
+      |st AS (SELECT source, sum(cs) AS ns FROM bs GROUP BY 1),
+      |g AS (SELECT t, sum(cs) AS cg FROM bs GROUP BY 1),
+      |gt AS (SELECT sum(cg) AS ng FROM g),
+      |k AS (
+      |  SELECT bs.source, st.ns,
+      |         CAST(round((CAST(cs AS DOUBLE) / ns) *
+      |                ln((CAST(cs AS DOUBLE) / ns) / (CAST(cg AS DOUBLE) / ng)), 12)
+      |              AS DECIMAL(38,12)) AS kl_term
+      |  FROM bs JOIN g USING (t) JOIN st USING (source) CROSS JOIN gt)
+      |SELECT source, count(*) AS n_terms, CAST(max(ns) AS BIGINT) AS n_tokens,
+      |       round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl_divergence
+      |FROM k GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- weighted sampling
+  private val SampleK = 50
+
+  /** Weight-proportional sampling without replacement (Efraimidis–
+    * Spirakis): key = -ln(u)/w with u an md5-derived uniform, keep the
+    * k smallest keys. Deterministic (rerun- and partition-stable),
+    * and the top-k is a TakeOrderedAndProject — a per-partition heap,
+    * no global sort, no per-group state. The mixture-construction
+    * sampler: longer documents (weight = n_chars) are proportionally
+    * more likely, yet every document has a nonzero chance.
+    */
+  private def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      // u in (0,1]: (h+1) / 2^32 over the first 8 md5 hex chars
+      .withColumn("u",
+        (expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS LONG)") + 1.0)
+          / 4294967296.0)
+      .withColumn("skey", round(-log(col("u")) / col("n_chars"), 12))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(SampleK)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("skey"))
+  }
+
+  private val weightedSampleOracle =
+    s"""SELECT doc_id, source, n_chars,
+       |       round(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) + 1.0)
+       |                 / 4294967296.0) / n_chars, 12) AS skey
+       |FROM documents
+       |ORDER BY skey, doc_id
+       |LIMIT $SampleK""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("doc_entropy", Some(docEntropyOracle), docEntropy),
+    GraftQuery("source_divergence", Some(sourceDivergenceOracle), sourceDivergence),
+    GraftQuery("weighted_sample", Some(weightedSampleOracle), weightedSample),
+  )
+}

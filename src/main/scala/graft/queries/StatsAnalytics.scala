@@ -153,10 +153,54 @@ object StatsAnalytics {
       |SELECT event_type, CAST(g.i AS BIGINT) AS q_idx, round(qs[g.i], 6) AS q_value
       |FROM q CROSS JOIN generate_series(1, 4) g(i)""".stripMargin
 
+  // ---------------------------------------------------- outlier scan
+  /** Z-score outlier detection per event type: events more than 3σ
+    * from their group mean, with the score. Group statistics come from
+    * the same decimal-exact moment sums as `stats_moments` (order-
+    * independent, reproducible) and broadcast back onto the scan —
+    * one pass for stats, one filtered pass for the tails, no shuffle
+    * of the fact table at any scale.
+    */
+  private def outlierEvents(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast(DecimalType(18, 2))).as("sx"),
+        sum((v * v).cast(DecimalType(38, 4))).as("sxx"))
+      .select(col("event_type"),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        sqrt(greatest(lit(0.0),
+          col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n"))))
+          .as("std"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .filter(abs(v - col("mean")) > lit(3.0) * col("std"))
+      .select(col("event_id"), col("event_type"), v.as("value"),
+        round((v - col("mean")) / col("std"), 6).as("z_score"))
+  }
+
+  private val outlierOracle =
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT event_type, sx / n AS mean,
+      |         sqrt(greatest(0.0, sxx / n - (sx / n) * (sx / n))) AS std
+      |  FROM s)
+      |SELECT event_id, e.event_type, value,
+      |       round((value - mean) / std, 6) AS z_score
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE abs(value - mean) > 3.0 * std""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("stats_moments", Some(statsMomentsOracle), statsMoments),
     GraftQuery("tpch_q6_revenue", Some(tpchQ6Oracle), tpchQ6),
     GraftQuery("grouping_sets_agg", Some(groupingSetsOracle), groupingSets),
     GraftQuery("quantile_summary", Some(quantilesOracle), quantiles),
+    GraftQuery("outlier_events", Some(outlierOracle), outlierEvents),
   )
 }

@@ -133,4 +133,39 @@ class PipelineShapingSpec extends AnyFunSuite {
     assert(df.filter(col("n_cooccur") > col("c1") ||
       col("n_cooccur") > col("c2")).isEmpty)
   }
+
+  test("doc_entropy: bounded by ln(n_distinct), normalized form in [0,1]") {
+    val df = SparkEntry.queries("doc_entropy")(spark, sf)
+    assert(df.filter(col("entropy") < 0 ||
+      col("entropy") > log(col("n_distinct").cast("double")) + 1e-6).isEmpty)
+    assert(df.filter(col("norm_entropy") < 0 || col("norm_entropy") > 1.000001).isEmpty)
+    // a single-distinct-token doc has zero entropy by definition
+    assert(df.filter(col("n_distinct") === 1 && col("entropy") =!= 0.0).isEmpty)
+  }
+
+  test("source_divergence: KL is non-negative (Gibbs), tokens partition the corpus") {
+    val df = SparkEntry.queries("source_divergence")(spark, sf)
+    assert(df.filter(col("kl_divergence") < -1e-6).isEmpty, "KL must be >= 0")
+    val total = df.agg(sum("n_tokens")).first().getLong(0)
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), " "))).count()
+    assert(total == expected)
+  }
+
+  test("weighted_sample: deterministic under rerun, favors heavy documents") {
+    val a = SparkEntry.queries("weighted_sample")(spark, sf).collect().map(_.toString).sorted
+    val b = SparkEntry.queries("weighted_sample")(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "sample must be rerun-stable")
+    // weight-proportional: the sampled mean n_chars exceeds the corpus mean
+    val sampled = SparkEntry.queries("weighted_sample")(spark, sf)
+      .agg(avg("n_chars")).first().getDouble(0)
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .agg(avg("n_chars")).first().getDouble(0)
+    assert(sampled > corpus, s"weighted sample mean $sampled should exceed corpus mean $corpus")
+  }
+
+  test("outlier_events: every reported row is beyond 3 sigma") {
+    val df = SparkEntry.queries("outlier_events")(spark, sf)
+    assert(df.filter(abs(col("z_score")) <= 3.0).isEmpty)
+  }
 }
