@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // scale-rescue rewrite: pure `abs(x - y) <= band` inner joins
+    // become bucketed equi-joins instead of nested-loop products
+    ext.injectOptimizerRule(_ => BandJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),

@@ -160,6 +160,51 @@ class ScalePostureSpec extends AnyFunSuite {
       !mergePlan.contains("BroadcastNestedLoopJoin"), mergePlan)
   }
 
+  test("BandJoinRewrite: SQL abs-band join plans bucketed and matches the naive result") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .appName("band-rule-test")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      import ext.implicits._
+      // boundary-heavy values: exact multiples of the band (the ±2
+      // probe edge case), off-grid values, and negatives
+      val vals = ((0 until 400).map(i => i * 0.05) ++
+        (0 until 400).map(i => i * 0.013 - 2.0)).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+      val df = vals.toDF("id", "v")
+      df.createOrReplaceTempView("band_a")
+      df.createOrReplaceTempView("band_b")
+      val q = ext.sql(
+        """SELECT a.id AS ia, b.id AS ib FROM band_a a JOIN band_b b
+          |ON abs(a.v - b.v) <= 0.05""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"band join must be rewritten to a bucketed equi-join:\n$plan")
+      // row-for-row identical to the naive cross product on the plain
+      // session (no rule installed there)
+      val naive = vals.flatMap { case (ia, va) =>
+        vals.collect { case (ib, vb) if math.abs(va - vb) <= 0.05 => (ia, ib) }
+      }.toSet
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive,
+        s"rewrite changed the result: missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+      // a join that already has a cross-side equality is left alone
+      val equi = ext.sql(
+        """SELECT count(*) FROM band_a a JOIN band_b b
+          |ON a.id = b.id AND abs(a.v - b.v) <= 0.05""".stripMargin)
+      assert(!equi.queryExecution.optimizedPlan.toString().contains("__graft_band_bucket"))
+      assert(equi.head().getLong(0) == vals.size)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("runtime bloom filter injects on selective-dim shuffle joins") {
     // At 100 TB a selective dimension predicate should reach the fact
     // scan as a runtime bloom filter (Catalyst's InjectRuntimeFilter).
