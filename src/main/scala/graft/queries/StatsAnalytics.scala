@@ -196,11 +196,109 @@ object StatsAnalytics {
       |FROM events e JOIN st ON e.event_type = st.event_type
       |WHERE abs(value - mean) > 3.0 * std""".stripMargin
 
+  // ---------------------------------------------- equi-depth histogram
+  /** Equi-depth (equal-frequency) histogram per event type: 10 ntile
+    * buckets with count and value range — the histogram a cost-based
+    * optimizer keeps per column. Deterministic: tile assignment orders
+    * by (value, event_id), a unique total order both engines share.
+    * One group-partitioned sort; the rollup rides the same exchange.
+    */
+  private def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("tile", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+  }
+
+  private val equiDepthOracle =
+    """SELECT event_type, CAST(tile AS BIGINT) AS tile, count(*) AS n,
+      |       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+      |FROM (
+      |  SELECT event_type, value,
+      |         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile
+      |  FROM events) s
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- rolling features
+  /** Trailing-7-day activity features per event (count + decimal-exact
+    * value sum over the preceding week, current event excluded): the
+    * rolling time-window feature a training pipeline joins onto every
+    * example. RANGE frame on epoch seconds — frame membership depends
+    * only on the ordering VALUE, so ties cannot flip the result; one
+    * user-partitioned sort serves both features. Sampled 1-in-20 users
+    * keep the dump compact; the filter pushes to the scan.
+    */
+  private def rollingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-7L * 86400L, -1L)
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .withColumn("sec", expr("CAST(ts AS LONG)"))
+      .select(col("user_id"), col("event_id"), col("sec"),
+        count(lit(1)).over(w).as("n_prev_7d"),
+        coalesce(sum(col("value").cast(DecimalType(18, 2))).over(w), lit(0))
+          .cast("decimal(18,2)").cast("double").as("sum_prev_7d"))
+  }
+
+  private val rollingOracle =
+    """SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_prev_7d,
+      |       CAST(coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)), 0) AS DOUBLE) AS sum_prev_7d
+      |FROM events
+      |WHERE user_id % 20 = 0
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+      |             RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)""".stripMargin
+
+  // --------------------------------------------------- column stats
+  private val StatCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount")
+
+  /** ANALYZE-style column statistics for the CBO: exact NDV, null
+    * count, min/max per numeric lineitem column — ONE pass computing
+    * all 24 aggregates, then an unpivot of the single stats row (the
+    * stats table a cost-based optimizer and a data-skipping index both
+    * read). Exact distinct per column is the expensive honest form;
+    * the 100 TB swap-in is `approx_count_distinct` per column in the
+    * same single-pass shape.
+    */
+  private def columnStats(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = StatCols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        round(min(col(c)).cast("double"), 6).as(s"min_$c"),
+        round(max(col(c)).cast("double"), 6).as(s"max_$c"))
+    }
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = StatCols.map(c =>
+      s"'$c', ndv_$c, nulls_$c, min_$c, max_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${StatCols.size}, $stackArgs) AS (column_name, ndv, null_count, min_value, max_value)")
+  }
+
+  private val columnStatsOracle = {
+    val selects = StatCols.map(c =>
+      s"""SELECT '$c' AS column_name, count(DISTINCT $c) AS ndv,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+         |  round(CAST(min($c) AS DOUBLE), 6) AS min_value,
+         |  round(CAST(max($c) AS DOUBLE), 6) AS max_value
+         |FROM lineitem""".stripMargin)
+    selects.mkString("\nUNION ALL\n")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("stats_moments", Some(statsMomentsOracle), statsMoments),
     GraftQuery("tpch_q6_revenue", Some(tpchQ6Oracle), tpchQ6),
     GraftQuery("grouping_sets_agg", Some(groupingSetsOracle), groupingSets),
     GraftQuery("quantile_summary", Some(quantilesOracle), quantiles),
     GraftQuery("outlier_events", Some(outlierOracle), outlierEvents),
+    GraftQuery("equi_depth_histogram", Some(equiDepthOracle), equiDepthHistogram),
+    GraftQuery("rolling_features", Some(rollingOracle), rollingFeatures),
+    GraftQuery("column_stats", Some(columnStatsOracle), columnStats),
   )
 }

@@ -168,4 +168,33 @@ class PipelineShapingSpec extends AnyFunSuite {
     val df = SparkEntry.queries("outlier_events")(spark, sf)
     assert(df.filter(abs(col("z_score")) <= 3.0).isEmpty)
   }
+
+  test("equi_depth_histogram: balanced tiles with ordered, non-overlapping ranges") {
+    val df = SparkEntry.queries("equi_depth_histogram")(spark, sf)
+    // ntile balance: within each type, bucket sizes differ by at most 1
+    val spread = df.groupBy("event_type")
+      .agg((max("n") - min("n")).as("spread"))
+    assert(spread.filter(col("spread") > 1).isEmpty)
+    // ranges ordered: tile t's hi <= tile t+1's lo never violated
+    val bad = df.as("a").join(df.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("a.tile") === col("b.tile") - 1)
+      .filter(col("a.hi") > col("b.lo"))
+    assert(bad.isEmpty, "equi-depth buckets must not overlap")
+  }
+
+  test("rolling_features: first event per user sees an empty window") {
+    val df = SparkEntry.queries("rolling_features")(spark, sf)
+    val firsts = df.groupBy("user_id").agg(min("sec").as("first_sec"))
+    val j = df.join(firsts, "user_id").filter(col("sec") === col("first_sec"))
+    assert(j.filter(col("n_prev_7d") =!= 0 || col("sum_prev_7d") =!= 0.0).isEmpty)
+    assert(df.filter(col("n_prev_7d") < 0).isEmpty)
+  }
+
+  test("column_stats: one row per column, ndv bounded by row count, min <= max") {
+    val df = SparkEntry.queries("column_stats")(spark, sf)
+    assert(df.count() == 6)
+    val rows = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(df.filter(col("ndv") > rows || col("min_value") > col("max_value")).isEmpty)
+  }
 }
