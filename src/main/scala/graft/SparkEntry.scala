@@ -20,7 +20,8 @@ object SparkEntry {
       StatefulQueries.queries ++ ExtendedAnalytics.queries ++
       RelationalExtras.queries ++ SequenceAnalytics.queries ++
       StatsAnalytics.queries ++ CorpusMining.queries ++ SketchQueries.queries ++
-      PipelineShaping.queries ++ LayoutAnalytics.queries ++ MixtureAnalytics.queries
+      PipelineShaping.queries ++ LayoutAnalytics.queries ++ MixtureAnalytics.queries ++
+      TemporalAnalytics.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

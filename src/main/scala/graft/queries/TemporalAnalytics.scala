@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Temporal completeness + engagement operators: gap-filled time
+  * series (the dense axis every dashboard and forecast model needs),
+  * rolling active-user windows (DAU/WAU/MAU), and item co-occurrence
+  * (market-basket pairs). All three reduce the fact stream to a
+  * compact distinct/rollup table FIRST and do the expensive
+  * combinatorics (grid join, offset explode, pair self-join) on that
+  * compact table — the shape that keeps them linear-ish at 100 TB.
+  */
+object TemporalAnalytics {
+
+  // ------------------------------------------------- gap-filled series
+  /** Hourly event counts per type over the COMPLETE hour grid —
+    * zero-filled gaps included (a missing hour is data, not absence of
+    * a row). The grid is sequence(min_hour, max_hour) crossed with the
+    * distinct types (both tiny, broadcast); counts left-join onto it.
+    */
+  private def gapfillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(CAST(ts AS LONG) DIV 3600) * 3600").as("hour"))
+    val counts = e.groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("cnt"))
+    val bounds = e.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val types = e.select(col("event_type")).distinct()
+    val grid = broadcast(types)
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour"))
+    grid.join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+  }
+
+  private val gapfillOracle =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600 AS hour
+      |  FROM events),
+      |c AS (SELECT event_type, hour, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+      |hours AS (
+      |  SELECT unnest(range((SELECT h0 FROM b), (SELECT h1 FROM b) + 1, 3600)) AS hour),
+      |g AS (
+      |  SELECT t.event_type, hours.hour
+      |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours)
+      |SELECT g.event_type, g.hour, coalesce(c.cnt, 0) AS n
+      |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour""".stripMargin
+
+  // ------------------------------------------------ rolling actives
+  /** DAU / WAU / MAU per day: distinct users active that day, in the
+    * trailing 7 days, and in the trailing 30 days. The fact stream
+    * first collapses to the distinct (user, day) table; each rolling
+    * window is that compact table exploded by its offset range (7 and
+    * 30 constant fan-outs) and re-distinct-counted — never a distinct
+    * over the raw stream per window. Day grid is continuous min..max
+    * so a zero-activity day still reports its rolling actives.
+    */
+  private def activeUserWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = broadcast(bounds)
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    def rolling(span: Int, name: String): DataFrame =
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + (span - 1))).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as(name))
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    grid
+      .join(dau, Seq("day"), "left")
+      .join(rolling(7, "wau"), Seq("day"), "left")
+      .join(rolling(30, "mau"), Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+  }
+
+  private val activeUsersOracle =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+      |grid AS (
+      |  SELECT unnest(range((SELECT d0 FROM b), (SELECT d1 FROM b) + 1)) AS day),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+      |wau AS (
+      |  SELECT ud.day + o.o AS day, count(DISTINCT user_id) AS wau
+      |  FROM ud CROSS JOIN generate_series(0, 6) o(o) GROUP BY 1),
+      |mau AS (
+      |  SELECT ud.day + o.o AS day, count(DISTINCT user_id) AS mau
+      |  FROM ud CROSS JOIN generate_series(0, 29) o(o) GROUP BY 1)
+      |SELECT grid.day, coalesce(dau.dau, 0) AS dau,
+      |       coalesce(wau.wau, 0) AS wau, coalesce(mau.mau, 0) AS mau
+      |FROM grid LEFT JOIN dau USING (day) LEFT JOIN wau USING (day) LEFT JOIN mau USING (day)""".stripMargin
+
+  // ---------------------------------------------- item co-occurrence
+  /** Top-20 item pairs viewed by the same users (market-basket
+    * co-occurrence). The stream collapses to distinct (user, item)
+    * first, so the pair self-join's fan-out is per-user-basket², not
+    * per-event² — with heavy-user capping (or salting,
+    * Joins.saltedJoin) as the documented skew lever at real scale.
+    */
+  private def itemCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.eventsWithItem(spark, dir)
+      .filter(col("item_id").isNotNull)
+      .select(col("user_id"), col("item_id"))
+      .distinct()
+    ui.as("a")
+      .join(ui.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  private val itemCooccurrenceOracle =
+    """WITH ui AS (
+      |  SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+      |  FROM events
+      |  WHERE json_extract(props, '$.k') IS NOT NULL)
+      |SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS n_users
+      |FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+      |GROUP BY 1, 2
+      |ORDER BY n_users DESC, item_a, item_b
+      |LIMIT 20""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("gapfill_hourly", Some(gapfillOracle), gapfillHourly),
+    GraftQuery("active_user_windows", Some(activeUsersOracle), activeUserWindows),
+    GraftQuery("item_cooccurrence", Some(itemCooccurrenceOracle), itemCooccurrence),
+  )
+}

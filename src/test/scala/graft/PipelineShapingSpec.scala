@@ -191,6 +191,29 @@ class PipelineShapingSpec extends AnyFunSuite {
     assert(df.filter(col("n_prev_7d") < 0).isEmpty)
   }
 
+  test("gapfill_hourly: dense grid, counts partition the event stream") {
+    val df = SparkEntry.queries("gapfill_hourly")(spark, sf)
+    val types = df.select("event_type").distinct().count()
+    val hours = df.select("hour").distinct().count()
+    assert(df.count() == types * hours, "grid must be complete (every type x every hour)")
+    val total = df.agg(sum("n")).first().getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+  }
+
+  test("active_user_windows: dau <= wau <= mau pointwise") {
+    val df = SparkEntry.queries("active_user_windows")(spark, sf)
+    assert(df.filter(col("dau") > col("wau") || col("wau") > col("mau")).isEmpty)
+    assert(df.count() > 0)
+  }
+
+  test("item_cooccurrence: pair support bounded by the user universe") {
+    val df = SparkEntry.queries("item_cooccurrence")(spark, sf)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(df.filter(col("n_users") > users).isEmpty)
+    assert(df.filter(col("item_a") >= col("item_b")).isEmpty, "pairs must be ordered")
+  }
+
   test("column_stats: one row per column, ndv bounded by row count, min <= max") {
     val df = SparkEntry.queries("column_stats")(spark, sf)
     assert(df.count() == 6)
