@@ -216,11 +216,101 @@ object SequenceAnalytics {
       |FROM events
       |GROUP BY user_id""".stripMargin
 
+  // ------------------------------------------------- session paths
+  /** Top-20 session paths: the ordered event-type sequence (first 5
+    * events) of each 30-minute-gap session, counted across sessions —
+    * the navigation-pattern rollup behind "what do users do". Session
+    * grouping is the gaps-and-islands form (same semantics as
+    * `sessionize`); the per-session path folds a sorted collect of AT
+    * MOST 5 events (bounded state per group), and the path rollup is
+    * an ordinary string-keyed count with a TakeOrderedAndProject.
+    */
+  private def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG)").as("es"),
+        col("event_id"), col("event_type"))
+      .withColumn("brk",
+        when(lag(col("es"), 1).over(wOrd).isNull ||
+          col("es") - lag(col("es"), 1).over(wOrd) > 1800, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(collect_list(struct(col("es"), col("event_id"), col("event_type"))).as("evs"))
+      .withColumn("path",
+        array_join(slice(transform(array_sort(col("evs")),
+          e => e.getField("event_type")), 1, 5), ">"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  private val sessionPathsOracle =
+    """WITH e AS (
+      |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es, event_id, event_type
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+      |                 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM m),
+      |p AS (
+      |  SELECT user_id, grp,
+      |         array_to_string(list(event_type ORDER BY es, event_id)[1:5], '>') AS path
+      |  FROM g GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions
+      |FROM p GROUP BY 1
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 20""".stripMargin
+
+  // -------------------------------------------- last-touch attribution
+  /** Last-touch purchase attribution: each purchase credits the user's
+    * most recent preceding NON-purchase event type (`none` when the
+    * purchase opens the history). One user-partitioned window with an
+    * ignore-nulls `last` over the preceding-exclusive frame — the
+    * point-in-time attribution join expressed without any join at all.
+    */
+  private def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG)").as("es"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("prev_touch"), lit("none")).as("attributed_to"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val attributionOracle =
+    """WITH e AS (
+      |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es, event_id, event_type
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, event_type,
+      |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY es, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_touch
+      |  FROM e)
+      |SELECT coalesce(prev_touch, 'none') AS attributed_to,
+      |       count(*) AS n_purchases, count(DISTINCT user_id) AS n_users
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("asof_join", Some(asofOracle), asofJoin),
     GraftQuery("funnel_analysis", Some(funnelOracle), funnel),
     GraftQuery("retention_cohort", Some(retentionOracle), retention),
     GraftQuery("event_transitions", Some(transitionsOracle), transitions),
     GraftQuery("ewma_smooth", Some(ewmaOracle), ewmaSmooth),
+    GraftQuery("session_paths", Some(sessionPathsOracle), sessionPaths),
+    GraftQuery("purchase_attribution", Some(attributionOracle), purchaseAttribution),
   )
 }

@@ -139,6 +139,23 @@ class IngestSinksSpec extends AnyFunSuite {
     assert(loadErr.getMessage.toLowerCase.contains("kafka"), loadErr.getMessage)
   }
 
+  test("ORC source/sink roundtrip: schema and rows survive, predicates push down") {
+    import org.apache.spark.sql.functions._
+    val src = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    src.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // the filter must reach the ORC scan as a pushed predicate
+    val filtered = back.filter(col("event_type") === "purchase")
+    val scan = filtered.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters") && scan.contains("event_type"),
+      s"ORC scan must carry pushed filters:\n$scan")
+  }
+
   test("salted join equals plain join") {
     val ev = Tables.events(spark, sf)
     val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))

@@ -214,6 +214,27 @@ class PipelineShapingSpec extends AnyFunSuite {
     assert(df.filter(col("item_a") >= col("item_b")).isEmpty, "pairs must be ordered")
   }
 
+  test("purchase_attribution: attributions partition the purchase events") {
+    val df = SparkEntry.queries("purchase_attribution")(spark, sf)
+    val total = df.agg(sum("n_purchases")).first().getLong(0)
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(total == purchases)
+    assert(df.filter(col("attributed_to") === "purchase").isEmpty,
+      "a purchase can never attribute to itself")
+    assert(df.filter(col("n_users") > col("n_purchases")).isEmpty)
+  }
+
+  test("session_paths: bounded paths, session totals consistent with sessionize") {
+    val df = SparkEntry.queries("session_paths")(spark, sf)
+    assert(df.count() <= 20)
+    assert(df.filter(size(split(col("path"), ">")) > 5).isEmpty,
+      "paths are capped at the first 5 events")
+    val sessions = SparkEntry.queries("sessionize")(spark, sf).count()
+    val counted = df.agg(sum("n_sessions")).first().getLong(0)
+    assert(counted <= sessions, "top-20 path sessions cannot exceed all sessions")
+  }
+
   test("column_stats: one row per column, ndv bounded by row count, min <= max") {
     val df = SparkEntry.queries("column_stats")(spark, sf)
     assert(df.count() == 6)
