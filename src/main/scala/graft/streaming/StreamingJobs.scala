@@ -623,6 +623,52 @@ object StreamingJobs {
       }
   }
 
+  // -------------------------------------- streaming MV maintenance
+  /** Streaming materialized-view maintenance: each micro-batch's
+    * per-user partial aggregates (count / decimal sum / max) merge
+    * into a keyed parquet state table through the idempotent dynamic-
+    * partition upsert (`Sinks.upsertKeyed`) — the streaming form of
+    * batch `incremental_agg_merge`, and the pattern that keeps a
+    * 100 TB view fresh by touching ONLY the keys each batch delivers:
+    * existing state is semi-joined to the batch's keys before the
+    * merge, so untouched partitions are neither read in full nor
+    * rewritten. The merged slice is checkpointed eagerly before the
+    * write (reading and dynamically overwriting the same partitions
+    * in one lazy job would self-clobber).
+    */
+  def aggMergeOf(events: DataFrame, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val partial = batch
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("v")).cast("decimal(28,2)").as("sum_v"),
+            max(col("ts_us")).as("last_ts_us"))
+        val existing =
+          try s.read.parquet(statePath)
+            .select(col("user_id"), col("n_events"),
+              col("sum_v").cast("decimal(28,2)").as("sum_v"), col("last_ts_us"))
+          catch { case _: Throwable => null }
+        val touched =
+          if (existing == null) partial
+          else existing
+            .join(partial.select(col("user_id")), Seq("user_id"), "left_semi")
+            .unionByName(partial)
+            .groupBy(col("user_id"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("sum_v")).cast("decimal(28,2)").as("sum_v"),
+              max(col("last_ts_us")).as("last_ts_us"))
+        graft.sinks.Sinks.upsertKeyed(touched.localCheckpoint(), statePath, "user_id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table
     * (AvailableNow file replay) and return the materialized result.
     */

@@ -195,6 +195,37 @@ class StreamingSpec extends AnyFunSuite {
       sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
   }
 
+  test("streaming MV maintenance: per-batch partial merge converges to the batch view (2-file replay)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cutSec = ev.selectExpr("percentile(CAST(ts AS LONG), 0.5)").first().getDouble(0)
+    val staged = Files.createTempDirectory("graft-mv-2b")
+    def stageHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-mv-half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(staged.toString, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageHalf(ev.filter(expr(s"CAST(ts AS LONG) <= $cutSec")), "00.parquet")
+    stageHalf(ev.filter(expr(s"CAST(ts AS LONG) > $cutSec")), "01.parquet")
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1) // forces >= 2 micro-batches (real merge path)
+      .parquet(staged.toString)
+      .withWatermark("ts", "1 second")
+    val statePath = Files.createTempDirectory("graft-mv-state").toString
+    val cp = Files.createTempDirectory("graft-mv-cp").toString
+    val q = StreamingJobs.aggMergeOf(src, statePath, cp)
+    q.awaitTermination()
+    val state = spark.read.parquet(statePath)
+      .select(col("user_id"), col("n_events"),
+        col("sum_v").cast("double").as("sum_value"), col("last_ts_us"))
+    val batch = SparkEntry.queries("incremental_agg_merge")(spark, sf)
+      .select("user_id", "n_events", "sum_value", "last_ts_us")
+    assert(sortedRows(state) == sortedRows(batch),
+      "streamed partial-merge state must equal the batch materialized view")
+  }
+
   test("streaming ad-geo counts equal batch q8_ad_geo") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.adGeoStream(spark, sf), "geo_stream", "complete")
