@@ -224,6 +224,43 @@ object PipelineShaping {
       |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM iv""".stripMargin
 
+  // ------------------------------------------------ chunk-level dedup
+  /** Exact dedup at the CHUNK level: the md5 chunk hashes from
+    * `doc_chunking` rolled up to (canonical chunk, duplicate count,
+    * distinct source docs) for every hash seen more than once — how a
+    * pipeline dedups long documents whose full-text hashes differ but
+    * whose windows repeat (quotes, boilerplate, templated spans).
+    * Same plan family as dedup_exact, one level finer: the explode
+    * rides the scan, the rollup is one hash-keyed exchange.
+    */
+  private def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start")),
+        col("toks"))
+      .withColumn("chunk_hash",
+        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(ChunkSize)))))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_dups"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_dups") >= 2)
+  }
+
+  private val dedupChunksOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |ch AS (
+       |  SELECT doc_id,
+       |         CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+       |         md5(array_to_string(list_slice(w, start, start + ${ChunkSize - 1}), ' ')) AS chunk_hash
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS start FROM t) s)
+       |SELECT chunk_hash, count(*) AS n_dups, count(DISTINCT doc_id) AS n_docs,
+       |       min(doc_id) AS canonical_doc
+       |FROM ch
+       |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   // ------------------------------------------------------ forward fill
   /** Per-user forward fill (LOCF imputation): every event carries the
     * value of the user's most recent `purchase` — the feature-
@@ -305,5 +342,6 @@ object PipelineShaping {
     GraftQuery("scd2_user_state", Some(scd2Oracle), scd2UserState),
     GraftQuery("forward_fill", Some(forwardFillOracle), forwardFill),
     GraftQuery("incremental_agg_merge", Some(incrementalAggOracle), incrementalAggMerge),
+    GraftQuery("dedup_chunks", Some(dedupChunksOracle), dedupChunks),
   )
 }
