@@ -205,6 +205,48 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("BandJoinRewrite: randomized trials across bands stay equivalent to the naive join") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .appName("band-rule-prop")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      import ext.implicits._
+      val rnd = new scala.util.Random(42)
+      for ((band, trial) <- Seq(0.05, 0.3, 1.7).zipWithIndex) {
+        // adversarial mix: exact band multiples (boundary ±2-probe
+        // territory), near-boundary offsets within a few ulp, uniform
+        // noise, and negatives
+        val vals = (
+          (0 until 100).map(i => i * band) ++
+            (0 until 100).map(i => i * band + band * 1e-15) ++
+            (0 until 100).map(i => i * band - band * 1e-15) ++
+            (0 until 200).map(_ => (rnd.nextDouble() - 0.5) * 60 * band)
+          ).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val df = vals.toDF("id", "v")
+        df.createOrReplaceTempView(s"bp_a_$trial")
+        val q = ext.sql(
+          s"SELECT a.id AS ia, b.id AS ib FROM bp_a_$trial a JOIN bp_a_$trial b ON abs(a.v - b.v) <= $band")
+        val plan = q.queryExecution.executedPlan.toString()
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"trial $trial (band=$band) not rewritten:\n$plan")
+        val naive = vals.flatMap { case (ia, va) =>
+          vals.collect { case (ib, vb) if math.abs(va - vb) <= band => (ia, ib) }
+        }.toSet
+        val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == naive, s"trial $trial (band=$band): " +
+          s"missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+      }
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("runtime bloom filter injects on selective-dim shuffle joins") {
     // At 100 TB a selective dimension predicate should reach the fact
     // scan as a runtime bloom filter (Catalyst's InjectRuntimeFilter).
