@@ -319,10 +319,53 @@ object CorpusMining {
        |ORDER BY pmi DESC, bigram
        |LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------ vocab growth
+  /** Vocabulary-growth (Heaps' law) profile: per 100-document bucket,
+    * the new-term count, cumulative vocabulary, and cumulative tokens
+    * — the curve that tells a tokenizer/vocab builder when the corpus
+    * stops yielding new types. "New" = first occurrence, computed as a
+    * per-term min-doc rollup (one term-keyed exchange); the running
+    * sums are a window over the BUCKET rollup (corpus/100 rows — at
+    * real scale use coarser buckets; the heavy work is all in the
+    * term rollup, which scales).
+    */
+  private def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("t"))
+    val tokensPerBucket = tok.groupBy(expr("doc_id DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTerms = tok.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(expr("fd DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokensPerBucket
+      .join(newTerms, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new_terms")).over(w))
+  }
+
+  private val vocabGrowthOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.t FROM documents, unnest($duckToks) AS u(t)),
+       |tb AS (SELECT doc_id // 100 AS bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
+       |nt AS (
+       |  SELECT fd // 100 AS bucket, count(*) AS n_new_terms
+       |  FROM (SELECT t, min(doc_id) AS fd FROM tok GROUP BY 1) s
+       |  GROUP BY 1)
+       |SELECT bucket, n_tokens, coalesce(n_new_terms, 0) AS n_new_terms,
+       |       CAST(sum(n_tokens) OVER o AS BIGINT) AS cum_tokens,
+       |       CAST(sum(coalesce(n_new_terms, 0)) OVER o AS BIGINT) AS cum_vocab
+       |FROM tb LEFT JOIN nt USING (bucket)
+       |WINDOW o AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("tfidf_top_terms", Some(tfidfOracle), tfidfTopTerms),
     GraftQuery("bm25_search", Some(bm25Oracle), bm25Search),
     GraftQuery("kmeans_embeddings", Some(kmeansOracle), kmeansEmbeddings),
     GraftQuery("pmi_bigrams", Some(pmiOracle), pmiBigrams),
+    GraftQuery("vocab_growth", Some(vocabGrowthOracle), vocabGrowth),
   )
 }

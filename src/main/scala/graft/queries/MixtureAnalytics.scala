@@ -150,9 +150,69 @@ object MixtureAnalytics {
        |ORDER BY skey, doc_id
        |LIMIT $SampleK""".stripMargin
 
+  // ------------------------------------------- percentile normalization
+  /** Quantile normalization: each event's value mapped to its
+    * percent-rank within its event type (uniform [0,1] feature, robust
+    * to outliers and scale). One type-partitioned sort; the unique
+    * (value, event_id) order makes ranks deterministic cross-engine.
+    * Deterministic 1-in-20 user sample bounds the dump.
+    */
+  private def percentileNormalization(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+  }
+
+  private val percentileNormOracle =
+    """SELECT event_id, event_type, value,
+      |       round(percent_rank() OVER (PARTITION BY event_type
+      |             ORDER BY value, event_id), 6) AS pct_rank
+      |FROM events
+      |WHERE user_id % 20 = 0""".stripMargin
+
+  // ----------------------------------------------- LOO target encoding
+  /** Leave-one-out target encoding of the event type: each event's
+    * feature is the mean `value` of all OTHER events of its type —
+    * (group_sum − own) / (n − 1) — the categorical encoding that
+    * avoids leaking a row's own target. Group sums are decimal-exact
+    * window aggregates on ONE type-partitioned exchange; singleton
+    * groups (no "others") yield NULL on both engines. Same 1-in-20
+    * sample discipline; note the sample is applied AFTER the group
+    * statistics so the encoding reflects the full population.
+    */
+  private def targetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .withColumn("gs",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .withColumn("gn", count(lit(1)).over(w))
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("gn") > 1,
+          round((col("gs") - col("value")) / (col("gn") - 1), 6))
+          .otherwise(lit(null)).as("loo_mean"))
+  }
+
+  private val targetEncodingOracle =
+    """WITH g AS (
+      |  SELECT event_id, event_type, value, user_id,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS gs,
+      |         count(*) OVER w AS gn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_id, event_type, value,
+      |       CASE WHEN gn > 1 THEN round((gs - value) / (gn - 1), 6) END AS loo_mean
+      |FROM g
+      |WHERE user_id % 20 = 0""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("doc_entropy", Some(docEntropyOracle), docEntropy),
     GraftQuery("source_divergence", Some(sourceDivergenceOracle), sourceDivergence),
     GraftQuery("weighted_sample", Some(weightedSampleOracle), weightedSample),
+    GraftQuery("percentile_normalization", Some(percentileNormOracle), percentileNormalization),
+    GraftQuery("target_encoding", Some(targetEncodingOracle), targetEncoding),
   )
 }

@@ -235,6 +235,33 @@ class PipelineShapingSpec extends AnyFunSuite {
     assert(counted <= sessions, "top-20 path sessions cannot exceed all sessions")
   }
 
+  test("vocab_growth: cumulative curves are monotone and close at the corpus totals") {
+    val df = SparkEntry.queries("vocab_growth")(spark, sf).orderBy("bucket").collect()
+    assert(df.nonEmpty)
+    val vocabs = df.map(_.getAs[Long]("cum_vocab"))
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a <= b })
+    val lastVocab = vocabs.last
+    val distinctTerms = graft.sources.Tables.documents(spark, sf)
+      .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => t =!= lit(""))).as("t"))
+      .select("t").distinct().count()
+    assert(lastVocab == distinctTerms, s"final cum_vocab $lastVocab != $distinctTerms")
+  }
+
+  test("percentile_normalization: ranks live in [0,1] with 0 present per type") {
+    val df = SparkEntry.queries("percentile_normalization")(spark, sf)
+    assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1).isEmpty)
+  }
+
+  test("target_encoding: LOO mean stays within the group's value range") {
+    val df = SparkEntry.queries("target_encoding")(spark, sf)
+    val ranges = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").agg(min("value").as("vlo"), max("value").as("vhi"))
+    val j = df.filter(col("loo_mean").isNotNull).join(ranges, "event_type")
+    assert(j.filter(col("loo_mean") < col("vlo") - 1e-6 ||
+      col("loo_mean") > col("vhi") + 1e-6).isEmpty)
+  }
+
   test("column_stats: one row per column, ndv bounded by row count, min <= max") {
     val df = SparkEntry.queries("column_stats")(spark, sf)
     assert(df.count() == 6)
