@@ -8,10 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Catalyst expressions for SQL users. Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * (or `withExtensions(new GraftExtensions)`); after that
-  * `SELECT float_vec_dot(a, b)`, `word_shingles(toks, k)` and
-  * `char_ngrams(text, n)` work in plain SQL — the same codegen'd
-  * expressions the DataFrame API gets from VectorExpressions /
-  * TextExpressions.
+  * `SELECT float_vec_dot(a, b)`, `word_shingles(toks, k)`,
+  * `char_ngrams(text, n)` and `morton_interleave(x, y)` work in plain
+  * SQL — the same codegen'd expressions the DataFrame API gets from
+  * VectorExpressions / TextExpressions / LayoutExpressions — and the
+  * BandJoinRewrite optimizer rule is active.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -26,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scale-rescue rewrite: pure `abs(x - y) <= band` inner joins
     // become bucketed equi-joins instead of nested-loop products
     ext.injectOptimizerRule(_ => BandJoinRewrite)
+    ext.injectFunction((
+      new FunctionIdentifier("morton_interleave"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
+      (exprs: Seq[Expression]) => MortonInterleave(exprs.head, exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),

@@ -23,11 +23,6 @@ import graft.sources.Tables
   */
 object LayoutAnalytics {
 
-  private def mortonExpr: String =
-    (0 until 6).map(i =>
-      s"shiftleft(shiftright(qx, $i) & 1, ${2 * i}) + shiftleft(shiftright(qy, $i) & 1, ${2 * i + 1})")
-      .mkString(" + ")
-
   private def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val days = Tables.lineitem(spark, dir)
       .select(col("l_quantity").cast("long").as("q"),
@@ -37,7 +32,9 @@ object LayoutAnalytics {
       // integer quantization: exact and identical in both engines
       .withColumn("qx", least(col("q"), lit(63L)))
       .withColumn("qy", expr("((day - d0) * 63) div greatest(d1 - d0, 1)"))
-      .withColumn("z", expr(mortonExpr))
+      // fused codegen'd bit-twiddle interleave (plans/LayoutExpressions)
+      // — semantics identical to the oracle's per-bit arithmetic
+      .withColumn("z", graft.plans.LayoutExpressions.morton(col("qx"), col("qy")))
       .groupBy(expr("z div 64").as("z_bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("qx")).as("qx_min"), max(col("qx")).as("qx_max"),

@@ -75,6 +75,20 @@ class ScalePostureSpec extends AnyFunSuite {
         "SELECT size(word_shingles(CAST(NULL AS ARRAY<STRING>), 3)) AS a, " +
           "size(char_ngrams(CAST(NULL AS STRING), 2)) AS b").head()
       assert(nulls.getInt(0) == 0 && nulls.getInt(1) == 0)
+      // morton_interleave: x=5 (101b) into even bits, y=3 (011b) into odd
+      val mz = ext.sql("SELECT morton_interleave(5L, 3L) AS z").head().getLong(0)
+      assert(mz == 27L, s"morton_interleave(5,3) = $mz, expected 27")
+      // bit-twiddle spread == per-bit arithmetic across 100k rank pairs
+      // (one distributed query, not per-row round trips)
+      val arith = (0 until 16).map(i =>
+        s"shiftleft(shiftright(qx, $i) & 1, ${2 * i}) + shiftleft(shiftright(qy, $i) & 1, ${2 * i + 1})")
+        .mkString(" + ")
+      val mismatches = ext.sql(
+        s"""SELECT count(*) FROM (
+           |  SELECT id % 65536 AS qx, (id * 2654435761) % 65536 AS qy FROM range(100000)
+           |) WHERE morton_interleave(qx, qy) != ($arith)""".stripMargin)
+        .head().getLong(0)
+      assert(mismatches == 0L, s"$mismatches fused/arithmetic morton mismatches")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
