@@ -297,6 +297,33 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("registry-wide plan audit: products only where a tiny broadcast is intentional") {
+    // Queries where a CartesianProduct/BroadcastNestedLoopJoin is the
+    // DESIGNED plan: a scalar or k-row statistics frame broadcast onto
+    // the fact side (bounds, corpus totals, centroid tables, probe
+    // sets). Everything else must plan product-free.
+    val intentionalTinyBroadcast = Set(
+      "ann_bruteforce", "ann_ivf", "kmeans_embeddings", // probe/centroid k-rows
+      "tfidf_top_terms", "bm25_search", "pmi_bigrams", // corpus totals (1 row)
+      "source_divergence", // 1-row corpus token total
+      "zorder_layout", "gapfill_hourly", "active_user_windows", // min/max bounds
+      "stratified_sample", "dataset_split", "split_contamination",
+      "tpch_q11_important_stock", "tpch_q15_top_supplier", // scalar thresholds
+      "tpch_q17_small_qty_revenue", "tpch_q22_lapsed_customers",
+      "vocab_growth", "heavy_hitters_cms", "embedding_neardup")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for (q <- SparkEntry.all) {
+      val plan =
+        try q.run(spark, sf).queryExecution.executedPlan.toString()
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: ${e.getMessage}") }
+      val hasProduct = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (hasProduct && !intentionalTinyBroadcast(q.name)) offenders += q.name
+    }
+    assert(offenders.isEmpty,
+      s"unexpected product joins in: ${offenders.mkString(", ")}")
+  }
+
   test("small single-split scans fan out to session parallelism") {
     val docs = graft.sources.Tables.documents(spark, sf)
     assert(docs.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
