@@ -71,6 +71,32 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeStub))
   }
 
+  /** Batch a partition-local iterator into fixed-size record groups —
+    * the exact shape an Arrow-batched decode UDF receives (PySpark's
+    * `mapInPandas` / a JNI codec that amortizes per-call setup over a
+    * batch). Exposed separately so the batch contract is testable:
+    * every batch except the last has exactly `batchSize` records, order
+    * is preserved, and results are independent of where batch
+    * boundaries fall.
+    */
+  def batched[T](it: Iterator[T], batchSize: Int): Iterator[Seq[T]] =
+    it.grouped(batchSize)
+
+  /** Batched decode: one stub-codec call PER BATCH (the real codec
+    * would pin buffers / set up the decoder once per batch, not per
+    * record). Identical output to [[decodeAll]] — batch boundaries are
+    * an execution detail, never a semantic one.
+    */
+  def decodeAllBatched(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      batched(it, batchSize).flatMap { batch =>
+        // per-batch setup would live here (decoder init, buffer pool)
+        batch.map(decodeStub)
+      }
+    }
+  }
+
   // ------------------------------------------------------------ queries
   /** Payload-level features via pure column expressions (byte length,
     * content digest, head digest) — the part of the multimodal path

@@ -254,4 +254,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.frameOffsets(10, 32, 64, 8).isEmpty)
     assert(Multimodal.frameOffsets(1000, 32, 64, 3).size == 3)
   }
+
+  test("batched decode: batch boundaries never change results, batch shape honored") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val single = Multimodal.decodeAll(media).collect().sortBy(_.media_id).toSeq
+    // results identical across batch sizes and partitionings
+    for (bs <- Seq(1, 7, 64, 10000)) {
+      val b = Multimodal.decodeAllBatched(media.repartition(5), bs)
+        .collect().sortBy(_.media_id).toSeq
+      assert(b == single, s"batchSize=$bs changed the decode output")
+    }
+    // the batch contract itself: all-but-last full, order preserved
+    val batches = Multimodal.batched((1 to 103).iterator, 10).toSeq
+    assert(batches.dropRight(1).forall(_.size == 10) && batches.last.size == 3)
+    assert(batches.flatten == (1 to 103))
+  }
 }
