@@ -207,6 +207,19 @@ class ScalePostureSpec extends AnyFunSuite {
       val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == naive,
         s"rewrite changed the result: missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+      // swapped operand order (abs(b.v - a.v)) still rewrites
+      val swapped = ext.sql(
+        """SELECT a.id AS ia, b.id AS ib FROM band_a a JOIN band_b b
+          |ON abs(b.v - a.v) <= 0.05""".stripMargin)
+      assert(!swapped.queryExecution.executedPlan.toString().contains("BroadcastNestedLoopJoin"))
+      assert(swapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == naive)
+      // extra non-equality conjunct rides along as a post-filter
+      val withExtra = ext.sql(
+        """SELECT a.id AS ia, b.id AS ib FROM band_a a JOIN band_b b
+          |ON abs(a.v - b.v) <= 0.05 AND a.id <> b.id""".stripMargin)
+      assert(!withExtra.queryExecution.executedPlan.toString().contains("BroadcastNestedLoopJoin"))
+      assert(withExtra.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        naive.filter { case (x, y) => x != y })
       // a join that already has a cross-side equality is left alone
       val equi = ext.sql(
         """SELECT count(*) FROM band_a a JOIN band_b b
