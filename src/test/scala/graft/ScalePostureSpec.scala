@@ -310,6 +310,48 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // one hot key (80% of the fact side) against a uniform dimension:
+    // with the skew thresholds scaled to test data, AQE must replan the
+    // sort-merge join with the hot partition split (skew=true marker)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> scala.util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val s = spark
+      import s.implicits._
+      val fact = s.range(0, 50000)
+        .select(when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"),
+          col("id").as("payload"))
+      val dim = s.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("dk"))
+      // NOTE: no key-preserving operator above the join — a groupBy on
+      // the join key would forbid the split (it needs the original
+      // hash partitioning); the non-keyed rollup leaves AQE free
+      val joined = fact.join(dim, "k").agg(sum("payload").as("s"))
+      joined.collect() // execute so AQE replans with real sizes
+      val finalPlan = joined.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split in the final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("registry-wide plan audit: products only where a tiny broadcast is intentional") {
     // Queries where a CartesianProduct/BroadcastNestedLoopJoin is the
     // DESIGNED plan: a scalar or k-row statistics frame broadcast onto
