@@ -257,12 +257,25 @@ object DedupQueries {
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       .localCheckpoint()
+    componentsOverEdges(Tables.documents(spark, dir).select(col("doc_id")), edges)
+  }
+
+  /** Min-label propagation over an ALREADY MATERIALIZED bidirectional
+    * edge table — the persist-once/consume-many form: a pipeline at
+    * scale writes the pair graph bucketed on the per-round join key
+    * `doc_b` (`Storage.writeBucketed`) and every downstream consumer (this CC,
+    * PageRank, triangles) iterates over the compact stored table
+    * instead of re-deriving candidates. Proven equivalent to the
+    * inline form in PipelineOpsSpec, where the bucketed read also
+    * plans its per-round join without re-shuffling the edge side.
+    */
+  def componentsOverEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // seed labels with round 0 already applied: component =
     // min(doc_id, min neighbor) — the first propagation step always
     // changes labels wherever edges exist, so folding it into the
     // init saves one full loop round (join + checkpoint + sum)
     val nbr0 = edges.groupBy(col("doc_a")).agg(min(col("doc_b")).as("n0"))
-    var labels = Tables.documents(spark, dir)
+    var labels = nodes
       .select(col("doc_id"))
       .join(nbr0, col("doc_id") === nbr0("doc_a"), "left")
       .select(col("doc_id"),

@@ -255,6 +255,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.frameOffsets(1000, 32, 64, 3).size == 3)
   }
 
+  test("persist-once pair graph: bucketed edge table feeds CC, same labels, no edge re-shuffle") {
+    import graft.operators.Storage
+    // a pipeline at scale materializes the near-dup pair graph ONCE
+    // (bucketed on the iteration key) and every graph consumer reads
+    // the compact table — the storage-level form of the localCheckpoint
+    // the inline query uses
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, sf)
+    val bidir = pairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    Storage.writeBucketed(bidir, "graft_pair_graph", 4, "doc_b")
+    val stored = Storage.table(spark, "graft_pair_graph")
+    val nodes = graft.sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val fromStored = graft.queries.DedupQueries.componentsOverEdges(nodes, stored)
+    val inline = SparkEntry.queries("dedup_components")(spark, sf)
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows(fromStored) == rows(inline),
+      "components over the persisted graph must equal the inline pipeline")
+    // the bucketed edge side joins each round without its own
+    // hash-partition exchange (the whole point of bucketing the write)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val oneRound = stored
+        .join(nodes.withColumnRenamed("doc_id", "n_id"),
+          stored("doc_b") === col("n_id"))
+        .groupBy(col("doc_a")).agg(min(col("n_id")).as("m"))
+      val plan = oneRound.queryExecution.executedPlan.toString()
+      val edgeSideShuffles = "Exchange hashpartitioning\\(doc_b".r.findAllIn(plan).length
+      assert(edgeSideShuffles == 0,
+        s"bucketed edge side must not re-shuffle on its bucket key:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("batched decode: batch boundaries never change results, batch shape honored") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val single = Multimodal.decodeAll(media).collect().sortBy(_.media_id).toSeq
