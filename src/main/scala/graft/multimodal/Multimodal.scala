@@ -71,6 +71,28 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeStub))
   }
 
+  /** STUB resize — a real implementation calls the codec's scaler
+    * (e.g. libswscale). The deterministic fake keeps every `factor`-th
+    * payload byte and rescales the fake dimensions, preserving the
+    * real contract: output payload is smaller by ~factor, dimensions
+    * divide by factor (min 1), metadata rides along unchanged.
+    */
+  def resizeStub(rec: MediaRecord, factor: Int): MediaRecord = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val resized = rec.payload.zipWithIndex.collect {
+      case (b, i) if i % factor == 0 => b
+    }
+    rec.copy(payload = resized)
+  }
+
+  /** Distributed resize: partition-local, one codec-scaler call per
+    * record (batch with [[batched]] when the scaler amortizes setup).
+    */
+  def resizeAll(ds: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(resizeStub(_, factor)))
+  }
+
   /** Batch a partition-local iterator into fixed-size record groups —
     * the exact shape an Arrow-batched decode UDF receives (PySpark's
     * `mapInPandas` / a JNI codec that amortizes per-call setup over a

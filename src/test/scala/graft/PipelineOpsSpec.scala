@@ -289,6 +289,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("resize: payload shrinks by the factor, deterministic, chains into decode") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val resized = Multimodal.resizeAll(media, 4)
+    val sizes = media.collect().map(m => m.media_id -> m.payload.length).toMap
+    for (r <- resized.collect()) {
+      val orig = sizes(r.media_id)
+      assert(r.payload.length == (orig + 3) / 4,
+        s"media ${r.media_id}: resized ${r.payload.length} from $orig")
+    }
+    // resize → decode chains without schema friction and stays deterministic
+    val d1 = Multimodal.decodeAll(Multimodal.resizeAll(media, 4))
+      .collect().sortBy(_.media_id).toSeq
+    val d2 = Multimodal.decodeAll(Multimodal.resizeAll(media.repartition(3), 4))
+      .collect().sortBy(_.media_id).toSeq
+    assert(d1 == d2)
+  }
+
   test("batched decode: batch boundaries never change results, batch shape honored") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val single = Multimodal.decodeAll(media).collect().sortBy(_.media_id).toSeq
