@@ -73,9 +73,11 @@ object Multimodal {
 
   /** STUB resize — a real implementation calls the codec's scaler
     * (e.g. libswscale). The deterministic fake keeps every `factor`-th
-    * payload byte and rescales the fake dimensions, preserving the
-    * real contract: output payload is smaller by ~factor, dimensions
-    * divide by factor (min 1), metadata rides along unchanged.
+    * payload byte: the output payload shrinks by ~factor while all
+    * metadata rides along unchanged. (Dimensions are not stored on
+    * [[MediaRecord]] — decode derives fake dimensions from the payload
+    * checksum, so post-resize dimensions are whatever the thinned
+    * payload hashes to, with no factor relationship.)
     */
   def resizeStub(rec: MediaRecord, factor: Int): MediaRecord = {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")

@@ -49,8 +49,13 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         if !l.output.exists(_.name == BucketCol) &&
           !r.output.exists(_.name == BucketCol) =>
       val conj = splitConj(cond)
+      // <=> counts too: Spark plans a cross-side null-safe equality as a
+      // hash join already, so stacking the 5x explode there is pure cost
       val hasCrossEquality = conj.exists {
         case EqualTo(a, b) =>
+          (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+            (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet))
+        case EqualNullSafe(a, b) =>
           (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
             (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet))
         case _ => false

@@ -606,7 +606,10 @@ object StreamingJobs {
             (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
           var st = state.getOption.orNull
           val out = Vector.newBuilder[Scd2Interval]
-          for (r <- it.toSeq.sortBy(r => (r.ts.getTime, r.event_id))) {
+          // order by the full microsecond key (getTime is only ms — two
+          // events in the same ms but different us must still order by
+          // time, not event_id, to match the batch twin's unix_micros sort)
+          for (r <- it.toSeq.sortBy(r => (us(r.ts), r.event_id))) {
             val tUs = us(r.ts)
             if (st == null)
               st = Scd2State(1L, r.event_type, tUs, 1L)
@@ -635,38 +638,74 @@ object StreamingJobs {
     * rewritten. The merged slice is checkpointed eagerly before the
     * write (reading and dynamically overwriting the same partitions
     * in one lazy job would self-clobber).
+    *
+    * Replay safety: foreachBatch is at-least-once, so a crash between
+    * the upsert and the offset-log commit replays the batch. The
+    * read-modify-write would then double-count — unless each merged key
+    * carries the `last_batch` id that produced it. Dynamic-partition
+    * overwrite commits per key-partition (old data survives an aborted
+    * job), so on replay a key either (a) committed last time —
+    * `last_batch == batchId`, its state already includes this batch's
+    * partial, skip it — or (b) still holds pre-batch state — merge
+    * normally. That makes the merge idempotent at key granularity, the
+    * strongest guarantee a non-transactional file sink can give.
+    *
+    * State-path reads only treat *path-missing* as "no prior state"; a
+    * genuine read failure (corrupt footer, transient FS error) must
+    * fail the batch rather than silently reset the touched keys.
     */
   def aggMergeOf(events: DataFrame, statePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val partial = batch
-          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-            col("value").cast("decimal(18,2)").as("v"))
-          .groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("v")).cast("decimal(28,2)").as("sum_v"),
-            max(col("ts_us")).as("last_ts_us"))
-        val existing =
-          try s.read.parquet(statePath)
-            .select(col("user_id"), col("n_events"),
-              col("sum_v").cast("decimal(28,2)").as("sum_v"), col("last_ts_us"))
-          catch { case _: Throwable => null }
-        val touched =
-          if (existing == null) partial
-          else existing
-            .join(partial.select(col("user_id")), Seq("user_id"), "left_semi")
-            .unionByName(partial)
-            .groupBy(col("user_id"))
-            .agg(sum(col("n_events")).as("n_events"),
-              sum(col("sum_v")).cast("decimal(28,2)").as("sum_v"),
-              max(col("last_ts_us")).as("last_ts_us"))
-        graft.sinks.Sinks.upsertKeyed(touched.localCheckpoint(), statePath, "user_id")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        aggMergeBatch(batch, statePath, batchId)
       }
       .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** One micro-batch of the MV merge — split out so the replay path is
+    * directly testable: calling it twice with the same (batch, batchId)
+    * must leave the state table unchanged on the second call.
+    */
+  def aggMergeBatch(batch: DataFrame, statePath: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val partialAll = batch
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("decimal(28,2)").as("sum_v"),
+        max(col("ts_us")).as("last_ts_us"))
+    val statePth = new org.apache.hadoop.fs.Path(statePath)
+    val fs = statePth.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(statePth) || fs.listStatus(statePth).isEmpty) null
+      else s.read.parquet(statePath)
+        .select(col("user_id"), col("n_events"),
+          col("sum_v").cast("decimal(28,2)").as("sum_v"), col("last_ts_us"),
+          col("last_batch"))
+    val touched =
+      if (existing == null) partialAll.withColumn("last_batch", lit(batchId))
+      else {
+        // keys whose partition already committed under THIS batchId
+        // were merged by a previous (crashed) attempt — re-adding
+        // their partials would double-count, so drop them entirely
+        // (their on-disk state is already final for this batch)
+        val applied = existing
+          .filter(col("last_batch") === batchId).select(col("user_id"))
+        val partial = partialAll.join(applied, Seq("user_id"), "left_anti")
+        existing.drop("last_batch")
+          .join(partial.select(col("user_id")), Seq("user_id"), "left_semi")
+          .unionByName(partial)
+          .groupBy(col("user_id"))
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sum_v")).cast("decimal(28,2)").as("sum_v"),
+            max(col("last_ts_us")).as("last_ts_us"))
+          .withColumn("last_batch", lit(batchId))
+      }
+    graft.sinks.Sinks.upsertKeyed(touched.localCheckpoint(), statePath, "user_id")
+    ()
   }
 
   /** Run a streaming DataFrame to completion into an in-memory table

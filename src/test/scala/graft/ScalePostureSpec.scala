@@ -226,6 +226,14 @@ class ScalePostureSpec extends AnyFunSuite {
           |ON a.id = b.id AND abs(a.v - b.v) <= 0.05""".stripMargin)
       assert(!equi.queryExecution.optimizedPlan.toString().contains("__graft_band_bucket"))
       assert(equi.head().getLong(0) == vals.size)
+      // ...and so is one with a null-safe cross-side equality (<=>):
+      // Spark already hash-joins it, the explode would be pure overhead
+      val nullSafe = ext.sql(
+        """SELECT count(*) FROM band_a a JOIN band_b b
+          |ON a.id <=> b.id AND abs(a.v - b.v) <= 0.05""".stripMargin)
+      assert(!nullSafe.queryExecution.optimizedPlan.toString().contains("__graft_band_bucket"),
+        "null-safe equality must count as an existing cross-side equality")
+      assert(nullSafe.head().getLong(0) == vals.size)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

@@ -224,6 +224,24 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "n_events", "sum_value", "last_ts_us")
     assert(sortedRows(state) == sortedRows(batch),
       "streamed partial-merge state must equal the batch materialized view")
+    // replay safety: foreachBatch is at-least-once — re-applying the
+    // LAST batch with its original batchId (what a crash between upsert
+    // and offset commit produces) must leave the state byte-identical,
+    // because every touched key is already stamped with that batchId
+    val before = sortedRows(spark.read.parquet(statePath)
+      .select("user_id", "n_events", "sum_v", "last_ts_us", "last_batch"))
+    val lastBatch = spark.read.parquet(
+      Paths.get(staged.toString, "01.parquet").toString)
+    StreamingJobs.aggMergeBatch(lastBatch, statePath, batchId = 1L)
+    val after = sortedRows(spark.read.parquet(statePath)
+      .select("user_id", "n_events", "sum_v", "last_ts_us", "last_batch"))
+    assert(after == before, "replayed micro-batch must not double-count")
+    // ...while the same data under a NEW batchId genuinely merges
+    // (proves the guard discriminates on batchId, not a no-op)
+    StreamingJobs.aggMergeBatch(lastBatch, statePath, batchId = 2L)
+    assert(sortedRows(spark.read.parquet(statePath)
+      .select("user_id", "n_events", "sum_v", "last_ts_us", "last_batch")) != before,
+      "a new batchId with fresh data must still merge")
   }
 
   test("streaming ad-geo counts equal batch q8_ad_geo") {
