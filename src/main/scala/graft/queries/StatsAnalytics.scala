@@ -259,14 +259,37 @@ object StatsAnalytics {
     Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
       "l_extendedprice", "l_discount")
 
-  /** ANALYZE-style column statistics for the CBO: exact NDV, null
-    * count, min/max per numeric lineitem column — ONE pass computing
-    * all 24 aggregates, then an unpivot of the single stats row (the
-    * stats table a cost-based optimizer and a data-skipping index both
-    * read). Exact distinct per column is the expensive honest form;
-    * the 100 TB swap-in is `approx_count_distinct` per column in the
-    * same single-pass shape.
+  /** ANALYZE-style column statistics for the CBO: NDV, null count,
+    * min/max per numeric lineitem column — ONE pass computing all 24
+    * aggregates, then an unpivot of the single stats row (the stats
+    * table a cost-based optimizer and a data-skipping index both read).
+    *
+    * The REGISTERED default (`column_stats`) uses
+    * `approx_count_distinct` (HLL++, rsd 2%): six exact
+    * `count(distinct)` in one pass compile to an Expand that multiplies
+    * the fact scan 6× before the shuffle — fine at sf0.1, the #2
+    * slowest query; fatal at 100 TB. HLL keeps the single-scan shape
+    * with a constant-size sketch per column. Sketch internals are
+    * engine-private, so the default is rows-only at the driver (the
+    * q5_uv_approx precedent) and StatsSpec bounds every approx NDV
+    * within 3×rsd of exact. The exact Expand plan stays registered as
+    * `column_stats_exact` — the hash-matched fidelity twin.
     */
+  private def columnStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = StatCols.flatMap { c =>
+      Seq(approx_count_distinct(col(c), 0.02).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        round(min(col(c)).cast("double"), 6).as(s"min_$c"),
+        round(max(col(c)).cast("double"), 6).as(s"max_$c"))
+    }
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = StatCols.map(c =>
+      s"'$c', ndv_$c, nulls_$c, min_$c, max_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${StatCols.size}, $stackArgs) AS (column_name, ndv, null_count, min_value, max_value)")
+  }
+
+  /** Exact-NDV twin of [[columnStatsApprox]] — see its doc. */
   private def columnStats(spark: SparkSession, dir: String): DataFrame = {
     val aggs = StatCols.flatMap { c =>
       Seq(countDistinct(col(c)).as(s"ndv_$c"),
@@ -299,6 +322,7 @@ object StatsAnalytics {
     GraftQuery("outlier_events", Some(outlierOracle), outlierEvents),
     GraftQuery("equi_depth_histogram", Some(equiDepthOracle), equiDepthHistogram),
     GraftQuery("rolling_features", Some(rollingOracle), rollingFeatures),
-    GraftQuery("column_stats", Some(columnStatsOracle), columnStats),
+    GraftQuery("column_stats", None, columnStatsApprox),
+    GraftQuery("column_stats_exact", Some(columnStatsOracle), columnStats),
   )
 }

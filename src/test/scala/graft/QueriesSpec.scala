@@ -56,6 +56,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad.isEmpty, "approx UV drifted >10% from exact")
   }
 
+  test("column_stats approx NDV within HLL bound of column_stats_exact, other stats identical") {
+    val exact = SparkEntry.queries("column_stats_exact")(spark, sf)
+      .select(col("column_name"), col("ndv").as("ndv_exact"),
+        col("null_count").as("nulls_exact"), col("min_value").as("min_exact"),
+        col("max_value").as("max_exact"))
+    val approx = SparkEntry.queries("column_stats")(spark, sf)
+    val joined = exact.join(approx, "column_name")
+    assert(joined.count() == 6, "both forms must cover all six columns")
+    // HLL++ at rsd=0.02: 3 sigma ≈ 6% relative error bound
+    val badNdv = joined.filter(
+      abs(col("ndv") - col("ndv_exact")) > col("ndv_exact") * 0.06 + lit(2))
+    assert(badNdv.isEmpty, s"approx NDV drifted >6% from exact: ${badNdv.collect().mkString}")
+    // nulls/min/max are exact aggregates in both forms — must match exactly
+    val badRest = joined.filter(
+      col("null_count") =!= col("nulls_exact") ||
+        col("min_value") =!= col("min_exact") ||
+        col("max_value") =!= col("max_exact"))
+    assert(badRest.isEmpty, "non-NDV stats must be identical between forms")
+  }
+
   test("q3 PV total equals filtered row count (window partition invariant)") {
     val total = SparkEntry.queries("q3_pv_hourly")(spark, sf)
       .agg(sum("pv")).first().getLong(0)
