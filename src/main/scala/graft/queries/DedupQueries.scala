@@ -605,8 +605,83 @@ object DedupQueries {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM nodes GROUP BY 1""".stripMargin
 
+  // -------------------------------------- exact-substring span dedup
+  /** Exact-substring (repeated-span) dedup — the ExactSubstr method of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022): find every maximal token span of length >= k that also
+    * occurs in ANOTHER document, per document. The reference pipeline
+    * has no equivalent; this is the flagship cross-doc span dedup a
+    * training corpus needs beyond whole/near-doc dedup.
+    *
+    * Distributed shape (no suffix array, no doc-pair product):
+    *  1. positional k-grams — posexplode of the SAME fused
+    *     [[graft.plans.TextExpressions.wordShingles]] codegen used by
+    *     MinHash, md5'd to a fixed-width join key (xxhash64 at 100 TB);
+    *  2. repeated grams = grams seen in >= 2 DISTINCT docs — one
+    *     partial-agg'd group-by, never pairwise;
+    *  3. covered positions = semi-join of positions against repeated
+    *     grams — shuffle volume ∝ repeated positions, not n²;
+    *  4. maximal spans = gaps-and-islands per doc (a position covers
+    *     [pos, pos+k-1], so islands break when the gap exceeds k) —
+    *     one doc-partitioned sort, the same pattern as scd2_user_state.
+    *
+    * A k-gram repeated only WITHIN one doc does not count (cross-doc
+    * semantics, countDistinct >= 2), matching the paper's "occurs in
+    * more than one example" criterion.
+    */
+  private val SpanK = 5
+
+  private def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    // positional grams: NOT distinct (every occurrence covers tokens)
+    val pg = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), posexplode(TextFunctions.wordShingles("toks", k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5(col("col")).as("gh"))
+      .localCheckpoint() // read twice: repeated-gram rollup + cover join
+    val rep = pg.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val cov = pg.join(rep, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    cov
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        (max(col("pos")) + k - min(col("pos"))).as("span_tokens"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("span_start"),
+        col("span_end"), col("span_tokens"))
+  }
+
+  private val substringSpansOracle =
+    s"""WITH pg AS (
+       |  SELECT doc_id, u.pos AS pos, md5(u.g) AS gh FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= $SpanK
+       |      THEN list_transform(range(1, len(w) - ${SpanK - 2}),
+       |        i -> struct_pack(pos := i, g := w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+       |      ELSE [] END) AS u
+       |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)) t),
+       |rep AS (SELECT gh FROM pg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos FROM pg JOIN rep USING (gh)),
+       |isl AS (SELECT doc_id, pos,
+       |  SUM(CASE WHEN prev IS NULL OR pos > prev + $SpanK THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cov))
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) + ${SpanK - 1} AS BIGINT) AS span_end,
+       |       CAST(max(pos) + $SpanK - min(pos) AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
+    GraftQuery("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
     GraftQuery("dedup_minhash_lsh", Some(minhashOracle), minhashLsh),
     GraftQuery("dedup_simhash", Some(simhashOracle), dedupSimhash),
     GraftQuery("dedup_simhash_pairs", Some(simhashPairsOracle), simhashPairs),

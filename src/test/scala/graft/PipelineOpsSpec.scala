@@ -19,6 +19,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(total == docs)
   }
 
+  test("dedup_substring_spans: planted cross-doc runs yield maximal spans; within-doc repeats don't count") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, text: String) =
+      (id, text, "en", "test", text.length.toLong)
+    val docs = Seq(
+      // docs 1+2 share an 8-token run at different offsets
+      doc(1L, "a1 a2 a3 a4 a5 a6 a7 a8 x1 x2 x3 x4 b1 b2 b3 b4 b5"),
+      doc(2L, "z1 z2 a1 a2 a3 a4 a5 a6 a7 a8 y1 y2"),
+      // doc 3 repeats a 6-token run WITHIN itself only — must not count
+      doc(3L, "c1 c2 c3 c4 c5 c6 c1 c2 c3 c4 c5 c6"),
+      doc(4L, "d1 d2 d3 d4 d5 d6 d7 d8 d9"),
+      // docs 5+6 share TWO disjoint 5-token runs -> two islands each
+      doc(5L, "s1 s2 s3 s4 s5 u1 u2 u3 u4 u5 u6 u7 t1 t2 t3 t4 t5"),
+      doc(6L, "t1 t2 t3 t4 t5 v1 v2 v3 v4 v5 v6 v7 s1 s2 s3 s4 s5"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_substring_spans")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = Set(
+      (1L, 1L, 8L, 8L),   // maximal: 4 overlapping 5-grams merged
+      (2L, 3L, 10L, 8L),  // same run at a different offset
+      (5L, 1L, 5L, 5L), (5L, 13L, 17L, 5L), // two islands, gap > k
+      (6L, 1L, 5L, 5L), (6L, 13L, 17L, 5L))
+    assert(got == expected, s"got $got")
+  }
+
   test("minhash LSH pairs are ordered, deduped, and high-jaccard") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).cache()
     assert(df.filter(col("doc_a") >= col("doc_b")).isEmpty)
