@@ -361,7 +361,121 @@ object CorpusMining {
        |FROM tb LEFT JOIN nt USING (bucket)
        |WINDOW o AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  // ------------------------------------------------------ BPE training
+  /** Byte-pair-encoding merge-loop vocabulary training — the step
+    * `pmi_bigrams`/`vocab_growth` rank candidates for but nothing
+    * performed until now. Classic Sennrich BPE, distributed:
+    *
+    *  - the corpus collapses ONCE to a (word, freq) table — vocabulary-
+    *    sized, not corpus-sized, so each merge round is a group-by over
+    *    at most |vocab| rows no matter how many TB of text fed it;
+    *  - each word's symbol sequence is one string of '<sym>' cells, so
+    *    re-tokenizing after a merge is a single codegen'd `replace`
+    *    (left-to-right, non-overlapping in both engines — exactly BPE's
+    *    greedy merge order, and the wrappers make cell boundaries
+    *    unambiguous even through runs of identical symbols);
+    *  - pair counts come from the split cells (adjacent pairs, overlap
+    *    counted, weighted by word freq) — one partial-agg'd group-by;
+    *  - the argmax pair per round is a DRIVER scalar by design (same
+    *    license as dedup_components' convergence check): an N-round
+    *    loop needs N tiny actions, each over a pair table bounded by
+    *    the symbol vocabulary. Ties pin on md5(lhs||' '||rhs) so both
+    *    engines pick the same pair at equal counts;
+    *  - each round's word table is checkpointed — round r+1 plans
+    *    against a leaf scan, not a growing replace-chain.
+    *
+    * The DuckDB oracle replays the identical loop as an unrolled CTE
+    * chain, so the merge table AND the final vocabulary hash-match
+    * exactly.
+    */
+  private val BpeRounds = 6
+
+  private def bpeWordTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("freq"))
+
+  /** Runs the merge loop; returns (merge rows, final word-symbol table). */
+  private def bpeLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var words = bpeWordTable(spark, dir).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeRounds && !exhausted) {
+      val pairs = words
+        .withColumn("sy", split(trim(col("s"), "<>"), "><"))
+        .withColumn("pr", expr(
+          "transform(slice(sy, 2, size(sy) - 1), (x, i) -> struct(sy[i] AS lhs, x AS rhs))"))
+        .select(col("freq"), explode(col("pr")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, md5(concat_ws(" ", col("lhs"), col("rhs"))))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, rr, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rr, l + rr, cnt))
+        words = words
+          .withColumn("s",
+            expr(s"replace(s, '<$l><$rr>', '<$l$rr>')"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  private def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeLoop(spark, dir)._1.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeLoop(spark, dir)._2
+      .select(col("freq"), explode(split(trim(col("s"), "<>"), "><")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(sum(col("freq")).as("freq"))
+
+  private def bpeOracleCtes: String = {
+    val base =
+      """w0 AS (
+        |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS s, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(sy)), i -> [sy[i], sy[i+1]])) AS pr
+         |        FROM (SELECT freq, string_split(trim(s, '<>'), '><') AS sy FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, md5(lhs || ' ' || rhs) LIMIT 1),
+         |w$r AS (SELECT replace(s, '<' || b.lhs || '><' || b.rhs || '>', '<' || b.lhs || b.rhs || '>') AS s, freq
+         |  FROM w${r - 1}, b$r b)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  private val bpeMergesOracle = {
+    val tail = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $bpeOracleCtes\n$tail"
+  }
+
+  private val bpeVocabOracle =
+    s"""WITH $bpeOracleCtes
+       |SELECT sym, CAST(sum(freq) AS BIGINT) AS freq FROM (
+       |  SELECT freq, unnest(string_split(trim(s, '<>'), '><')) AS sym FROM w$BpeRounds)
+       |GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("bpe_merges", Some(bpeMergesOracle), bpeMerges),
+    GraftQuery("bpe_vocab", Some(bpeVocabOracle), bpeVocab),
     GraftQuery("tfidf_top_terms", Some(tfidfOracle), tfidfTopTerms),
     GraftQuery("bm25_search", Some(bm25Oracle), bm25Search),
     GraftQuery("kmeans_embeddings", Some(kmeansOracle), kmeansEmbeddings),

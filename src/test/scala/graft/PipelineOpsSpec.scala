@@ -49,6 +49,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("bpe_merges: greedy run merging, frequency-ordered merges, vocab reflects merges") {
+    val s = spark
+    import s.implicits._
+    // aaab x3, ab x2: (a,a) counts 6 (overlap counted), (a,b) counts 5;
+    // merging (a,a) in 'aaa' must be greedy left-to-right -> [aa, a, b];
+    // the six single-pair words keep rounds 4-6 alive at count 1
+    val text = "aaab aaab aaab ab ab cc dd ee ff gg hh"
+    val docs = Seq((1L, text, "en", "test", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = SparkEntry.queries("bpe_merges")(spark, dir)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(merges.length == 6)
+    assert(merges(0) == (1L, "a", "a", "aa", 6L), s"run pairs count with overlap: ${merges(0)}")
+    assert(merges(1) == (2L, "a", "b", "ab", 5L))
+    assert(merges(2) == (3L, "aa", "ab", "aaab", 3L), "greedy left-to-right: aaa -> [aa, a], then ab joins")
+    assert(merges.drop(3).forall(_._5 == 1L), "remaining rounds drain the count-1 doubles")
+    assert(merges.map(m => (m._2, m._3)).distinct.length == 6, "no pair merged twice")
+    val vocab = SparkEntry.queries("bpe_vocab")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab("aaab") == 3L, "fully merged word")
+    assert(vocab("ab") == 2L)
+  }
+
   test("minhash LSH pairs are ordered, deduped, and high-jaccard") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).cache()
     assert(df.filter(col("doc_a") >= col("doc_b")).isEmpty)
