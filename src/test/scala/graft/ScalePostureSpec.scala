@@ -111,6 +111,36 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("ann_pq: ADC shortlist + exact re-rank recalls >= 0.6 of true L2 top-5, plans join-only") {
+    // sf0.01 (500 vectors, 5 probes): sf0.001's single probe with a
+    // corpus smaller than the shortlist would make recall trivially 1.0
+    val dir = "/root/testdata/sf0.01"
+    val pq = SparkEntry.queries("ann_pq")(spark, dir)
+    val plan = pq.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ search must stay a code/LUT equi-join pipeline:\n$plan")
+    val got = pq.select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact L2 top-5 per probe, computed independently of any ANN path
+    val v = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("d2"), col("vec_id"))
+    val exact = probes.crossJoin(v)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("d2", aggregate(zip_with(col("pe"), col("e"),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@5 = $recall (expected >= 0.6 with 64-bit codes + 50-deep re-rank)")
+  }
+
   test("banded-LSH near-dup candidates recall planted duplicates, stay selective on noise") {
     val s = spark
     import s.implicits._
