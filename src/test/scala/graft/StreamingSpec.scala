@@ -118,6 +118,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("interval join: watermark EVICTS buffered state — removal observed in metrics, not assumed") {
+    val q = StreamingJobs.intervalJoinStream(spark, sf)
+      .writeStream.format("memory").queryName("ij_state").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val joinOps = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.toSeq.map(op => (p.batchId, op)))
+      .filter(_._2.operatorName.contains("Join"))
+    assert(joinOps.nonEmpty, "expected symmetric-hash-join state operators")
+    val peak = joinOps.map(_._2.numRowsTotal).max
+    val last = joinOps.maxBy(_._1)._2.numRowsTotal
+    val removed = joinOps.map(_._2.numRowsRemoved).sum
+    assert(removed > 0,
+      s"watermark passing must REMOVE buffered join state (peak=$peak last=$last removed=$removed)")
+    assert(last < peak,
+      s"state must shrink after the watermark passes, not accumulate (peak=$peak last=$last)")
+    // the surviving rows are only those inside the 1s watermark horizon
+    // of the newest event — a tiny tail, never the whole stream
+    assert(last < peak / 2,
+      s"post-watermark state should be a horizon-sized tail of the $peak buffered rows, got $last")
+  }
+
+  test("SCD2: state is O(active users) — growth stops once all users are seen, despite new events") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cutSec = ev.selectExpr("percentile(CAST(ts AS LONG), 0.5)").first().getDouble(0)
+    val staged = Files.createTempDirectory("graft-scd2-state")
+    def stageHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-scd2-state-half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(staged.toString, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageHalf(ev.filter(expr(s"CAST(ts AS LONG) <= $cutSec")), "00.parquet")
+    stageHalf(ev.filter(expr(s"CAST(ts AS LONG) > $cutSec")), "01.parquet")
+    val src = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString).withWatermark("ts", "1 second")
+    val q = StreamingJobs.scd2Of(src).toDF()
+      .writeStream.format("memory").queryName("scd2_state").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ops = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.toSeq.map(op => (p.batchId, op)))
+      .filter(_._2.operatorName.contains("flatMapGroupsWithState"))
+      .sortBy(_._1)
+    assert(ops.size >= 2, "need >= 2 micro-batches to observe the growth plateau")
+    val users = ev.select("user_id").distinct().count()
+    val events = ev.count()
+    // every batch's state is exactly one row per user ever seen — never
+    // proportional to events — and batch 2 still UPDATES without growing
+    assert(ops.last._2.numRowsTotal == users,
+      s"state must be one row per user ($users), got ${ops.last._2.numRowsTotal} (of $events events)")
+    assert(ops.head._2.numRowsTotal == ops.last._2.numRowsTotal,
+      "state growth must stop once the user population is seen")
+    assert(ops.last._2.numRowsUpdated > 0,
+      "later batches keep updating per-user state in place, not appending")
+  }
+
   test("streaming watermarked dedup equals batch distinct") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.dedupStream(spark, sf), "dedup_stream", "append")
