@@ -104,22 +104,39 @@ object TemporalAnalytics {
   /** Top-20 item pairs viewed by the same users (market-basket
     * co-occurrence). The stream collapses to distinct (user, item)
     * first, so the pair self-join's fan-out is per-user-basket², not
-    * per-event² — with heavy-user capping (or salting,
-    * Joins.saltedJoin) as the documented skew lever at real scale.
+    * per-event² — with salting (`saltFactor > 1`) as the skew lever
+    * when one user's basket dominates a partition: side A's rows
+    * spread across the salts by deterministic row hash, side B
+    * replicates per salt, so the hot basket's pair product computes
+    * S-ways in parallel instead of on one straggler task. Identical
+    * output either way (proven row-for-row on a planted-skew fixture
+    * in ScalePostureSpec); the registered query keeps the unsalted
+    * plan and leans on AQE's runtime skew split, the salted form is
+    * the static lever for when the skew is known up front.
     */
+  def cooccurrenceFrom(ui0: DataFrame, saltFactor: Int = 1): DataFrame = {
+    val a = ui0.select(col("user_id"), col("item_id").as("ia"))
+    val b = ui0.select(col("user_id").as("user_id_b"), col("item_id").as("ib"))
+    val joined =
+      if (saltFactor <= 1)
+        a.join(b, col("user_id") === col("user_id_b") && col("ia") < col("ib"))
+      else
+        graft.operators.Joins
+          .saltedJoin(a, b, col("user_id"), col("user_id_b"), saltFactor)
+          .filter(col("ia") < col("ib"))
+    joined
+      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
   private def itemCooccurrence(spark: SparkSession, dir: String): DataFrame = {
     val ui = Tables.eventsWithItem(spark, dir)
       .filter(col("item_id").isNotNull)
       .select(col("user_id"), col("item_id"))
       .distinct()
-    ui.as("a")
-      .join(ui.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.item_id") < col("b.item_id"))
-      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
-      .limit(20)
+    cooccurrenceFrom(ui)
   }
 
   private val itemCooccurrenceOracle =

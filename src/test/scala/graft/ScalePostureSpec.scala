@@ -390,6 +390,73 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("item_cooccurrence salted == unsalted row-for-row on a planted-skew basket") {
+    val s = spark
+    import s.implicits._
+    // one hot user with a 120-item basket (7140 pairs from a single
+    // join key) against 50 normal users with 4-item baskets
+    val hot = (0 until 120).map(i => (999L, i.toLong))
+    val normal = for (u <- 0 until 50; i <- 0 until 4)
+      yield (u.toLong, (u % 7 + i).toLong)
+    val ui = (hot ++ normal).toDF("user_id", "item_id").distinct()
+    val plain = graft.queries.TemporalAnalytics.cooccurrenceFrom(ui, saltFactor = 1)
+    val salted = graft.queries.TemporalAnalytics.cooccurrenceFrom(ui, saltFactor = 8)
+    val p = plain.collect().map(_.toSeq).toSeq
+    val q = salted.collect().map(_.toSeq).toSeq
+    assert(p == q, s"salted pair join must be row-for-row identical:\nplain=$p\nsalted=$q")
+    // the salt really fans the hot key out: the salted plan's join has
+    // no single partition carrying the whole hot basket product
+    val saltedPlan = salted.queryExecution.executedPlan.toString()
+    assert(saltedPlan.contains("__salt") || saltedPlan.contains("xxhash64"),
+      s"expected the salt key in the salted plan:\n$saltedPlan")
+  }
+
+  test("AQE splits the skewed pair self-join at runtime (skew=true, same planted basket)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> scala.util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val s = spark
+      import s.implicits._
+      val hot = (0 until 2000).map(i => (999L, i.toLong))
+      val normal = for (u <- 0 until 50; i <- 0 until 4)
+        yield (u.toLong, (u % 7 + i).toLong)
+      // the payload column fattens shuffle bytes past the 8KB skew
+      // threshold (2000 hot rows of bare longs compress under it)
+      val ui = (hot ++ normal).toDF("user_id", "item_id").distinct()
+        .withColumn("payload", lpad(col("item_id").cast("string"), 120, "x"))
+      // pair join WITHOUT the top-20 head so the join executes fully;
+      // the group-by keys (ia, ib) differ from the join key, leaving
+      // AQE free to split the hot user_id partition
+      val a = ui.select(col("user_id"), col("item_id").as("ia"), col("payload"))
+      val b = ui.select(col("user_id").as("user_id_b"), col("item_id").as("ib"))
+      val pairs = a.join(b, col("user_id") === col("user_id_b") && col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("total"))
+      pairs.collect()
+      val finalPlan = pairs.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to split the hot basket's partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("registry-wide plan audit: products only where a tiny broadcast is intentional") {
     // Queries where a CartesianProduct/BroadcastNestedLoopJoin is the
     // DESIGNED plan: a scalar or k-row statistics frame broadcast onto
