@@ -23,7 +23,12 @@ import graft.sources.Tables
   */
 object LayoutAnalytics {
 
-  private def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-row Morton frame (qx, qy, z) over lineitem — the write-side
+    * clustering key. ScalePostureSpec writes this frame z-clustered vs
+    * round-robin and proves the skipping payoff at read time (a
+    * tile-range scan materializes a fraction of the rows).
+    */
+  def mortonFrame(spark: SparkSession, dir: String): DataFrame = {
     val days = Tables.lineitem(spark, dir)
       .select(col("l_quantity").cast("long").as("q"),
         expr("unix_seconds(CAST(l_shipdate AS TIMESTAMP)) div 86400").as("day"))
@@ -35,6 +40,11 @@ object LayoutAnalytics {
       // fused codegen'd bit-twiddle interleave (plans/LayoutExpressions)
       // — semantics identical to the oracle's per-bit arithmetic
       .withColumn("z", graft.plans.LayoutExpressions.morton(col("qx"), col("qy")))
+      .select(col("qx"), col("qy"), col("z"))
+  }
+
+  private def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    mortonFrame(spark, dir)
       .groupBy(expr("z div 64").as("z_bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("qx")).as("qx_min"), max(col("qx")).as("qx_max"),

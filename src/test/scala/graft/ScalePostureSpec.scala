@@ -390,6 +390,40 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("Z-order clustering pays off: tile-range scan materializes a fraction of the unclustered rows") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val mf = graft.queries.LayoutAnalytics.mortonFrame(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // same rows, two layouts: z-range-clustered files vs round-robin
+    mf.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .write.parquet(s"$base/clustered")
+    mf.repartition(16).write.parquet(s"$base/shuffled")
+    def scanRows(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("qx").between(8, 15) && col("qy").between(8, 15))
+      val matched = df.collect().length.toLong
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"expected a parquet scan:\n$plan")
+      assert(scans.head.metadata("PushedFilters").contains("qx"),
+        "tile predicate must push to the parquet reader")
+      (matched, scans.map(_.metrics("numOutputRows").value).sum)
+    }
+    val (matchedC, readC) = scanRows(s"$base/clustered")
+    val (matchedS, readS) = scanRows(s"$base/shuffled")
+    assert(matchedC == matchedS, "layout must never change results")
+    // round-robin files all overlap the tile -> their row groups can't
+    // be skipped; z-clustered files bound the tile into a few groups
+    assert(readS > matchedS * 2,
+      s"fixture check: unclustered scan should over-read (read $readS for $matchedS matches)")
+    assert(readC * 2 <= readS,
+      s"z-clustered scan must materialize at most half the unclustered rows (got $readC vs $readS)")
+  }
+
   test("item_cooccurrence salted == unsalted row-for-row on a planted-skew basket") {
     val s = spark
     import s.implicits._
