@@ -442,6 +442,47 @@ object CorpusMining {
       .groupBy(col("sym"))
       .agg(sum(col("freq")).as("freq"))
 
+  /** Apply the trained BPE vocabulary back to the corpus: per-document
+    * word / BPE-token / char counts and the chars-per-token compression
+    * ratio (the metric a tokenizer is actually judged by). The word ->
+    * symbol-count map falls out of the final merge-loop word table
+    * (symbols concatenate back to the original word, so the key is
+    * recovered with one translate); the corpus side joins against that
+    * vocabulary-sized map — AQE broadcasts it — and one doc rollup
+    * finishes. No per-document re-tokenization: at 100 TB the encode
+    * cost is one hash join, not a per-row merge replay.
+    */
+  private def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val wordTok = bpeLoop(spark, dir)._2.select(
+      translate(col("s"), "<>", "").as("w"),
+      size(split(trim(col("s"), "<>"), "><")).cast("long").as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wordTok, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+  }
+
+  private def bpeTokenizeOracle =
+    s"""WITH $bpeOracleCtes,
+       |wt AS (SELECT replace(replace(s, '<', ''), '>', '') AS w,
+       |              len(string_split(trim(s, '<>'), '><')) AS n_sym
+       |       FROM w$BpeRounds),
+       |dt AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |       round(sum(len(w)) / CAST(sum(n_sym) AS DOUBLE), 6) AS chars_per_token
+       |FROM dt JOIN wt USING (w)
+       |WHERE len(w) > 0
+       |GROUP BY 1""".stripMargin
+
   private def bpeOracleCtes: String = {
     val base =
       """w0 AS (
@@ -476,6 +517,7 @@ object CorpusMining {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("bpe_merges", Some(bpeMergesOracle), bpeMerges),
     GraftQuery("bpe_vocab", Some(bpeVocabOracle), bpeVocab),
+    GraftQuery("bpe_tokenize", Some(bpeTokenizeOracle), bpeTokenize),
     GraftQuery("tfidf_top_terms", Some(tfidfOracle), tfidfTopTerms),
     GraftQuery("bm25_search", Some(bm25Oracle), bm25Search),
     GraftQuery("kmeans_embeddings", Some(kmeansOracle), kmeansEmbeddings),

@@ -346,7 +346,81 @@ object TextAnalytics {
        |FROM g""".stripMargin
   }
 
+  // -------------------------------------------- repetition gates
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021
+    * §A1.1): duplicate-token fraction, top-bigram share, and the share
+    * of trigram occurrences inside duplicated trigrams — the gates
+    * that catch boilerplate loops and degenerate generations BEFORE
+    * expensive cross-doc dedup. Each signal is one explode + per-(doc,
+    * gram) rollup + per-doc fold, all term-partitioned; ratios are
+    * exact-integer divisions rounded to 6 decimals, and the top-bigram
+    * argmax pins ties with md5(gram) so both engines pick the same
+    * winner.
+    */
+  private def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+      .localCheckpoint() // read by three gram pipelines
+    val uni = base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+      size(array_distinct(col("toks"))).cast("long").as("n_dist"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("c").desc, md5(col("g")))
+    val biAgg = base
+      .select(col("doc_id"), explode(TextFunctions.wordShingles("toks", 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wTop))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bi"), max(when(col("rn") === 1, col("c"))).as("top_bi"))
+    val triAgg = base
+      .select(col("doc_id"), explode(TextFunctions.wordShingles("toks", 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tri"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
+    uni.join(biAgg, Seq("doc_id"), "left").join(triAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        round(lit(1.0) - col("n_dist").cast("double") / col("n_tok"), 6)
+          .as("dup_token_frac"),
+        round(coalesce(col("top_bi").cast("double") / col("n_bi"), lit(0.0)), 6)
+          .as("top_bigram_share"),
+        round(coalesce(col("dup_tri").cast("double") / col("n_tri"), lit(0.0)), 6)
+          .as("dup_trigram_share"))
+  }
+
+  private val docRepetitionOracle =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |uni AS (SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_dist FROM t),
+      |bic AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      |      ELSE [] END) AS g
+      |    FROM t) s
+      |  GROUP BY 1, 2),
+      |biagg AS (
+      |  SELECT doc_id, sum(c) AS n_bi, max(CASE WHEN rn = 1 THEN c END) AS top_bi FROM (
+      |    SELECT bic.*, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, md5(g)) AS rn
+      |    FROM bic) r
+      |  GROUP BY 1),
+      |triagg AS (
+      |  SELECT doc_id, sum(c) AS n_tri,
+      |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |        THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |        ELSE [] END) AS g
+      |      FROM t) s
+      |    GROUP BY 1, 2) c
+      |  GROUP BY 1)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |       round(1.0 - n_dist / CAST(n_tok AS DOUBLE), 6) AS dup_token_frac,
+      |       round(coalesce(top_bi / CAST(n_bi AS DOUBLE), 0.0), 6) AS top_bigram_share,
+      |       round(coalesce(dup_tri / CAST(n_tri AS DOUBLE), 0.0), 6) AS dup_trigram_share
+      |FROM uni LEFT JOIN biagg USING (doc_id) LEFT JOIN triagg USING (doc_id)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("doc_repetition", Some(docRepetitionOracle), docRepetition),
     GraftQuery("text_stats", Some(textStatsOracle), textStats),
     GraftQuery("text_lang_id", Some(langIdOracle), langId),
     GraftQuery("text_fingerprint", Some(fingerprintOracle), fingerprint),

@@ -75,6 +75,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(vocab("ab") == 2L)
   }
 
+  test("doc_repetition: degenerate loop maxes the gates, all-distinct doc scores zero") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam", "en", "test", 19L),
+      (2L, "one two three four five six", "en", "test", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("doc_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // 4x 'spam': 3 distinct-1 dups of 4 tokens, the one bigram IS the
+    // top bigram, both trigram occurrences are the same gram
+    assert(got(1L) == ((4L, 0.75, 1.0, 1.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((6L, 0.0, 0.2, 0.0)), s"got ${got(2L)}")
+  }
+
+  test("bpe_tokenize: planted corpus compresses exactly as the merge table predicts") {
+    val s = spark
+    import s.implicits._
+    val text = "aaab aaab aaab ab ab cc dd ee ff gg hh"
+    val docs = Seq((1L, text, "en", "test", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-tok").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("bpe_tokenize")(spark, dir).head()
+    // 6 merge rounds: aaab and ab fully merge (1 sym each), three of
+    // the six count-1 doubles merge (1 sym), the other three stay 2
+    assert(r.getLong(1) == 11L, s"n_words ${r.getLong(1)}")
+    assert(r.getLong(2) == 14L, s"n_bpe_tokens ${r.getLong(2)}")
+    assert(r.getLong(3) == 28L, s"n_chars ${r.getLong(3)}")
+    assert(r.getDouble(4) == 2.0, s"chars_per_token ${r.getDouble(4)}")
+  }
+
   test("minhash LSH pairs are ordered, deduped, and high-jaccard") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).cache()
     assert(df.filter(col("doc_a") >= col("doc_b")).isEmpty)
