@@ -441,9 +441,10 @@ object SimilarityQueries {
     * (ScalePostureSpec pins >= 0.6). Shuffle stays proportional to
     * probes x codes; full vectors re-enter for probes x 50 rows only.
     */
-  private def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
+  /** Trains the PQ model over (vec_id, e): returns (bv block slices,
+    * c1 codebooks, codes) — shared by `ann_pq` and `ann_ivf_pq`.
+    */
+  private def pqTrain(v: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // (vec, block) slices — read by seeding, both assigns, and probes
     val blockCols = (0 until PqBlocks).map(b =>
       struct(lit(b.toLong).as("blk"),
@@ -487,15 +488,29 @@ object SimilarityQueries {
 
     val c1 = update(assign(c0), c0).localCheckpoint()
     val codes = assign(c1).select(col("vec_id"), col("blk"), col("cid"))
+    (bv, c1, codes)
+  }
+
+  /** ADC LUT + shortlist + exact re-rank over an optional candidate
+    * restriction (None = whole corpus, the pure-PQ scan; Some(cand) =
+    * only (probe_id, vec_id) pairs in cand, the IVF-pruned form).
+    */
+  private def pqSearch(v: DataFrame, bv: DataFrame, c1: DataFrame,
+      codes: DataFrame, candidates: Option[DataFrame]): DataFrame = {
     val probeBlocks = bv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("blk"), col("be").as("pbe"))
     val lut = probeBlocks.join(broadcast(c1), Seq("blk"))
       .select(col("probe_id"), col("blk"), col("cid"),
         round(pqDist2("cv", "pbe"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("bd"))
+    val scored = candidates match {
+      case None => codes.join(broadcast(lut), Seq("blk", "cid"))
+      case Some(cand) => cand.join(codes, "vec_id")
+        .join(broadcast(lut), Seq("probe_id", "blk", "cid"))
+    }
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("adc_d2r"), col("vec_id"))
-    val shortlist = codes.join(broadcast(lut), Seq("blk", "cid"))
+    val shortlist = scored
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("bd")).as("sbd"))
@@ -515,6 +530,54 @@ object SimilarityQueries {
       .select(col("probe_id"), col("vec_id"), col("d2r"), col("rn"))
   }
 
+  private def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
+    val (bv, c1, codes) = pqTrain(v)
+    pqSearch(v, bv, c1, codes, None)
+  }
+
+  /** IVF-PQ — the production ANN stack: the coarse per-label quantizer
+    * of `ann_ivf` prunes the search to each probe's 2 nearest cells,
+    * and `ann_pq`'s ADC + re-rank runs over those candidates only. At
+    * 100 TB this is the composition that matters: cell pruning cuts the
+    * ADC join's left side to nprobe/ncells of the corpus, codes stay
+    * 64-bit, and full floats re-enter for probes x 50 rows. Cell choice
+    * pins on round(L2, 6) + label, so the whole pipeline keeps an exact
+    * DuckDB oracle.
+    */
+  private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val v = vecs.select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
+    val (bv, c1, codes) = pqTrain(v)
+    // coarse quantizer: the per-label decimal-pinned centroid of ann_ivf
+    val dims = 1 to 64
+    val dimSums = dims.map(i =>
+      sum(element_at(col("embedding"), i).cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(30, 12))).as(s"s$i")) :+
+      count(lit(1)).as("cnt")
+    val centroids = vecs.groupBy(col("label"))
+      .agg(dimSums.head, dimSums.tail: _*)
+      .select(col("label").as("c_label"),
+        array(dims.map(i =>
+          (col(s"s$i").cast("double") / col("cnt")).cast("float")): _*).as("cvec"))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cd"), col("c_label"))
+    val cells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cd", round(pqDist2FloatPair("cvec", "pe"), 6))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= 2)
+      .select(col("probe_id"), col("c_label"))
+    val cand = cells
+      .join(vecs.select(col("vec_id"), col("label")), cells("c_label") === col("label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    pqSearch(v, bv, c1, codes, Some(cand))
+  }
+
   /** Exact squared L2 between two FLOAT vectors (both promoted to
     * double per element — the same fold both engines run).
     */
@@ -524,10 +587,11 @@ object SimilarityQueries {
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
-  private val annPqOracle = {
+  /** Shared oracle CTE chain: PQ training (v .. codes) + probe LUT. */
+  private def pqOracleCtes = {
     val d2cb = duckPqDist2("cv", "be")
     val d2cp = duckPqDist2("cv", "pbe")
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding AS e FROM embeddings),
        |bv AS (
        |  SELECT vec_id, b.blk AS blk,
        |         list_slice(e, b.blk * $PqBlockDims + 1, (b.blk + 1) * $PqBlockDims) AS be
@@ -567,14 +631,12 @@ object SimilarityQueries {
        |lut AS (
        |  SELECT pb.probe_id, pb.blk, c1.cid,
        |         CAST(round($d2cp, 6) AS DECIMAL(28,9)) AS bd
-       |  FROM pb JOIN c1 ON pb.blk = c1.blk),
-       |adc AS (
-       |  SELECT lut.probe_id, codes.vec_id,
-       |         round(CAST(sum(bd) AS DOUBLE), 6) AS adc_d2r
-       |  FROM codes JOIN lut ON codes.blk = lut.blk AND codes.cid = lut.cid
-       |  WHERE codes.vec_id <> lut.probe_id
-       |  GROUP BY 1, 2),
-       |short AS (
+       |  FROM pb JOIN c1 ON pb.blk = c1.blk)""".stripMargin
+  }
+
+  /** Shortlist + exact-re-rank oracle tail (expects an `adc` CTE). */
+  private def pqOracleTail =
+    s"""short AS (
        |  SELECT probe_id, vec_id FROM (
        |    SELECT adc.*, row_number() OVER (PARTITION BY probe_id ORDER BY adc_d2r, vec_id) AS srn
        |    FROM adc) t
@@ -589,10 +651,52 @@ object SimilarityQueries {
        |  SELECT rr.*, row_number() OVER (PARTITION BY probe_id ORDER BY d2r, vec_id) AS rn
        |  FROM rr) t
        |WHERE rn <= 5""".stripMargin
-  }
+
+  private val annPqOracle =
+    s"""WITH $pqOracleCtes,
+       |adc AS (
+       |  SELECT lut.probe_id, codes.vec_id,
+       |         round(CAST(sum(bd) AS DOUBLE), 6) AS adc_d2r
+       |  FROM codes JOIN lut ON codes.blk = lut.blk AND codes.cid = lut.cid
+       |  WHERE codes.vec_id <> lut.probe_id
+       |  GROUP BY 1, 2),
+       |$pqOracleTail""".stripMargin
+
+  private val annIvfPqOracle =
+    s"""WITH $pqOracleCtes,
+       |cent AS (
+       |  SELECT label, g.i AS pos,
+       |         CAST(SUM(CAST(embedding[g.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+       |  GROUP BY 1, 2),
+       |cvecs AS (
+       |  SELECT label AS c_label, list_transform(list(m ORDER BY pos), x -> x::FLOAT) AS cvec
+       |  FROM cent GROUP BY 1),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |cells AS (
+       |  SELECT probe_id, c_label FROM (
+       |    SELECT p.probe_id, c.c_label,
+       |           row_number() OVER (PARTITION BY p.probe_id
+       |             ORDER BY round(${duckPqDist2("cvec", "pe")}, 6), c.c_label) AS crn
+       |    FROM p CROSS JOIN cvecs c) t
+       |  WHERE crn <= 2),
+       |cand AS (
+       |  SELECT cells.probe_id, vl.vec_id
+       |  FROM cells JOIN embeddings vl ON cells.c_label = vl.label
+       |  WHERE vl.vec_id <> cells.probe_id),
+       |adc AS (
+       |  SELECT cand.probe_id, cand.vec_id,
+       |         round(CAST(sum(bd) AS DOUBLE), 6) AS adc_d2r
+       |  FROM cand
+       |  JOIN codes ON cand.vec_id = codes.vec_id
+       |  JOIN lut ON lut.probe_id = cand.probe_id
+       |         AND lut.blk = codes.blk AND lut.cid = codes.cid
+       |  GROUP BY 1, 2),
+       |$pqOracleTail""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("ann_pq", Some(annPqOracle), annPq),
+    GraftQuery("ann_ivf_pq", Some(annIvfPqOracle), annIvfPq),
     GraftQuery("ann_bruteforce", Some(annBruteforceOracle), annBruteforce),
     GraftQuery("embedding_neardup", Some(embeddingNeardupOracle), embeddingNeardup),
     GraftQuery("ann_lsh", Some(annLshOracle), annLsh),

@@ -323,6 +323,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "IVF should recover at least some true neighbors")
   }
 
+  test("ann_ivf_pq: every probe answered, answers drawn from the pruned cells, ranks well-formed") {
+    val ivfpq = SparkEntry.queries("ann_ivf_pq")(spark, sf)
+    val probes = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 100 === 0).count()
+    assert(ivfpq.select("probe_id").distinct().count() == probes, "every probe answered")
+    // ranks are 1..5 per probe with non-decreasing exact distances
+    val byProbe = ivfpq.collect()
+      .groupBy(_.getLong(0)).values
+    byProbe.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length), "ranks consecutive from 1")
+      assert(sorted.map(_.getDouble(2)).toSeq.sliding(2).forall(p => p.head <= p.last),
+        "exact re-rank distances must be non-decreasing in rank")
+    }
+    // the cell pruning is real: results never leave the probe's cells —
+    // which also means ivf_pq answers are a subset of the unrestricted
+    // PQ shortlist universe, so sharing the probe's cell is checkable
+    // through the label table
+    val labels = graft.sources.Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val joined = ivfpq.join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("probe_id"), col("label").as("probe_label")), "probe_id")
+    // probes pick 2 cells of 8: at most 2 distinct result labels each
+    val cellCounts = joined.groupBy("probe_id")
+      .agg(countDistinct("label").as("n_cells")).collect()
+    assert(cellCounts.forall(_.getLong(1) <= 2),
+      "IVF-PQ answers must come from at most the 2 probed cells per probe")
+  }
+
   test("ann_lsh answers from the probe's own bucket with positive recall") {
     val bf = SparkEntry.queries("ann_bruteforce")(spark, sf).select("probe_id", "vec_id")
     val lsh = SparkEntry.queries("ann_lsh")(spark, sf).select("probe_id", "vec_id").cache()

@@ -497,7 +497,7 @@ class ScalePostureSpec extends AnyFunSuite {
     // the fact side (bounds, corpus totals, centroid tables, probe
     // sets). Everything else must plan product-free.
     val intentionalTinyBroadcast = Set(
-      "ann_bruteforce", "ann_ivf", "kmeans_embeddings", // probe/centroid k-rows
+      "ann_bruteforce", "ann_ivf", "ann_ivf_pq", "kmeans_embeddings", // probe/centroid k-rows
       "tfidf_top_terms", "bm25_search", "pmi_bigrams", // corpus totals (1 row)
       "source_divergence", // 1-row corpus token total
       "zorder_layout", "gapfill_hourly", "active_user_windows", // min/max bounds
