@@ -173,7 +173,15 @@ object CorpusMining {
     * shuffle, so iteration count and k scale independently of corpus
     * size. Output: final assignment + rounded distance per vector.
     */
-  private def kmeansEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+  private def kmeansEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("cid").as("cluster"), col("d").as("dist2_r"))
+
+  /** The trained assignment frame `(vec_id, e, cid, d)` after the
+    * final Lloyd round — shared by `kmeans_embeddings` (which only
+    * re-labels it) and `semdedup` (which deduplicates within cells).
+    */
+  private def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     // checkpoint the vector table once: it appears four times in the
     // unrolled Lloyd plan (seeds, two assignments, one update) and a
     // leaf checkpoint replaces four parquet scans + fan-out exchanges
@@ -215,13 +223,16 @@ object CorpusMining {
         .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }
 
-    val a2 = assign(update(assign(seeds), seeds))
-    a2.select(col("vec_id"), col("cid").as("cluster"), col("d").as("dist2_r"))
+    assign(update(assign(seeds), seeds))
   }
 
-  private val kmeansOracle = {
+  /** Shared oracle CTE chain for the 2-round Lloyd plan (v .. a2, the
+    * final assignment keeping each vector) — used by `kmeans_embeddings`
+    * and `semdedup`.
+    */
+  private val kmeansOracleCtes = {
     val d2 = duckDist2("cv", "e")
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding AS e FROM embeddings),
        |seeds AS (
        |  SELECT e, rn - 1 AS cid FROM (
        |    SELECT e, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
@@ -244,15 +255,81 @@ object CorpusMining {
        |c1 AS (SELECT c0.cid, coalesce(c1m.mv, c0.cv) AS cv
        |       FROM c0 LEFT JOIN c1m USING (cid)),
        |a2 AS (
-       |  SELECT vec_id, cid, d FROM (
-       |    SELECT v.vec_id, c1.cid, round($d2, 6) AS d,
+       |  SELECT vec_id, e, cid, d FROM (
+       |    SELECT v.vec_id, v.e, c1.cid, round($d2, 6) AS d,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY round($d2, 6), c1.cid) AS rn
        |    FROM v CROSS JOIN c1) s
-       |  WHERE rn = 1)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private val kmeansOracle =
+    s"""WITH $kmeansOracleCtes
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist2_r
        |FROM a2""".stripMargin
+
+  // --------------------------------------------------------- SemDeDup
+  // eps is corpus-tuned in the paper (their web corpora dedup up to
+  // 50% of rows); the synthetic embeddings are near-orthogonal (max
+  // pairwise cos ~0.51), so the demo threshold sits in the observed
+  // within-cluster tail to exercise real drops at test scale.
+  private val SemDedupEps = 0.40
+
+  /** Identical-association dot product for the DuckDB twin. */
+  private def duckDotQ(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')"
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication with the
+    * pairwise work bounded to k-means cells. Cluster members are
+    * ordered farthest-from-centroid first (the paper keeps the LOW
+    * centroid-similarity example of a duplicate group — the most
+    * distinctive one); a vector is dropped iff some member EARLIER in
+    * that order has cosine >= eps with it, which is exactly the
+    * paper's matrix sweep and needs no connected components. Shapes:
+    * the dup scan is a self equi-join on the cell id — pairs scale
+    * with sum(|cell|^2), and at corpus scale k grows with n (SemDeDup
+    * uses k ~ n/10k) so cells stay O(1) and the scan stays linear;
+    * each surviving pair costs one fused codegen'd dot (norms
+    * precomputed per vector, not per pair). Precedence pins on
+    * (round(dist2,6) DESC, vec_id) and cosines round to 6 decimals,
+    * so the DuckDB oracle replays the whole pipeline hash-exactly.
+    */
+  private def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    // the assignment frame appears on both sides of the pair join and
+    // in the final decorate: materialize once
+    val a = kmeansAssign(spark, dir)
+      .withColumn("vn", sqrt(VectorExpressions.dotF32(col("e"), col("e"))))
+      .localCheckpoint()
+    val u = a.select(col("vec_id").as("uid"), col("e").as("ue"),
+      col("cid"), col("d").as("ud"), col("vn").as("un"))
+    val dupPrior = u.join(a, Seq("cid"))
+      .filter(col("ud") > col("d") ||
+        (col("ud") === col("d") && col("uid") < col("vec_id")))
+      .withColumn("cos",
+        round(VectorExpressions.dotF32(col("ue"), col("e")) / (col("un") * col("vn")), 6))
+      .filter(col("cos") >= SemDedupEps)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dup_prior"))
+    a.join(dupPrior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster"), col("d").as("dist2_r"),
+        coalesce(col("n_dup_prior"), lit(0L)).as("n_dup_prior"),
+        (coalesce(col("n_dup_prior"), lit(0L)) === 0).as("kept"))
   }
+
+  private val semDedupOracle =
+    s"""WITH $kmeansOracleCtes,
+       |an AS (SELECT vec_id, e, cid, d, sqrt(${duckDotQ("e", "e")}) AS vn FROM a2),
+       |dup AS (
+       |  SELECT v.vec_id, count(*) AS n_dup_prior
+       |  FROM an u JOIN an v ON u.cid = v.cid
+       |  WHERE (u.d > v.d OR (u.d = v.d AND u.vec_id < v.vec_id))
+       |    AND round(${duckDotQ("u.e", "v.e")} / (u.vn * v.vn), 6) >= $SemDedupEps
+       |  GROUP BY 1)
+       |SELECT an.vec_id, CAST(an.cid AS BIGINT) AS cluster, an.d AS dist2_r,
+       |       CAST(coalesce(dup.n_dup_prior, 0) AS BIGINT) AS n_dup_prior,
+       |       coalesce(dup.n_dup_prior, 0) = 0 AS kept
+       |FROM an LEFT JOIN dup ON an.vec_id = dup.vec_id""".stripMargin
 
   // ------------------------------------------------------- PMI bigrams
   private val PmiMinCount = 5
@@ -521,6 +598,7 @@ object CorpusMining {
     GraftQuery("tfidf_top_terms", Some(tfidfOracle), tfidfTopTerms),
     GraftQuery("bm25_search", Some(bm25Oracle), bm25Search),
     GraftQuery("kmeans_embeddings", Some(kmeansOracle), kmeansEmbeddings),
+    GraftQuery("semdedup", Some(semDedupOracle), semDedup),
     GraftQuery("pmi_bigrams", Some(pmiOracle), pmiBigrams),
     GraftQuery("vocab_growth", Some(vocabGrowthOracle), vocabGrowth),
   )

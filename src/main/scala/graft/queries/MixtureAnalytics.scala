@@ -208,7 +208,104 @@ object MixtureAnalytics {
       |FROM g
       |WHERE user_id % 20 = 0""".stripMargin
 
+  // --------------------------------------------------- DSIR selection
+  private val DsirBuckets = 1024
+  private val DsirTarget = "src0"
+  private val DsirAddK = 0.5
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023): rank the raw pool by how target-like it looks under
+    * hashed n-gram feature distributions, select the top fifth. The
+    * feature space is fixed at [[DsirBuckets]] md5-hashed unigram
+    * buckets, so BOTH distribution estimates are bucket-count rollups
+    * bounded by the bucket space, never the corpus; the per-doc score
+    * logw = Σ_b c_db·(ln p̂_target(b) − ln p̂_raw(b)) quantizes each
+    * term to DECIMAL(38,12) before the doc fold (order-independent),
+    * with add-k smoothing so unseen buckets stay finite. Selection is
+    * the same scale-safe rank as ngram_lm_perplexity: a value-
+    * histogram cumsum (bounded by the 6-decimal value space) plus a
+    * within-value row_number — no global sort of the pool; the top-20%
+    * cut is exact integer arithmetic rank·5 ≤ N. The paper resamples
+    * with Gumbel noise; the deterministic top-k variant keeps an exact
+    * cross-engine oracle, and a seeded Gumbel column would bolt on as
+    * one more md5-derived uniform.
+    */
+  private def dsirSelection(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val bCol = expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)") % DsirBuckets
+    val dgb = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"), bCol.as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by both distribution rollups + scoring
+    val ct = dgb.filter(col("source") === DsirTarget)
+      .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+    val cr = dgb.filter(col("source") =!= DsirTarget)
+      .groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val nt = ct.agg(coalesce(sum(col("tc")), lit(0L)).as("ntot"))
+    val nr = cr.agg(coalesce(sum(col("rc")), lit(0L)).as("rtot"))
+    val lam = dgb.select(col("b")).distinct()
+      .join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + DsirAddK) /
+             (col("ntot") + lit(DsirBuckets) * DsirAddK)) -
+         log((coalesce(col("rc"), lit(0L)) + DsirAddK) /
+             (col("rtot") + lit(DsirBuckets) * DsirAddK))).as("lam"))
+    val doc = dgb.filter(col("source") =!= DsirTarget)
+      .join(lam, "b")
+      .withColumn("term", round(col("c") * col("lam"), 12).cast(DecimalType(38, 12)))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("term")).cast("double"), 6).as("logw"))
+    val hist = doc.groupBy(col("logw")).agg(count(lit(1)).as("cnt"))
+      .withColumn("above", coalesce(
+        sum(col("cnt")).over(W.orderBy(col("logw").desc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("logw"), col("above"))
+    val total = doc.agg(count(lit(1)).as("n"))
+    doc.join(hist, "logw")
+      .withColumn("rk", col("above") +
+        row_number().over(W.partitionBy(col("logw")).orderBy(col("doc_id"))))
+      .crossJoin(broadcast(total))
+      .withColumn("selected", col("rk") * 5 <= col("n"))
+      .select(col("doc_id"), col("source"), col("n_feats"), col("logw"),
+        col("rk"), col("selected"))
+  }
+
+  private val dsirOracle =
+    s"""WITH dgb AS (
+       |  SELECT doc_id, source, b, count(*) AS c FROM (
+       |    SELECT doc_id, source,
+       |           CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT) % $DsirBuckets AS b
+       |    FROM (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
+       |          FROM documents) u) v
+       |  GROUP BY 1, 2, 3),
+       |ct AS (SELECT b, sum(c) AS tc FROM dgb WHERE source = '$DsirTarget' GROUP BY 1),
+       |cr AS (SELECT b, sum(c) AS rc FROM dgb WHERE source <> '$DsirTarget' GROUP BY 1),
+       |nt AS (SELECT coalesce(sum(tc), 0) AS ntot FROM ct),
+       |nr AS (SELECT coalesce(sum(rc), 0) AS rtot FROM cr),
+       |lam AS (
+       |  SELECT allb.b,
+       |         ln((coalesce(ct.tc, 0) + $DsirAddK) / (nt.ntot + $DsirBuckets * $DsirAddK)) -
+       |         ln((coalesce(cr.rc, 0) + $DsirAddK) / (nr.rtot + $DsirBuckets * $DsirAddK)) AS lam
+       |  FROM (SELECT DISTINCT b FROM dgb) allb
+       |  LEFT JOIN ct ON allb.b = ct.b
+       |  LEFT JOIN cr ON allb.b = cr.b
+       |  CROSS JOIN nt CROSS JOIN nr),
+       |doc AS (
+       |  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_feats,
+       |         round(CAST(sum(CAST(round(c * lam, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS logw
+       |  FROM dgb JOIN lam USING (b)
+       |  WHERE source <> '$DsirTarget'
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS n FROM doc),
+       |r AS (SELECT doc.*, row_number() OVER (ORDER BY logw DESC, doc_id) AS rk FROM doc)
+       |SELECT doc_id, source, n_feats, logw, rk, rk * 5 <= n AS selected
+       |FROM r CROSS JOIN tot""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("dsir_selection", Some(dsirOracle), dsirSelection),
     GraftQuery("doc_entropy", Some(docEntropyOracle), docEntropy),
     GraftQuery("source_divergence", Some(sourceDivergenceOracle), sourceDivergence),
     GraftQuery("weighted_sample", Some(weightedSampleOracle), weightedSample),

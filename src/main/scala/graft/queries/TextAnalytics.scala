@@ -419,7 +419,94 @@ object TextAnalytics {
       |       round(coalesce(dup_tri / CAST(n_tri AS DOUBLE), 0.0), 6) AS dup_trigram_share
       |FROM uni LEFT JOIN biagg USING (doc_id) LEFT JOIN triagg USING (doc_id)""".stripMargin
 
+  // ----------------------------------------- n-gram LM perplexity
+  private val LmAddK = 0.5
+
+  /** CCNet-style LM quality bucketing (Wenzek et al. 2020): train a
+    * language model ON the corpus, score every document's
+    * cross-entropy under it, and split the corpus into head / middle /
+    * tail thirds — the bucketing the LLaMA data pipeline filtered
+    * with. The LM here is an add-k-smoothed conditional character-
+    * bigram model (kenlm's 5-gram replaced by the largest model both
+    * engines can replay exactly): p(c2|c1) = (cnt(c1c2)+k)/(cnt(c1·)+
+    * k·V). Shapes, all corpus-scale-safe:
+    *  - (doc, gram) counts: one fused-codegen explode + rollup, read
+    *    twice (model + scoring) off one checkpoint;
+    *  - model / context tables are vocabulary-sized rollups of that
+    *    frame; V and N are broadcast scalars;
+    *  - per-gram -c·ln(p) contributions quantize to DECIMAL(38,12)
+    *    before the per-doc sum (order-independent fold);
+    *  - the tercile rank never global-sorts docs: ranks = (docs with
+    *    strictly smaller rounded xent — a value-histogram cumsum,
+    *    bounded by the 6-decimal VALUE SPACE, not the corpus) + a
+    *    row_number windowed WITHIN each xent value (distributed), and
+    *    the head/middle/tail split is exact integer arithmetic
+    *    rank*3 vs N — no ntile, no single-partition sort.
+    */
+  private def ngramLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val W = org.apache.spark.sql.expressions.Window
+    val dg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.charNgrams("text", 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // model AND scoring read it
+    val model = dg.groupBy(col("g")).agg(sum(col("c")).as("cg"))
+    val ctx = model.groupBy(substring(col("g"), 1, 1).as("c1")).agg(sum(col("cg")).as("cc"))
+    val vocab = model.agg(countDistinct(substring(col("g"), 2, 1)).as("v"))
+    val doc = dg
+      .join(model, "g")
+      .join(ctx, substring(col("g"), 1, 1) === col("c1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("t", round(-col("c") *
+          log((col("cg") + LmAddK) / (col("cc") + col("v") * LmAddK)), 12)
+        .cast(DecimalType(38, 12)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        round(sum(col("t")).cast("double") / sum(col("c")), 6).as("cross_entropy"))
+    val hist = doc.groupBy(col("cross_entropy")).agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(
+        sum(col("cnt")).over(W.orderBy(col("cross_entropy"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cross_entropy"), col("below"))
+    val total = doc.agg(count(lit(1)).as("n"))
+    doc.join(hist, "cross_entropy")
+      .withColumn("rk", col("below") +
+        row_number().over(W.partitionBy(col("cross_entropy")).orderBy(col("doc_id"))))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("n_grams"), col("cross_entropy"), col("bucket"))
+  }
+
+  private val ngramLmOracle =
+    s"""WITH dg AS (
+       |  SELECT doc_id, g, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(CASE WHEN length(trim(text)) >= 2
+       |      THEN list_transform(range(1, length(trim(text))), i -> substr(trim(text), i, 2))
+       |      ELSE [] END) AS g
+       |    FROM documents) t
+       |  GROUP BY 1, 2),
+       |model AS (SELECT g, sum(c) AS cg FROM dg GROUP BY 1),
+       |ctx AS (SELECT substr(g, 1, 1) AS c1, sum(cg) AS cc FROM model GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT substr(g, 2, 1)) AS v FROM model),
+       |doc AS (
+       |  SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
+       |         round(CAST(sum(CAST(round(-dg.c * ln((model.cg + $LmAddK) / (ctx.cc + $LmAddK * vv.v)), 12)
+       |                            AS DECIMAL(38,12))) AS DOUBLE) / sum(dg.c), 6) AS cross_entropy
+       |  FROM dg JOIN model USING (g)
+       |  JOIN ctx ON substr(dg.g, 1, 1) = ctx.c1
+       |  CROSS JOIN vv
+       |  GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM doc),
+       |r AS (SELECT doc.*, row_number() OVER (ORDER BY cross_entropy, doc_id) AS rk FROM doc)
+       |SELECT doc_id, n_grams, cross_entropy,
+       |       CASE WHEN rk * 3 <= n THEN 'head'
+       |            WHEN rk * 3 <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM r CROSS JOIN tot""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("ngram_lm_perplexity", Some(ngramLmOracle), ngramLmPerplexity),
     GraftQuery("doc_repetition", Some(docRepetitionOracle), docRepetition),
     GraftQuery("text_stats", Some(textStatsOracle), textStats),
     GraftQuery("text_lang_id", Some(langIdOracle), langId),

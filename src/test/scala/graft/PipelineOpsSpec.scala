@@ -323,6 +323,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "IVF should recover at least some true neighbors")
   }
 
+  test("ngram_lm_perplexity: thirds are balanced and ordered by cross-entropy") {
+    val lm = SparkEntry.queries("ngram_lm_perplexity")(spark, sf).cache()
+    val n = lm.count()
+    val byBucket = lm.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket.values.sum == n)
+    // each third within 1 of n/3 (integer split)
+    byBucket.values.foreach(c => assert(math.abs(c - n / 3) <= 1, s"unbalanced: $byBucket"))
+    // buckets follow the entropy order: head never exceeds middle, middle never tail
+    def mx(b: String) = lm.filter(col("bucket") === b).agg(max("cross_entropy")).head.getDouble(0)
+    def mn(b: String) = lm.filter(col("bucket") === b).agg(min("cross_entropy")).head.getDouble(0)
+    assert(mx("head") <= mn("middle") && mx("middle") <= mn("tail"))
+    lm.unpersist()
+  }
+
+  test("dsir_selection: target pool excluded, exact top-fifth selected in logw order") {
+    val ds = SparkEntry.queries("dsir_selection")(spark, sf).cache()
+    assert(ds.filter(col("source") === "src0").count() == 0, "target docs must not be scored")
+    val n = ds.count()
+    val sel = ds.filter(col("selected")).count()
+    assert(sel == n / 5, s"expected exactly n/5 = ${n / 5} selected, got $sel")
+    // selection is the top of the logw order
+    val minSel = ds.filter(col("selected")).agg(min("logw")).head.getDouble(0)
+    val maxUnsel = ds.filter(!col("selected")).agg(max("logw")).head.getDouble(0)
+    assert(minSel >= maxUnsel, "a selected doc scored below an unselected one")
+    ds.unpersist()
+  }
+
+  test("semdedup: full-corpus coverage, cell-local drops, precedence head always kept") {
+    val sd = SparkEntry.queries("semdedup")(spark, sf).cache()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(sd.count() == nVecs, "one verdict row per corpus vector")
+    // kept is exactly the n_dup_prior == 0 predicate
+    assert(sd.filter(col("kept") =!= (col("n_dup_prior") === 0)).count() == 0)
+    // the threshold actually fires on this corpus — a dedup query that
+    // never drops anything at test scale proves nothing
+    assert(sd.filter(!col("kept")).count() > 0, "expected real drops at sf0.01")
+    // the first member in each cell's precedence order (max dist2_r,
+    // then min vec_id) has no earlier member, so it can never drop
+    val wHead = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist2_r").desc, col("vec_id"))
+    val heads = sd.withColumn("hrn", row_number().over(wHead)).filter(col("hrn") === 1)
+    assert(heads.filter(!col("kept")).count() == 0, "precedence head must be kept")
+    sd.unpersist()
+  }
+
   test("ann_ivf_pq: every probe answered, answers drawn from the pruned cells, ranks well-formed") {
     val ivfpq = SparkEntry.queries("ann_ivf_pq")(spark, sf)
     val probes = graft.sources.Tables.embeddings(spark, sf)

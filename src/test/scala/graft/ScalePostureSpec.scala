@@ -498,13 +498,15 @@ class ScalePostureSpec extends AnyFunSuite {
     // sets). Everything else must plan product-free.
     val intentionalTinyBroadcast = Set(
       "ann_bruteforce", "ann_ivf", "ann_ivf_pq", "kmeans_embeddings", // probe/centroid k-rows
+      "semdedup", // same k-row centroid broadcast as kmeans_embeddings
       "tfidf_top_terms", "bm25_search", "pmi_bigrams", // corpus totals (1 row)
       "source_divergence", // 1-row corpus token total
       "zorder_layout", "gapfill_hourly", "active_user_windows", // min/max bounds
       "stratified_sample", "dataset_split", "split_contamination",
       "tpch_q11_important_stock", "tpch_q15_top_supplier", // scalar thresholds
       "tpch_q17_small_qty_revenue", "tpch_q22_lapsed_customers",
-      "vocab_growth", "heavy_hitters_cms", "embedding_neardup")
+      "vocab_growth", "heavy_hitters_cms", "embedding_neardup",
+      "ngram_lm_perplexity", "dsir_selection") // broadcast V/N/total scalars
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for (q <- SparkEntry.all) {
       val plan =
