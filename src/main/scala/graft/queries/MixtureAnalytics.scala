@@ -258,6 +258,9 @@ object MixtureAnalytics {
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("c")).as("n_feats"),
         round(sum(col("term")).cast("double"), 6).as("logw"))
+      // one row per scored doc, read by the histogram, the total, and
+      // the final decorate — materialize instead of re-scoring thrice
+      .localCheckpoint()
     val hist = doc.groupBy(col("logw")).agg(count(lit(1)).as("cnt"))
       .withColumn("above", coalesce(
         sum(col("cnt")).over(W.orderBy(col("logw").desc)

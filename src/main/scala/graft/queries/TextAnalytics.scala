@@ -463,6 +463,9 @@ object TextAnalytics {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"),
         round(sum(col("t")).cast("double") / sum(col("c")), 6).as("cross_entropy"))
+      // one row per doc, read by the histogram, the total, and the
+      // final decorate — materialize instead of re-scoring three times
+      .localCheckpoint()
     val hist = doc.groupBy(col("cross_entropy")).agg(count(lit(1)).as("cnt"))
       .withColumn("below", coalesce(
         sum(col("cnt")).over(W.orderBy(col("cross_entropy"))

@@ -204,6 +204,26 @@ class ScalePostureSpec extends AnyFunSuite {
       !mergePlan.contains("BroadcastNestedLoopJoin"), mergePlan)
   }
 
+  test("selection tier: semdedup pair join stays keyed; LM/DSIR products are only the scalar broadcasts") {
+    def planOf(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+    // semdedup: the post-checkpoint plan is the pairwise sweep — it
+    // must join on the cell id, never a product (the k-row centroid
+    // broadcasts live inside the checkpointed training chain)
+    val sd = planOf("semdedup")
+    assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"),
+      s"semdedup pairwise sweep must be an equi-join on the cell id:\n$sd")
+    // LM bucketing and DSIR selection: exactly ONE product each — the
+    // broadcast 1-row total that decorates ranks; anything more means
+    // an accidental unkeyed join slipped into the scoring path
+    for (name <- Seq("ngram_lm_perplexity", "dsir_selection")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name must not plan a cartesian:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj == 1, s"$name should broadcast exactly the 1-row total, found $bnlj products:\n$p")
+    }
+  }
+
   test("BandJoinRewrite: SQL abs-band join plans bucketed and matches the naive result") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
