@@ -85,7 +85,12 @@ object DedupQueries {
     * equi-join on (band, band_key) — candidate volume scales with true
     * collisions, never with n².
     */
-  private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** The MinHash index tables — (sh, sigs, bands) — shared by the
+    * all-pairs `dedup_minhash_lsh` and the batch-vs-corpus
+    * `dedup_incremental` probe.
+    */
+  private def minhashIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     // eager checkpoints, not cache(): sh and sigs are each read by
     // multiple downstream joins, and a checkpoint is a LEAF plan — the
     // candidate/intersection joins re-plan against a scan instead of
@@ -107,6 +112,11 @@ object DedupQueries {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+    (sh, sigs, bands)
+  }
+
+  private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (sh, sigs, bands) = minhashIndex(spark, dir)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -126,19 +136,24 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  private val minhashOracle = {
+  /** Shared oracle prefix: shingles → hashed → sig → bands. */
+  private val duckMinhashIndex = {
     val sigCols = (0 until NumPerms).map(p =>
       s"min((${PermA(p)} * hv + ${PermB(p)}) % $P) AS s$p").mkString(", ")
     val bandCase = (0 until NumBands).map(b =>
       s"WHEN $b THEN s${2 * b} * $P + s${2 * b + 1}").mkString(" ")
-    s"""WITH $duckShingles,
+    s"""$duckShingles,
        |hashed AS (
        |  SELECT doc_id, CAST(CAST('0x' || substr(md5(sh), 1, 8) AS UBIGINT) AS BIGINT) % $P AS hv
        |  FROM sh),
        |sig AS (SELECT doc_id, $sigCols FROM hashed GROUP BY 1),
        |bands AS (
        |  SELECT doc_id, g.b AS band, CASE g.b $bandCase END AS bh
-       |  FROM sig CROSS JOIN generate_series(0, ${NumBands - 1}) g(b)),
+       |  FROM sig CROSS JOIN generate_series(0, ${NumBands - 1}) g(b))""".stripMargin
+  }
+
+  private val minhashOracle = {
+    s"""WITH $duckMinhashIndex,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -151,6 +166,66 @@ object DedupQueries {
        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
        |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5""".stripMargin
   }
+
+  // --------------------------------------------- incremental dedup
+  /** Incremental dedup: an incoming batch (doc_id % 10 == 0) probed
+    * against the standing corpus's MinHash index — the shape a
+    * continuously-ingesting pipeline actually runs, where the corpus
+    * signatures/bands are computed ONCE and persisted and each new
+    * batch pays only its own signature cost plus a band equi-join
+    * against the index. Candidates scale with true collisions
+    * (batch × collision rate), never batch × corpus; the verify stage
+    * re-walks shingles only for colliding pairs. Output: one verdict
+    * row per duplicate batch doc — its best corpus match by exact
+    * Jaccard (rank-1, jaccard desc + min corpus id).
+    */
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (sh, sigs, bands) = minhashIndex(spark, dir)
+    val batchBands = bands.filter(col("doc_id") % 10 === 0)
+    val corpusBands = bands.filter(col("doc_id") % 10 =!= 0)
+    val cand = batchBands.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val cnt = sigs.select(col("doc_id"), col("c"))
+    val inter = cand
+      .join(sh.as("x"), col("batch_id") === col("x.doc_id"))
+      .join(sh.as("y"), col("corpus_id") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("batch_id"), col("corpus_id")).agg(count(lit(1)).as("i"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("batch_id")).orderBy(col("jaccard").desc, col("corpus_id"))
+    inter
+      .join(cnt.as("ca"), col("batch_id") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("corpus_id") === col("cb.doc_id"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id").as("dup_of"), col("jaccard"))
+  }
+
+  private val dedupIncrementalOracle =
+    s"""WITH $duckMinhashIndex,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT batch_id, corpus_id, count(*) AS i
+       |  FROM cand JOIN sh x ON x.doc_id = batch_id JOIN sh y ON y.doc_id = corpus_id AND y.sh = x.sh
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT batch_id, corpus_id,
+       |         round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+       |  FROM inter JOIN cnt ca ON batch_id = ca.doc_id JOIN cnt cb ON corpus_id = cb.doc_id
+       |  WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) >= 0.5)
+       |SELECT batch_id, corpus_id AS dup_of, jaccard FROM (
+       |  SELECT j.*, row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, corpus_id) AS rn
+       |  FROM j) t
+       |WHERE rn = 1""".stripMargin
 
   // ----------------------------------------------------------- SimHash
   /** 32-bit SimHash per doc: each token occurrence votes ±1 per bit of
@@ -683,6 +758,7 @@ object DedupQueries {
     GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
     GraftQuery("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
     GraftQuery("dedup_minhash_lsh", Some(minhashOracle), minhashLsh),
+    GraftQuery("dedup_incremental", Some(dedupIncrementalOracle), dedupIncremental),
     GraftQuery("dedup_simhash", Some(simhashOracle), dedupSimhash),
     GraftQuery("dedup_simhash_pairs", Some(simhashPairsOracle), simhashPairs),
     GraftQuery("dedup_ngram_jaccard", Some(ngramOracle), ngramJaccard),

@@ -307,8 +307,57 @@ object MixtureAnalytics {
        |SELECT doc_id, source, n_feats, logw, rk, rk * 5 <= n AS selected
        |FROM r CROSS JOIN tot""".stripMargin
 
+  // ------------------------------------------ temperature mixture
+  /** α-temperature mixture allocation (the XLM-R / mT5 sampling rule,
+    * α = 0.5): source s gets share n_s^α / Σ n_t^α of the token
+    * budget, flattening the natural size distribution so small
+    * sources aren't drowned. α = 0.5 makes the power an IEEE-exact
+    * `sqrt` (bit-identical both engines, unlike pow); the per-source
+    * sqrts quantize to DECIMAL(38,9) before the total so the
+    * denominator folds order-independently. Budget = half the corpus
+    * tokens. Everything downstream of the per-source token rollup is
+    * arithmetic on one source-count frame — at 100 TB the only real
+    * work is the one corpus scan + per-source sum; `epochs` > 1 on a
+    * source means the budget upsamples it (the number a mixture
+    * designer actually reads).
+    */
+  private def mixtureAlphaSample(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("s", round(sqrt(col("n_tokens").cast("double")), 9)
+        .cast(DecimalType(38, 9)))
+    val tot = bySrc.agg(sum(col("s")).as("stot"), sum(col("n_tokens")).as("ntot"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("share",
+        round(col("s").cast("double") / col("stot").cast("double"), 6))
+      .withColumn("alloc_tokens",
+        floor(col("share") * floor(col("ntot") / 2)).cast("long"))
+      .withColumn("epochs",
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 6))
+      .select(col("source"), col("n_tokens"), col("share"),
+        col("alloc_tokens"), col("epochs"))
+  }
+
+  private val mixtureAlphaOracle =
+    """WITH bysrc AS (
+      |  SELECT source, sum(len(string_split(trim(text), ' '))) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |q AS (SELECT source, n_tokens,
+      |             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(38,9)) AS s
+      |      FROM bysrc),
+      |tot AS (SELECT sum(s) AS stot, sum(n_tokens) AS ntot FROM q)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       round(CAST(s AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS share,
+      |       CAST(floor(round(CAST(s AS DOUBLE) / CAST(stot AS DOUBLE), 6)
+      |                  * floor(ntot / 2)) AS BIGINT) AS alloc_tokens,
+      |       round(CAST(floor(round(CAST(s AS DOUBLE) / CAST(stot AS DOUBLE), 6)
+      |                        * floor(ntot / 2)) AS DOUBLE) / n_tokens, 6) AS epochs
+      |FROM q CROSS JOIN tot""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("dsir_selection", Some(dsirOracle), dsirSelection),
+    GraftQuery("mixture_alpha_sample", Some(mixtureAlphaOracle), mixtureAlphaSample),
     GraftQuery("doc_entropy", Some(docEntropyOracle), docEntropy),
     GraftQuery("source_divergence", Some(sourceDivergenceOracle), sourceDivergence),
     GraftQuery("weighted_sample", Some(weightedSampleOracle), weightedSample),

@@ -80,6 +80,54 @@ object SimilarityQueries {
        |  FROM s) t
        |WHERE rn <= 5""".stripMargin
 
+  // ---------------------------------------------------- hard negatives
+  /** Hard-negative mining for contrastive training: for every anchor
+    * in the probe set, the top-5 most-similar vectors carrying a
+    * DIFFERENT label — the near-boundary negatives a contrastive or
+    * reranker objective wants, where random negatives are too easy.
+    * Same broadcast-probe scan as `ann_bruteforce`, with the
+    * label-mismatch filter applied BEFORE ranking so the per-probe
+    * top-k heap never buffers a same-label row; at corpus scale the
+    * scan side swaps for an IVF-pruned candidate set exactly as
+    * `ann_ivf_pq` composes (cells are label-correlated, so prune to
+    * the probe's nearest FOREIGN cells).
+    */
+  private def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("vn", sqrt(dotCol("e", "e")))
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("pe"))
+      .withColumn("pn", sqrt(dotCol("pe", "pe")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("simr").desc, col("vec_id"))
+    vecs.crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("probe_label"))
+      .withColumn("simr", round(dotCol("pe", "e") / (col("pn") * col("vn")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("probe_label"), col("vec_id"),
+        col("label"), col("simr"), col("rn"))
+  }
+
+  private val hardNegativesOracle =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding AS e,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS vn
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, label AS probe_label, e AS pe, vn AS pn
+       |      FROM v WHERE vec_id % 100 = 0),
+       |s AS (
+       |  SELECT probe_id, probe_label, vec_id, label,
+       |         round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
+       |  FROM v CROSS JOIN p WHERE label <> probe_label)
+       |SELECT probe_id, probe_label, vec_id, label, simr, rn FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY probe_id ORDER BY simr DESC, vec_id) AS rn
+       |  FROM s) t
+       |WHERE rn <= 5""".stripMargin
+
   // ------------------------------------------------------ near-dup pairs
   private val NdBands = 4
   private val NdBandPlanes = 8 // 4 bands x 8 planes = 32 hyperplanes
@@ -698,6 +746,7 @@ object SimilarityQueries {
     GraftQuery("ann_pq", Some(annPqOracle), annPq),
     GraftQuery("ann_ivf_pq", Some(annIvfPqOracle), annIvfPq),
     GraftQuery("ann_bruteforce", Some(annBruteforceOracle), annBruteforce),
+    GraftQuery("hard_negatives", Some(hardNegativesOracle), hardNegatives),
     GraftQuery("embedding_neardup", Some(embeddingNeardupOracle), embeddingNeardup),
     GraftQuery("ann_lsh", Some(annLshOracle), annLsh),
     GraftQuery("ann_ivf", Some(annIvfOracle), annIvf),

@@ -323,6 +323,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "IVF should recover at least some true neighbors")
   }
 
+  test("hard_negatives: cross-label only, well-formed ranks, never beats the unrestricted top-1") {
+    val hn = SparkEntry.queries("hard_negatives")(spark, sf).cache()
+    assert(hn.filter(col("label") === col("probe_label")).count() == 0,
+      "a hard negative must carry a different label than its anchor")
+    // ranks 1..k per probe, k <= 5
+    val badRanks = hn.groupBy("probe_id").agg(max("rn").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") || col("n") > 5).count()
+    assert(badRanks == 0, "ranks must be consecutive from 1, at most 5")
+    // the unrestricted nearest neighbor is at least as similar as the
+    // best cross-label one
+    val bf1 = SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .filter(col("rn") === 1).select(col("probe_id"), col("simr").as("bf"))
+    val hn1 = hn.filter(col("rn") === 1).select(col("probe_id"), col("simr").as("hd"))
+    assert(bf1.join(hn1, "probe_id").filter(col("hd") > col("bf")).count() == 0)
+    hn.unpersist()
+  }
+
+  test("mixture_alpha_sample: shares normalize, flattening upsamples small sources") {
+    val mx = SparkEntry.queries("mixture_alpha_sample")(spark, sf).collect()
+    assert(mx.length == 20, "one row per source")
+    val shareSum = mx.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares must sum to ~1, got $shareSum")
+    // alpha < 1 flattens: epochs (upsampling factor) never increases
+    // with source size
+    val bySize = mx.sortBy(_.getAs[Long]("n_tokens"))
+    bySize.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("epochs") >= b.getAs[Double]("epochs") - 1e-9,
+        s"larger source ${b.getAs[String]("source")} upsampled more than smaller ${a.getAs[String]("source")}")
+    }
+  }
+
+  test("dedup_incremental: batch side probes corpus side, one best match per dup") {
+    val di = SparkEntry.queries("dedup_incremental")(spark, sf).cache()
+    assert(di.count() > 0, "expected real batch-vs-corpus dups at sf0.01")
+    assert(di.filter(col("batch_id") % 10 =!= 0).count() == 0, "left side must be the batch")
+    assert(di.filter(col("dup_of") % 10 === 0).count() == 0, "matches must come from the corpus")
+    assert(di.filter(col("jaccard") < 0.5).count() == 0)
+    assert(di.select("batch_id").distinct().count() == di.count(),
+      "exactly one verdict row per duplicate batch doc")
+    di.unpersist()
+  }
+
   test("ngram_lm_perplexity: thirds are balanced and ordered by cross-entropy") {
     val lm = SparkEntry.queries("ngram_lm_perplexity")(spark, sf).cache()
     val n = lm.count()

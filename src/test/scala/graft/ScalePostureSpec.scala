@@ -526,7 +526,8 @@ class ScalePostureSpec extends AnyFunSuite {
       "tpch_q11_important_stock", "tpch_q15_top_supplier", // scalar thresholds
       "tpch_q17_small_qty_revenue", "tpch_q22_lapsed_customers",
       "vocab_growth", "heavy_hitters_cms", "embedding_neardup",
-      "ngram_lm_perplexity", "dsir_selection") // broadcast V/N/total scalars
+      "ngram_lm_perplexity", "dsir_selection", // broadcast V/N/total scalars
+      "hard_negatives", "mixture_alpha_sample") // broadcast probe set / 1-row totals
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for (q <- SparkEntry.all) {
       val plan =
