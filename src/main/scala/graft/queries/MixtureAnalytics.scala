@@ -355,9 +355,51 @@ object MixtureAnalytics {
       |                        * floor(ntot / 2)) AS DOUBLE) / n_tokens, 6) AS epochs
       |FROM q CROSS JOIN tot""".stripMargin
 
+  // ------------------------------------------------ training order
+  /** Curriculum-ordered training manifest: within each source, docs
+    * ascend by difficulty (n_chars — the cheap proxy; swap the join
+    * key for ngram_lm_perplexity's cross_entropy when model-based
+    * difficulty is wanted); sources interleave in strides so no
+    * window of the schedule is single-source. The global position is
+    * ARITHMETIC — (src_rank−1)·n_src + src_index — not a global sort:
+    * per-source ranks ride source-partitioned windows (distributed),
+    * the source index is a broadcast-scale frame, and the schedule is
+    * rerun-stable. This is the last artifact a data pipeline emits —
+    * the order the trainer actually consumes.
+    */
+  private def trainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = Tables.documents(spark, dir).select(col("source")).distinct()
+      .withColumn("si",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      .withColumn("nsrc", count(lit(1)).over(
+        Window.partitionBy().orderBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("src_rank", row_number().over(wSrc).cast("long"))
+      .join(broadcast(srcIdx), "source")
+      .withColumn("global_pos", (col("src_rank") - 1) * col("nsrc") + col("si"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_rank"), col("global_pos"))
+  }
+
+  private val trainingOrderOracle =
+    """WITH si AS (
+      |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS si,
+      |         count(*) OVER () AS nsrc
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |r AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS src_rank
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, r.n_chars, r.src_rank,
+      |       (r.src_rank - 1) * si.nsrc + si.si AS global_pos
+      |FROM r JOIN si USING (source)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("dsir_selection", Some(dsirOracle), dsirSelection),
     GraftQuery("mixture_alpha_sample", Some(mixtureAlphaOracle), mixtureAlphaSample),
+    GraftQuery("training_order", Some(trainingOrderOracle), trainingOrder),
     GraftQuery("doc_entropy", Some(docEntropyOracle), docEntropy),
     GraftQuery("source_divergence", Some(sourceDivergenceOracle), sourceDivergence),
     GraftQuery("weighted_sample", Some(weightedSampleOracle), weightedSample),

@@ -508,7 +508,62 @@ object TextAnalytics {
        |            WHEN rk * 3 <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket
        |FROM r CROSS JOIN tot""".stripMargin
 
+  // ------------------------------------------------ pipeline funnel
+  /** The whole preprocessing funnel as ONE declarative plan — the
+    * per-source survival report a pipeline owner reads after every
+    * ingest: total → C4-style quality gate (text_quality_filter's
+    * exact predicate) → Gopher repetition gates (doc_repetition's
+    * signals, thresholds tuned to this corpus's tail) → exact-dedup
+    * canonical (first doc per content hash). Stages NEST: each count
+    * is survivors of all previous gates, so the row reads left to
+    * right as the funnel narrows. Composing the registered gate
+    * queries keeps the semantics in one place; Catalyst fuses the
+    * shared scans, and every stage is the same per-doc rollup shape
+    * that already holds at corpus scale. Retention is the number
+    * mixture planning consumes.
+    */
+  private def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val q = qualityFilter(spark, dir).select(col("doc_id"), col("passes"))
+    val rep = docRepetition(spark, dir).select(col("doc_id"),
+      (col("dup_token_frac") <= 0.65 && col("top_bigram_share") <= 0.10 &&
+        col("dup_trigram_share") <= 0.05).as("rep_ok"))
+    docs.join(keep, "h").join(q, "doc_id").join(rep, "doc_id")
+      .withColumn("is_canon", col("doc_id") === col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("passes") && col("rep_ok"), 1L).otherwise(0L)).as("n_repetition_ok"),
+        sum(when(col("passes") && col("rep_ok") && col("is_canon"), 1L).otherwise(0L))
+          .as("n_unique"))
+      .withColumn("retention",
+        round(col("n_unique").cast("double") / col("n_total"), 6))
+  }
+
+  private val pipelineFunnelOracle =
+    s"""WITH q AS ($qualityFilterOracle),
+       |rep AS ($docRepetitionOracle),
+       |d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+       |keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1),
+       |f AS (
+       |  SELECT d.source, q.passes,
+       |         (rep.dup_token_frac <= 0.65 AND rep.top_bigram_share <= 0.10
+       |          AND rep.dup_trigram_share <= 0.05) AS rep_ok,
+       |         d.doc_id = keep.keep_id AS is_canon
+       |  FROM d JOIN keep USING (h) JOIN q ON d.doc_id = q.doc_id
+       |  JOIN rep ON d.doc_id = rep.doc_id)
+       |SELECT source, count(*) AS n_total,
+       |       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |       CAST(sum(CASE WHEN passes AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_ok,
+       |       CAST(sum(CASE WHEN passes AND rep_ok AND is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |       round(CAST(sum(CASE WHEN passes AND rep_ok AND is_canon THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS retention
+       |FROM f GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("pipeline_funnel", Some(pipelineFunnelOracle), pipelineFunnel),
     GraftQuery("ngram_lm_perplexity", Some(ngramLmOracle), ngramLmPerplexity),
     GraftQuery("doc_repetition", Some(docRepetitionOracle), docRepetition),
     GraftQuery("text_stats", Some(textStatsOracle), textStats),

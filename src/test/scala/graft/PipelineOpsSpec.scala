@@ -323,6 +323,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "IVF should recover at least some true neighbors")
   }
 
+  test("training_order: a dense permutation, curriculum within source, strided across sources") {
+    val to = SparkEntry.queries("training_order")(spark, sf).cache()
+    val n = to.count()
+    // global_pos is a dense permutation of 0..n-1
+    assert(to.select("global_pos").distinct().count() == n)
+    val mm = to.agg(min("global_pos"), max("global_pos")).head
+    assert(mm.getLong(0) == 0 && mm.getLong(1) == n - 1)
+    // within each source the schedule ascends in difficulty
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("src_rank"))
+    val nonMono = to.withColumn("prev", lag(col("n_chars"), 1).over(wSrc))
+      .filter(col("prev").isNotNull && col("prev") > col("n_chars")).count()
+    assert(nonMono == 0, "n_chars must be non-decreasing along each source's ranks")
+    // strided interleave: every position's residue class identifies its source
+    val residues = to.withColumn("res", col("global_pos") % 20)
+      .groupBy(col("source")).agg(countDistinct(col("res")).as("nr"))
+      .filter(col("nr") =!= 1).count()
+    assert(residues == 0, "each source must own exactly one stride residue")
+    to.unpersist()
+  }
+
+  test("pipeline_funnel: stages nest monotonically and agree with the standalone gates") {
+    val f = SparkEntry.queries("pipeline_funnel")(spark, sf).cache()
+    assert(f.count() == 20, "one row per source")
+    assert(f.filter(col("n_quality") > col("n_total") ||
+      col("n_repetition_ok") > col("n_quality") ||
+      col("n_unique") > col("n_repetition_ok")).count() == 0,
+      "funnel stages must narrow monotonically")
+    val sums = f.agg(sum("n_total").as("t"), sum("n_quality").as("q")).head
+    assert(sums.getLong(0) == graft.sources.Tables.documents(spark, sf).count())
+    // stage 1 must agree with the registered quality gate exactly
+    val passes = SparkEntry.queries("text_quality_filter")(spark, sf)
+      .filter(col("passes")).count()
+    assert(sums.getLong(1) == passes, "funnel quality stage must equal text_quality_filter")
+    f.unpersist()
+  }
+
   test("hard_negatives: cross-label only, well-formed ranks, never beats the unrestricted top-1") {
     val hn = SparkEntry.queries("hard_negatives")(spark, sf).cache()
     assert(hn.filter(col("label") === col("probe_label")).count() == 0,
