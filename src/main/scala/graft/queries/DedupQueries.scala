@@ -115,6 +115,38 @@ object DedupQueries {
     (sh, sigs, bands)
   }
 
+  /** Band-exploded MinHash frame from a (doc_id, text) frame — pure
+    * COLUMN work (an array fold per row: min of each universal-hash
+    * permutation over the distinct shingle set), no explode+groupBy.
+    * That makes it work identically on static AND streaming frames,
+    * which is what turns the incremental dedup probe into a stateless
+    * stream-static equi-join. Values are identical to the
+    * exploded/aggregated form [[minhashIndex]] builds: same
+    * md5-derived hash, same permutations, same packed band keys.
+    * Output: (idAs, shsAs distinct-shingle array, cAs set size,
+    * bandAs 0-based band, bhAs packed key, bandsAs all 4 keys).
+    */
+  def minhashBandKeyed(docs: DataFrame, idAs: String, shsAs: String,
+      cAs: String, bandAs: String, bhAs: String, bandsAs: String): DataFrame = {
+    val shs = array_distinct(graft.plans.TextExpressions.wordShingles(
+      TextFunctions.tokens(col("text")), 3))
+    val sigCols = (0 until NumPerms).map { p =>
+      array_min(transform(col("hvs"),
+        h => (h * PermA(p) + PermB(p)) % P)).as(s"s$p")
+    }
+    val bandKeys = (0 until NumBands).map(b =>
+      col(s"s${2 * b}") * P + col(s"s${2 * b + 1}"))
+    docs
+      .withColumn(shsAs, shs)
+      .withColumn("hvs", transform(col(shsAs),
+        x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % P))
+      .select(Seq(col("doc_id").as(idAs), col(shsAs),
+        size(col(shsAs)).cast("long").as(cAs)) ++ sigCols: _*)
+      .withColumn(bandsAs, array(bandKeys: _*))
+      .select(col(idAs), col(shsAs), col(cAs), col(bandsAs),
+        posexplode(col(bandsAs)).as(Seq(bandAs, bhAs)))
+  }
+
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val (sh, sigs, bands) = minhashIndex(spark, dir)
     val cand = bands.as("a")

@@ -508,6 +508,59 @@ object StreamingJobs {
       .select(col("in_id"), col("idx_id"), col("simr"))
   }
 
+  // -------------------------------- streaming MinHash dedup probe
+  /** Online incremental dedup: incoming documents probed LIVE against
+    * the standing corpus's MinHash index — the streaming form of the
+    * batch `dedup_incremental` query. The per-doc signature is pure
+    * COLUMN work ([[graft.queries.DedupQueries.minhashBandKeyed]]: an
+    * array fold over the shingle set, min per universal-hash
+    * permutation), so the stream side carries NO state; candidates
+    * come from a stream-static equi-join on the packed band key;
+    * multi-band collisions collapse via the same stateless
+    * first-colliding-band filter as the ANN lookup (a .distinct()
+    * would compile to StreamingDeduplicate — unbounded key state);
+    * and the exact-Jaccard verify is per-pair array intersection on
+    * collided rows only. Emits every corpus match ≥ 0.5 — the rank-1
+    * "best match" decoration is a per-batch window downstream
+    * (foreachBatch), exactly as the batch query applies it.
+    */
+  def dedupProbeStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.DedupQueries.minhashBandKeyed
+    val docsBatch = graft.sources.Tables.documents(spark, dir)
+    val index = minhashBandKeyed(docsBatch.filter(col("doc_id") % 10 =!= 0),
+      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i")
+    val incoming = spark.readStream.schema(docsBatch.schema)
+      .parquet(stagedPath(dir, "documents"))
+      .filter(col("doc_id") % 10 === 0)
+    dedupProbeJoin(
+      minhashBandKeyed(incoming, "in_id", "shs_v", "c_v", "band_v", "bh_v", "bands_v"),
+      index)
+  }
+
+  /** Batch twin of [[dedupProbeStream]] on the same frames. */
+  def dedupProbeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.DedupQueries.minhashBandKeyed
+    val docsBatch = graft.sources.Tables.documents(spark, dir)
+    val index = minhashBandKeyed(docsBatch.filter(col("doc_id") % 10 =!= 0),
+      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i")
+    dedupProbeJoin(
+      minhashBandKeyed(docsBatch.filter(col("doc_id") % 10 === 0),
+        "in_id", "shs_v", "c_v", "band_v", "bh_v", "bands_v"),
+      index)
+  }
+
+  private def dedupProbeJoin(probe: DataFrame, index: DataFrame): DataFrame =
+    probe.join(index,
+        col("band_v") === col("band_i") && col("bh_v") === col("bh_i"))
+      .filter(graft.queries.SimilarityQueries.firstCollidingBand(
+        "bands_v", "bands_i", "band_v"))
+      .withColumn("inter",
+        size(array_intersect(col("shs_v"), col("shs_i"))).cast("long"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("c_v") + col("c_i") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("in_id"), col("idx_id").as("dup_of"), col("jaccard"))
+
   /** Streaming hot-pages chain (the reference's E2 pipeline,
     * NetworkFlow top-5 URLs): negated-regex filter, 30m/5m sliding
     * counts in the stream, rank-limit per micro-batch in foreachBatch

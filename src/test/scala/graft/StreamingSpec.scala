@@ -414,6 +414,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("streaming MinHash dedup probe equals its batch twin and the registered query") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.dedupProbeStream(spark, sf), "dedup_probe", "append")
+    val batch = StreamingJobs.dedupProbeBatch(spark, sf)
+    assert(batch.count() > 0, "expected live dup matches at this scale")
+    assert(sortedRows(stream) == sortedRows(batch))
+    // rank-1 of the live matches IS the registered dedup_incremental verdict
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("in_id")).orderBy(col("jaccard").desc, col("dup_of"))
+    val best = batch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("in_id").as("batch_id"), col("dup_of"), col("jaccard"))
+    val registered = SparkEntry.queries("dedup_incremental")(spark, sf)
+    assert(sortedRows(best) == sortedRows(registered))
+  }
+
   test("streaming state and file sink survive a query restart from checkpoint (exactly-once)") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val ev = graft.sources.Tables.events(spark, sf)
