@@ -146,9 +146,108 @@ object SketchQueries {
         col("uv_exact"), col("uv_day_sum"))
   }
 
+  // ------------------------------------------------- KMV overlap
+  private val KmvK = 64
+
+  /** K-Minimum-Values audience overlap: per-segment KMV sketches (the
+    * k smallest md5-derived user hashes) estimate pairwise Jaccard,
+    * union, and INTERSECTION sizes between day-active audiences — the
+    * day-over-day returning-user overlap, i.e. the set algebra HLL
+    * cannot do (inclusion–exclusion on HLL compounds error; KMV
+    * intersects natively). Sketches are k rows per segment regardless
+    * of audience size — the only state that moves — and merging two
+    * sketches is re-ranking 2k rows; the pair stage therefore costs
+    * pairs × k rows, never a users×users join. Unlike a randomized
+    * sketch, KMV over md5 is fully DETERMINISTIC, so the estimates —
+    * including their error — replay exactly in DuckDB and are
+    * hash-checked, with accuracy separately bounded against exact
+    * overlaps in the spec. A sketch with fewer than k values IS its
+    * set, so the union estimate switches to the exact count there.
+    * (Segments are the 5 earliest active days; event-type audiences
+    * are deliberately NOT used — every user touches every type in the
+    * synthetic data, which would make every Jaccard exactly 1.)
+    */
+  private def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val days = ud.select(col("d")).distinct().orderBy(col("d")).limit(5)
+    val uh = ud.join(broadcast(days), "d")
+      .select(col("d").cast("string").as("t"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .distinct()
+    val wT = Window.partitionBy(col("t")).orderBy(col("hv"))
+    val sk = uh.withColumn("rk", row_number().over(wT)).filter(col("rk") <= KmvK)
+      .select(col("t"), col("hv")).localCheckpoint() // read by both pair sides
+    val tp = sk.select(col("t")).distinct()
+    val pairs = tp.as("a").join(tp.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb"))
+    val ma = pairs.join(sk, col("ta") === col("t"))
+      .select(col("ta"), col("tb"), col("hv"), lit(1).as("ia"), lit(0).as("ib"))
+    val mb = pairs.join(sk, col("tb") === col("t"))
+      .select(col("ta"), col("tb"), col("hv"), lit(0).as("ia"), lit(1).as("ib"))
+    val wM = Window.partitionBy(col("ta"), col("tb")).orderBy(col("hv"))
+    val merged = ma.union(mb)
+      .groupBy(col("ta"), col("tb"), col("hv"))
+      .agg(max(col("ia")).as("ina"), max(col("ib")).as("inb"))
+      .withColumn("rk", row_number().over(wM)).filter(col("rk") <= KmvK)
+    merged.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kmax"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("n_both"))
+      .withColumn("est_jaccard", round(col("n_both").cast("double") / col("k_used"), 6))
+      .withColumn("est_union",
+        when(col("k_used") < KmvK, col("k_used").cast("double"))
+          .otherwise(round(lit((KmvK - 1) * 4294967296.0) / col("kmax"), 2)))
+      .withColumn("est_intersection", round(col("est_jaccard") * col("est_union"), 2))
+      .select(col("ta").as("day_a"), col("tb").as("day_b"), col("k_used"),
+        col("n_both"), col("est_jaccard"), col("est_union"), col("est_intersection"))
+  }
+
+  private val kmvOverlapOracle =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+       |days AS (SELECT d FROM (SELECT DISTINCT d FROM ud ORDER BY d LIMIT 5) t),
+       |uh AS (
+       |  SELECT DISTINCT CAST(ud.d AS VARCHAR) AS t,
+       |    CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) AS hv
+       |  FROM ud JOIN days ON ud.d = days.d),
+       |sk AS (
+       |  SELECT t, hv FROM (
+       |    SELECT t, hv, row_number() OVER (PARTITION BY t ORDER BY hv) AS rk FROM uh) s
+       |  WHERE rk <= $KmvK),
+       |tp AS (SELECT DISTINCT t FROM sk),
+       |pairs AS (SELECT a.t AS ta, b.t AS tb FROM tp a JOIN tp b ON a.t < b.t),
+       |m AS (
+       |  SELECT ta, tb, hv, max(ia) AS ina, max(ib) AS inb FROM (
+       |    SELECT pairs.ta, pairs.tb, sk.hv, 1 AS ia, 0 AS ib
+       |    FROM pairs JOIN sk ON sk.t = pairs.ta
+       |    UNION ALL
+       |    SELECT pairs.ta, pairs.tb, sk.hv, 0 AS ia, 1 AS ib
+       |    FROM pairs JOIN sk ON sk.t = pairs.tb) u
+       |  GROUP BY 1, 2, 3),
+       |mk AS (
+       |  SELECT * FROM (
+       |    SELECT m.*, row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rk FROM m) s
+       |  WHERE rk <= $KmvK),
+       |agg AS (
+       |  SELECT ta, tb, count(*) AS k_used, max(hv) AS kmax,
+       |         CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |  FROM mk GROUP BY 1, 2),
+       |est AS (
+       |  SELECT ta, tb, k_used, n_both,
+       |         round(CAST(n_both AS DOUBLE) / k_used, 6) AS est_jaccard,
+       |         CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+       |              ELSE round(${(KmvK - 1) * 4294967296.0} / kmax, 2) END AS est_union
+       |  FROM agg)
+       |SELECT ta AS day_a, tb AS day_b, k_used, n_both, est_jaccard, est_union,
+       |       round(est_jaccard * est_union, 2) AS est_intersection
+       |FROM est""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("heavy_hitters_cms", Some(heavyHittersOracle), heavyHittersCms),
     GraftQuery("cdc_latest_compaction", Some(cdcLatestOracle), cdcLatest),
     GraftQuery("uv_sketch_rollup", None, uvSketchRollup),
+    GraftQuery("kmv_overlap", Some(kmvOverlapOracle), kmvOverlap),
   )
 }

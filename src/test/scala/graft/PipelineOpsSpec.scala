@@ -323,6 +323,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "IVF should recover at least some true neighbors")
   }
 
+  test("kmv_overlap: estimates track exact day-audience overlaps within sketch error") {
+    val est = SparkEntry.queries("kmv_overlap")(spark, sf).cache()
+    assert(est.count() == 10, "5 days -> 10 pairs")
+    // exact per-pair audiences for comparison
+    val ud = graft.sources.Tables.events(spark, sf)
+      .select(to_date(col("ts")).cast("string").as("d"), col("user_id")).distinct().cache()
+    val exact = ud.as("a").join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") < col("b.d"))
+      .groupBy(col("a.d").as("day_a"), col("b.d").as("day_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val na = ud.groupBy(col("d")).agg(countDistinct("user_id").as("n"))
+    val joined = est.join(exact, Seq("day_a", "day_b"))
+      .join(na.select(col("d").as("day_a"), col("n").as("na")), "day_a")
+      .join(na.select(col("d").as("day_b"), col("n").as("nb")), "day_b")
+      .withColumn("exact_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("exact_j", col("n_inter").cast("double") / col("exact_union"))
+      .collect()
+    joined.foreach { r =>
+      val (ej, xj) = (r.getAs[Double]("est_jaccard"), r.getAs[Double]("exact_j"))
+      assert(math.abs(ej - xj) <= 0.25, s"jaccard estimate off: $ej vs $xj")
+      val (eu, xu) = (r.getAs[Double]("est_union"), r.getAs[Long]("exact_union").toDouble)
+      assert(math.abs(eu - xu) / xu <= 0.5, s"union estimate off: $eu vs $xu")
+      val (ei, xi) = (r.getAs[Double]("est_intersection"), r.getAs[Long]("n_inter").toDouble)
+      assert(math.abs(ei - xi) / xi <= 0.5, s"intersection estimate off: $ei vs $xi")
+    }
+    ud.unpersist(); est.unpersist()
+  }
+
   test("training_order: a dense permutation, curriculum within source, strided across sources") {
     val to = SparkEntry.queries("training_order")(spark, sf).cache()
     val n = to.count()

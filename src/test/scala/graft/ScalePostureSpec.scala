@@ -527,7 +527,8 @@ class ScalePostureSpec extends AnyFunSuite {
       "tpch_q17_small_qty_revenue", "tpch_q22_lapsed_customers",
       "vocab_growth", "heavy_hitters_cms", "embedding_neardup",
       "ngram_lm_perplexity", "dsir_selection", // broadcast V/N/total scalars
-      "hard_negatives", "mixture_alpha_sample") // broadcast probe set / 1-row totals
+      "hard_negatives", "mixture_alpha_sample", // broadcast probe set / 1-row totals
+      "kmv_overlap") // 5-row day self-pairing
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for (q <- SparkEntry.all) {
       val plan =
