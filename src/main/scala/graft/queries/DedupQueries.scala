@@ -199,7 +199,91 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5""".stripMargin
   }
 
-  // --------------------------------------------- incremental dedup
+  // ------------------------------------------------- winnowing
+  private val WinK = 5 // char k-gram size
+  private val WinW = 8 // winnow window (hashes); guarantee t = w+k-1 = 12 chars
+  private val WinPosPack = 16777216L // 2^24: hv*pack+pos < 2^56, pos < 16M grams
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): per doc, hash every char 5-gram in position order,
+    * slide a window of 8 hashes, keep each window's minimum — the
+    * fingerprint set is ~2/(w+1) of the grams yet GUARANTEES any
+    * shared substring of ≥ w+k−1 chars shares a fingerprint (the
+    * local-selection property hash-sampling lacks). Selection packs
+    * (hv, pos) into one BIGINT so the window min needs no struct
+    * ordering and both engines agree on ties; pair generation is a
+    * fingerprint equi-join with a stop-fingerprint cutoff (df ≤ 100)
+    * so candidates scale with genuine sharing, never n². Output:
+    * pairs sharing ≥ 3 fingerprints with the containment score
+    * shared/min(|fp|) — the plagiarism/boilerplate-overlap signal.
+    */
+  private def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.charNgrams("text", WinK))
+          .as(Seq("pos", "g")))
+      .withColumn("key",
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") * WinPosPack + col("pos"))
+    val fp = grams
+      .withColumn("minkey", min(col("key")).over(wDoc.rowsBetween(0, WinW - 1)))
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .filter(col("pos") <= greatest(col("n") - WinW, lit(0)))
+      .select(col("doc_id"), expr(s"minkey div $WinPosPack").as("fhv"))
+      .distinct()
+      .localCheckpoint() // both join sides + the per-doc counts
+    val rare = fp.groupBy(col("fhv")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100)
+    val fpr = fp.join(rare.select(col("fhv")), "fhv")
+    val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    fpr.as("a")
+      .join(fpr.as("b"), col("a.fhv") === col("b.fhv") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
+      // MOSS-style score cutoff: the corpus shares boilerplate phrases
+      // freely (42% of ALL pairs share >= 3 fingerprints); the report
+      // keeps the sharp knee where genuine overlap starts
+      .filter(col("containment") >= 0.25)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
+  }
+
+  private val winnowingOracle =
+    s"""WITH g0 AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN length(trim(text)) >= $WinK
+       |           THEN list_transform(range(1, length(trim(text)) - ${WinK - 2}),
+       |             i -> CAST(CAST('0x' || substr(md5(substr(trim(text), i, $WinK)), 1, 8) AS UBIGINT) AS BIGINT)
+       |                    * $WinPosPack + (i - 1))
+       |           ELSE [] END) AS key
+       |  FROM documents),
+       |g AS (SELECT doc_id, key, key % $WinPosPack AS pos FROM g0),
+       |w AS (
+       |  SELECT doc_id, pos,
+       |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS minkey,
+       |         count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM g),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, minkey // $WinPosPack AS fhv
+       |  FROM w WHERE pos <= greatest(n - $WinW, 0)),
+       |rare AS (SELECT fhv FROM fp GROUP BY 1 HAVING count(*) <= 100),
+       |fpr AS (SELECT fp.doc_id, fp.fhv FROM fp JOIN rare USING (fhv)),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM fp GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM fpr a JOIN fpr b ON a.fhv = b.fhv AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT doc_a, doc_b, n_shared,
+       |       round(CAST(n_shared AS DOUBLE) / least(ca.c, cb.c), 6) AS containment
+       |FROM p JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE round(CAST(n_shared AS DOUBLE) / least(ca.c, cb.c), 6) >= 0.25""".stripMargin
   /** Incremental dedup: an incoming batch (doc_id % 10 == 0) probed
     * against the standing corpus's MinHash index — the shape a
     * continuously-ingesting pipeline actually runs, where the corpus
@@ -791,6 +875,7 @@ object DedupQueries {
     GraftQuery("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
     GraftQuery("dedup_minhash_lsh", Some(minhashOracle), minhashLsh),
     GraftQuery("dedup_incremental", Some(dedupIncrementalOracle), dedupIncremental),
+    GraftQuery("winnowing_pairs", Some(winnowingOracle), winnowingPairs),
     GraftQuery("dedup_simhash", Some(simhashOracle), dedupSimhash),
     GraftQuery("dedup_simhash_pairs", Some(simhashPairsOracle), simhashPairs),
     GraftQuery("dedup_ngram_jaccard", Some(ngramOracle), ngramJaccard),

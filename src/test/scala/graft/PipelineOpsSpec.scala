@@ -323,6 +323,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "IVF should recover at least some true neighbors")
   }
 
+  test("winnowing_pairs: recovers every MinHash near-dup, scores well-formed and symmetric-free") {
+    val win = SparkEntry.queries("winnowing_pairs")(spark, sf).cache()
+    assert(win.count() > 0)
+    // canonical orientation only, containment in (0, 1]
+    assert(win.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(win.filter(col("containment") <= 0 || col("containment") > 1).count() == 0)
+    // the winnowing guarantee in practice: every confirmed MinHash
+    // near-dup (jaccard >= 0.5 on word 3-shingles) shares long
+    // substrings, so winnowing must surface all of them
+    val mh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    assert(mh.join(win, Seq("doc_a", "doc_b"), "left_anti").count() == 0,
+      "winnowing missed a confirmed near-dup pair")
+    win.unpersist()
+  }
+
   test("kmv_overlap: estimates track exact day-audience overlaps within sketch error") {
     val est = SparkEntry.queries("kmv_overlap")(spark, sf).cache()
     assert(est.count() == 10, "5 days -> 10 pairs")
