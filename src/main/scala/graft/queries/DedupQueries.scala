@@ -822,7 +822,12 @@ object DedupQueries {
     */
   private val SpanK = 5
 
-  private def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** Start positions (1-based) of cross-doc-repeated k-grams per doc —
+    * the shared core of the span REPORT (`dedup_substring_spans`) and
+    * the span REMOVAL (`substring_scrub`). Steps 1-3 of the ExactSubstr
+    * shape: positional grams → repeated-gram rollup → semi-join.
+    */
+  private def coveredStarts(spark: SparkSession, dir: String): DataFrame = {
     val k = SpanK
     // positional grams: NOT distinct (every occurrence covers tokens)
     val pg = Tables.documents(spark, dir)
@@ -834,8 +839,13 @@ object DedupQueries {
     val rep = pg.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("gh"))
-    val cov = pg.join(rep, Seq("gh"), "left_semi")
+    pg.join(rep, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos")).distinct()
+  }
+
+  private def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val cov = coveredStarts(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     cov
@@ -870,9 +880,81 @@ object DedupQueries {
        |       CAST(max(pos) + $SpanK - min(pos) AS BIGINT) AS span_tokens
        |FROM isl GROUP BY doc_id, island""".stripMargin
 
+  // ------------------------------------------- substring-span removal
+  /** The APPLY stage of ExactSubstr dedup: emit the cleaned corpus with
+    * every cross-doc-repeated span removed — what Lee et al.'s released
+    * tooling actually ships (all occurrences cut; keep-one bookkeeping
+    * would bolt on as a canonical-owner min-(doc_id,pos)-per-gram
+    * exception join). Covered START positions expand to covered token
+    * positions via one bounded sequence-explode (≤ k rows per start,
+    * dup-collapsed), removal is a doc+position anti-join (shuffle ∝
+    * covered positions), and reconstruction is a doc-keyed rollup —
+    * the doc is the natural unit, so per-group memory is one document,
+    * the same bound as reading it. Docs scrubbed to nothing still
+    * report (left join back to the corpus), hash = md5(''). The
+    * clean_hash proves byte-identical reconstruction cross-engine.
+    */
+  private def substringScrub(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val covered = coveredStarts(spark, dir)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    val tok = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+    val rebuilt = tok.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_after"),
+        sort_array(collect_list(struct(col("p"), col("tok")))).as("pt"))
+      .select(col("doc_id"), col("n_after"),
+        md5(array_join(expr("transform(pt, x -> x.tok)"), " ")).as("clean_hash"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_before"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
+  private val substringScrubOracle =
+    s"""WITH pg AS (
+       |  SELECT doc_id, u.pos AS pos, md5(u.g) AS gh FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= $SpanK
+       |      THEN list_transform(range(1, len(w) - ${SpanK - 2}),
+       |        i -> struct_pack(pos := i, g := w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+       |      ELSE [] END) AS u
+       |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)) t),
+       |rep AS (SELECT gh FROM pg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |covp AS (
+       |  SELECT DISTINCT doc_id, pos + d AS p
+       |  FROM (SELECT DISTINCT doc_id, pos FROM pg JOIN rep USING (gh))
+       |       CROSS JOIN generate_series(0, ${SpanK - 1}) g(d)),
+       |tok AS (
+       |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |      i -> struct_pack(p := i, tok := w[i]))) AS u
+       |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)) t),
+       |kept AS (
+       |  SELECT doc_id, p, tok FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM covp WHERE covp.doc_id = tok.doc_id AND covp.p = tok.p)),
+       |reb AS (
+       |  SELECT doc_id, count(*) AS n_after, string_agg(tok, ' ' ORDER BY p) AS txt
+       |  FROM kept GROUP BY 1)
+       |SELECT d.doc_id, d.n_before,
+       |       d.n_before - coalesce(reb.n_after, 0) AS n_removed,
+       |       coalesce(reb.n_after, 0) AS n_after,
+       |       md5(coalesce(reb.txt, '')) AS clean_hash
+       |FROM (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_before
+       |      FROM documents) d
+       |LEFT JOIN reb USING (doc_id)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
     GraftQuery("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
+    GraftQuery("substring_scrub", Some(substringScrubOracle), substringScrub),
     GraftQuery("dedup_minhash_lsh", Some(minhashOracle), minhashLsh),
     GraftQuery("dedup_incremental", Some(dedupIncrementalOracle), dedupIncremental),
     GraftQuery("winnowing_pairs", Some(winnowingOracle), winnowingPairs),

@@ -339,6 +339,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     win.unpersist()
   }
 
+  test("substring_scrub: removal accounting matches the span report exactly") {
+    val scrub = SparkEntry.queries("substring_scrub")(spark, sf).cache()
+    assert(scrub.count() == 500, "one verdict row per document")
+    // conservation: every token is either kept or removed
+    assert(scrub.filter(col("n_before") =!= col("n_removed") + col("n_after")).count() == 0)
+    // the spans are merged disjoint islands, so their token counts sum
+    // to exactly the positions the scrub removed — per doc
+    val spanSum = SparkEntry.queries("dedup_substring_spans")(spark, sf)
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("s"))
+    val joined = scrub.join(spanSum, Seq("doc_id"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+    assert(joined.filter(col("n_removed") =!= col("s")).count() == 0,
+      "scrubbed token count diverged from the span report")
+    // the corpus genuinely shares spans: some docs shrink, none vanish entirely
+    assert(scrub.filter(col("n_removed") > 0).count() > 0)
+    scrub.unpersist()
+  }
+
   test("kmv_overlap: estimates track exact day-audience overlaps within sketch error") {
     val est = SparkEntry.queries("kmv_overlap")(spark, sf).cache()
     assert(est.count() == 10, "5 days -> 10 pairs")
