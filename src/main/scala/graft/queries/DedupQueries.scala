@@ -951,10 +951,64 @@ object DedupQueries {
        |      FROM documents) d
        |LEFT JOIN reb USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------ per-doc verdicts
+  /** The dedup tier's capstone manifest: ONE row per document with the
+    * final keep/drop verdict and its reason, under the precedence a
+    * production pipeline applies — exact duplicate (not the canonical
+    * min-doc_id of its content-hash group) beats near-duplicate (has a
+    * confirmed MinHash partner with a smaller id — the keep-smallest
+    * rule, no connected components needed for a drop decision) beats
+    * the quality gate (first failing Gopher/C4 rule). Composes three
+    * already-proven stages — [[dedupExact]]'s hash groups (as one
+    * window-min over the content-hash partition), [[minhashLsh]]'s
+    * confirmed pairs, and [[TextAnalytics.qualityFilter]]'s reason
+    * column (REUSED, not re-stated) — through two doc-keyed joins, so
+    * the capstone adds no new shuffle shape of its own.
+    */
+  private def dedupVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val wHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), min(col("doc_id")).over(wHash).as("canon"))
+    val nd = minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    val q = TextAnalytics.qualityFilter(spark, dir)
+      .select(col("doc_id"), col("fail_reason"))
+    ex.join(nd, Seq("doc_id"), "left")
+      .join(q, Seq("doc_id"))
+      .withColumn("reason",
+        when(col("doc_id") =!= col("canon"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise(col("fail_reason")))
+      .select(col("doc_id"),
+        when(col("reason") === "ok", "keep").otherwise("drop").as("verdict"),
+        col("reason"))
+  }
+
+  private val dedupVerdictsOracle =
+    s"""WITH ex AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+       |  FROM documents),
+       |mh AS ($minhashOracle),
+       |nd AS (SELECT DISTINCT doc_b AS doc_id FROM mh),
+       |q AS (${TextAnalytics.qualityFilterOracle}),
+       |r AS (
+       |  SELECT ex.doc_id, CASE
+       |    WHEN ex.doc_id != ex.canon THEN 'exact_dup'
+       |    WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       |    ELSE q.fail_reason END AS reason
+       |  FROM ex LEFT JOIN nd USING (doc_id) JOIN q USING (doc_id))
+       |SELECT doc_id,
+       |       CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS verdict,
+       |       reason
+       |FROM r""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
     GraftQuery("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
     GraftQuery("substring_scrub", Some(substringScrubOracle), substringScrub),
+    GraftQuery("dedup_verdicts", Some(dedupVerdictsOracle), dedupVerdicts),
     GraftQuery("dedup_minhash_lsh", Some(minhashOracle), minhashLsh),
     GraftQuery("dedup_incremental", Some(dedupIncrementalOracle), dedupIncremental),
     GraftQuery("winnowing_pairs", Some(winnowingOracle), winnowingPairs),

@@ -210,7 +210,7 @@ object TextAnalytics {
     * driver-side, and at 100 TB the explode feeds the same hash
     * aggregation the dedup tier already scales on.
     */
-  private def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
@@ -237,7 +237,7 @@ object TextAnalytics {
         "fail_reason", "passes")
   }
 
-  private val qualityFilterOracle =
+  private[queries] val qualityFilterOracle =
     """WITH t AS (
       |  SELECT doc_id, trim(text) AS tt, string_split(trim(text), ' ') AS w FROM documents),
       |base AS (

@@ -357,6 +357,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     scrub.unpersist()
   }
 
+  test("dedup_verdicts: precedence agrees with the standalone stages") {
+    val v = SparkEntry.queries("dedup_verdicts")(spark, sf).cache()
+    assert(v.count() == 500, "one verdict per document")
+    assert(v.filter((col("reason") === "ok") =!= (col("verdict") === "keep")).count() == 0)
+    // every near_dup drop is the larger side of a confirmed MinHash pair
+    val nd = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select(col("doc_b").as("doc_id")).distinct()
+    assert(v.filter(col("reason") === "near_dup")
+      .join(nd, Seq("doc_id"), "left_anti").count() == 0)
+    // and no doc with a smaller confirmed partner is marked 'keep'
+    assert(v.filter(col("verdict") === "keep").join(nd, Seq("doc_id")).count() == 0)
+    // every quality-reason drop matches the standalone gate's first failing rule
+    val q = SparkEntry.queries("text_quality_filter")(spark, sf)
+      .select(col("doc_id"), col("fail_reason"))
+    val qReasons = v.filter(!col("reason").isin("exact_dup", "near_dup", "ok"))
+    assert(qReasons.join(q, Seq("doc_id")).filter(col("reason") =!= col("fail_reason")).count() == 0)
+    assert(v.filter(col("verdict") === "keep").count() > 0)
+    assert(v.filter(col("verdict") === "drop").count() > 0)
+    v.unpersist()
+  }
+
   test("kmv_overlap: estimates track exact day-audience overlaps within sketch error") {
     val est = SparkEntry.queries("kmv_overlap")(spark, sf).cache()
     assert(est.count() == 10, "5 days -> 10 pairs")
