@@ -355,6 +355,52 @@ object MixtureAnalytics {
       |                        * floor(ntot / 2)) AS DOUBLE) / n_tokens, 6) AS epochs
       |FROM q CROSS JOIN tot""".stripMargin
 
+  // --------------------------------------------- mixture manifest
+  /** The α-temperature mixture OPERATIONALIZED: per-source token
+    * allocations from [[mixtureAlphaSample]] (reused, not re-derived)
+    * turned into the actual document selection a pipeline materializes.
+    * Within each source, docs enter in rerun-stable md5 order and are
+    * kept while the running token total stays inside the source's
+    * allocation (inclusive cut: the doc that would cross the budget is
+    * dropped). One source-partitioned window carries both the rank and
+    * the running sum — a single per-source sort, never a global one —
+    * and the one-row-per-source allocation frame broadcasts onto the
+    * corpus scan.
+    * Together with `training_order` this completes the path from
+    * mixture DESIGN (shares) to mixture DELIVERY (the doc manifest).
+    */
+  private def mixtureManifest(spark: SparkSession, dir: String): DataFrame = {
+    val alloc = mixtureAlphaSample(spark, dir)
+      .select(col("source"), col("alloc_tokens"))
+    val wSel = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("sel_rank", row_number().over(wSel).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(wSel.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(alloc), "source")
+      .filter(col("cum_tokens") <= col("alloc_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("sel_rank"), col("cum_tokens"))
+  }
+
+  private val mixtureManifestOracle =
+    s"""WITH alloc AS ($mixtureAlphaOracle),
+       |sel AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(row_number() OVER w AS BIGINT) AS sel_rank,
+       |         CAST(sum(len(string_split(trim(text), ' '))) OVER w AS BIGINT) AS cum_tokens
+       |  FROM documents
+       |  WINDOW w AS (PARTITION BY source
+       |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT source, doc_id, sel.n_tokens AS n_tokens, sel_rank, cum_tokens
+       |FROM sel JOIN alloc USING (source)
+       |WHERE cum_tokens <= alloc_tokens""".stripMargin
+
   // ------------------------------------------------ training order
   /** Curriculum-ordered training manifest: within each source, docs
     * ascend by difficulty (n_chars — the cheap proxy; swap the join
@@ -399,6 +445,7 @@ object MixtureAnalytics {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("dsir_selection", Some(dsirOracle), dsirSelection),
     GraftQuery("mixture_alpha_sample", Some(mixtureAlphaOracle), mixtureAlphaSample),
+    GraftQuery("mixture_manifest", Some(mixtureManifestOracle), mixtureManifest),
     GraftQuery("training_order", Some(trainingOrderOracle), trainingOrder),
     GraftQuery("doc_entropy", Some(docEntropyOracle), docEntropy),
     GraftQuery("source_divergence", Some(sourceDivergenceOracle), sourceDivergence),

@@ -334,8 +334,79 @@ object PipelineShaping {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------- content-defined chunking
+  private val CdcMod = 8L // boundary when md5(token) % 8 == 0 → mean chunk ≈ 8 tokens
+
+  /** Content-defined chunking (the FastCDC/rsync family): a chunk
+    * boundary falls AFTER any token whose hash ≡ 0 (mod 8), so
+    * boundaries are decided by content alone — unlike fixed-stride
+    * `doc_chunking`, an insertion near the front shifts every later
+    * fixed chunk but leaves all content-defined chunks after the next
+    * boundary untouched (the self-synchronizing property dedup storage
+    * systems rely on). Segment ids are a strictly-before running sum of
+    * boundary flags on one doc-partitioned window; chunk reconstruction
+    * is the same doc+segment rollup as `substring_scrub`'s rebuild; the
+    * `shared` flag (chunk content seen in ≥2 docs) comes from one
+    * chunk-hash rollup joined back — explode → window → two rollups,
+    * everything partitioned by doc or chunk hash, nothing global.
+    */
+  private def contentDefinedChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** Frame-level CDC chunking over any (doc_id, text) frame — split out
+    * so the self-synchronizing property is directly testable: chunk a
+    * shifted corpus and compare hash sets against the original.
+    */
+  def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val tok = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+      .withColumn("b",
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % CdcMod === 0)
+          .cast("long"))
+    val seg = tok.withColumn("seg",
+      coalesce(sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = seg.groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("p"), col("tok")))).as("pt"))
+      .select(col("doc_id"), (col("seg") + 1).as("chunk_idx"), col("n_tokens"),
+        md5(array_join(expr("transform(pt, x -> x.tok)"), " ")).as("chunk_hash"))
+    val dupes = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .select(col("chunk_hash"), (col("nd") >= 2).as("shared"))
+    chunks.join(dupes, "chunk_hash")
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_hash"), col("shared"))
+  }
+
+  private val contentDefinedChunksOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.p AS p, u.tok AS tok,
+       |         CASE WHEN CAST(CAST('0x' || substr(md5(u.tok), 1, 8) AS UBIGINT) AS BIGINT)
+       |                   % $CdcMod = 0 THEN 1 ELSE 0 END AS b
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |          i -> struct_pack(p := i, tok := w[i]))) AS u
+       |        FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)) t),
+       |seg AS (
+       |  SELECT doc_id, p, tok,
+       |         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+       |  FROM tok),
+       |chunks AS (
+       |  SELECT doc_id, seg + 1 AS chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash
+       |  FROM seg GROUP BY 1, 2),
+       |dupes AS (
+       |  SELECT chunk_hash, count(DISTINCT doc_id) >= 2 AS shared
+       |  FROM chunks GROUP BY 1)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_tokens, chunk_hash, shared
+       |FROM chunks JOIN dupes USING (chunk_hash)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("ngram_counts", Some(ngramCountsOracle), ngramCounts),
+    GraftQuery("content_defined_chunks", Some(contentDefinedChunksOracle), contentDefinedChunks),
     GraftQuery("doc_chunking", Some(docChunkingOracle), docChunking),
     GraftQuery("sequence_packing", Some(sequencePackingOracle), sequencePacking),
     GraftQuery("boilerplate_spans", Some(boilerplateOracle), boilerplateSpans),

@@ -378,6 +378,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     v.unpersist()
   }
 
+  test("content_defined_chunks: partitions every doc and survives a front insertion") {
+    val ch = SparkEntry.queries("content_defined_chunks")(spark, sf).cache()
+    // chunks partition each document: dense idx from 1, token conservation
+    val perDoc = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nc"), max(col("chunk_idx")).as("mx"),
+        sum(col("n_tokens")).as("nt"))
+    assert(perDoc.filter(col("nc") =!= col("mx")).count() == 0, "chunk_idx not dense")
+    val docToks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("dt"))
+    assert(perDoc.join(docToks, "doc_id").filter(col("nt") =!= col("dt")).count() == 0,
+      "chunks do not conserve tokens")
+    // the self-synchronizing property: prepending one token changes ONLY
+    // the first chunk — every later chunk hash survives (fixed-stride
+    // chunking would lose nearly all of them)
+    val shifted = graft.queries.PipelineShaping.cdcChunksOf(
+      graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), concat(lit("inserted "), col("text")).as("text")))
+    val origTail = ch.filter(col("chunk_idx") > 1).select(col("doc_id"), col("chunk_hash"))
+    val lost = origTail.join(
+      shifted.select(col("doc_id"), col("chunk_hash")),
+      Seq("doc_id", "chunk_hash"), "left_anti")
+    assert(lost.count() == 0,
+      "a non-first chunk hash did not survive a front insertion")
+    ch.unpersist()
+  }
+
+  test("mixture_manifest: per-source selection fills but never overruns its allocation") {
+    val m = SparkEntry.queries("mixture_manifest")(spark, sf).cache()
+    val alloc = SparkEntry.queries("mixture_alpha_sample")(spark, sf)
+      .select(col("source"), col("alloc_tokens"))
+    val per = m.groupBy(col("source"))
+      .agg(max(col("cum_tokens")).as("used"), count(lit(1)).as("n_sel"),
+        max(col("sel_rank")).as("max_rank"))
+      .join(alloc, "source")
+    assert(per.count() == 20, "all twenty sources represented")
+    assert(per.filter(col("used") > col("alloc_tokens")).count() == 0, "budget overrun")
+    // the selection is a PREFIX in md5 order: ranks 1..n_sel with no gaps
+    assert(per.filter(col("max_rank") =!= col("n_sel")).count() == 0, "selection not a prefix")
+    // tightness: the next doc in rank order would cross the budget
+    val wSel = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val next = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("nt"))
+      .withColumn("rk", row_number().over(wSel).cast("long"))
+      .withColumn("cum", sum(col("nt")).over(wSel.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .join(per.select(col("source"), col("n_sel"), col("alloc_tokens")), "source")
+      .filter(col("rk") === col("n_sel") + 1)
+    assert(next.filter(col("cum") <= col("alloc_tokens")).count() == 0,
+      "a selectable doc was left out of the manifest")
+    m.unpersist()
+  }
+
   test("kmv_overlap: estimates track exact day-audience overlaps within sketch error") {
     val est = SparkEntry.queries("kmv_overlap")(spark, sf).cache()
     assert(est.count() == 10, "5 days -> 10 pairs")
