@@ -1004,11 +1004,58 @@ object DedupQueries {
        |       reason
        |FROM r""".stripMargin
 
+  // ----------------------------------------- cluster representatives
+  /** Quality-aware canonical selection per near-dup cluster: where
+    * [[dedupVerdicts]] drops by the blind keep-smallest rule, a corpus
+    * that wants to keep the BEST copy picks per-component — quality
+    * pass first, then token count, then md5 tiebreak (all total
+    * orders, so the pick is rerun-stable). Composes the SimHash
+    * connected components with the quality gate through one doc-keyed
+    * join and one component-partitioned window; only multi-member
+    * clusters report (singletons have nothing to choose). The window's
+    * rank-1 plans as WindowGroupLimit, so each cluster keeps one row
+    * in flight regardless of cluster size.
+    */
+  private def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(spark, dir)
+    val q = TextAnalytics.qualityFilter(spark, dir)
+      .select(col("doc_id"), col("passes"), col("n_words"))
+    val wComp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("passes").desc, col("n_words").desc,
+        md5(col("doc_id").cast("string")), col("doc_id"))
+    val members = comp.join(q, "doc_id")
+      .withColumn("rk", row_number().over(wComp))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))))
+      .filter(col("n_members") >= 2)
+    members.filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("rep_doc_id"),
+        col("passes").as("rep_passes"), col("n_words").as("rep_n_words"),
+        col("n_members").cast("long").as("n_members"))
+  }
+
+  private val clusterRepresentativesOracle =
+    s"""WITH comp AS ($componentsOracle),
+       |q AS (${TextAnalytics.qualityFilterOracle}),
+       |m AS (
+       |  SELECT comp.component, comp.doc_id, q.passes, q.n_words,
+       |         row_number() OVER (PARTITION BY comp.component
+       |           ORDER BY q.passes DESC, q.n_words DESC,
+       |                    md5(CAST(comp.doc_id AS VARCHAR)), comp.doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY comp.component) AS n_members
+       |  FROM comp JOIN q USING (doc_id))
+       |SELECT component, doc_id AS rep_doc_id, passes AS rep_passes,
+       |       n_words AS rep_n_words, CAST(n_members AS BIGINT) AS n_members
+       |FROM m WHERE rk = 1 AND n_members >= 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
     GraftQuery("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
     GraftQuery("substring_scrub", Some(substringScrubOracle), substringScrub),
     GraftQuery("dedup_verdicts", Some(dedupVerdictsOracle), dedupVerdicts),
+    GraftQuery("cluster_representatives", Some(clusterRepresentativesOracle), clusterRepresentatives),
     GraftQuery("dedup_minhash_lsh", Some(minhashOracle), minhashLsh),
     GraftQuery("dedup_incremental", Some(dedupIncrementalOracle), dedupIncremental),
     GraftQuery("winnowing_pairs", Some(winnowingOracle), winnowingPairs),

@@ -404,9 +404,56 @@ object PipelineShaping {
        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_tokens, chunk_hash, shared
        |FROM chunks JOIN dupes USING (chunk_hash)""".stripMargin
 
+  // ------------------------------------------- corpus snapshot diff
+  /** Release-to-release corpus diff — the regression report a dataset
+    * pipeline publishes with every snapshot: per-doc status derived
+    * from CONTENT (full-outer join on doc_id, content-hash compare),
+    * never from knowledge of how the snapshot was produced. The
+    * second snapshot is derived deterministically from the corpus
+    * (doc_id%11==3 removed, %11==5 revised, %11==7 cloned under a new
+    * id — the dedup_incremental precedent for in-env snapshots); the
+    * QUERY sees only the two (doc_id, text) frames. One co-partitioned
+    * full-outer join on the id, hashes computed in the scan projection
+    * — at 100 TB both sides bucket by doc_id and the join is
+    * shuffle-free.
+    */
+  private def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val snapA = docs.select(col("doc_id"), md5(col("text")).as("ha"))
+    val bBase = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(11)) === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    val bAdd = docs.filter(pmod(col("doc_id"), lit(11)) === 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val snapB = bBase.select(col("doc_id"), col("text")).union(bAdd)
+      .select(col("doc_id"), md5(col("text")).as("hb"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  private val corpusDiffOracle =
+    """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+      |b AS (
+      |  SELECT doc_id, md5(CASE WHEN doc_id % 11 = 5 THEN text || ' rev2' ELSE text END) AS hb
+      |  FROM documents WHERE doc_id % 11 != 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 11 = 7)
+      |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |       CASE WHEN a.doc_id IS NULL THEN 'added'
+      |            WHEN b.doc_id IS NULL THEN 'removed'
+      |            WHEN ha != hb THEN 'changed'
+      |            ELSE 'unchanged' END AS status
+      |FROM a FULL OUTER JOIN b USING (doc_id)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("ngram_counts", Some(ngramCountsOracle), ngramCounts),
     GraftQuery("content_defined_chunks", Some(contentDefinedChunksOracle), contentDefinedChunks),
+    GraftQuery("corpus_diff", Some(corpusDiffOracle), corpusDiff),
     GraftQuery("doc_chunking", Some(docChunkingOracle), docChunking),
     GraftQuery("sequence_packing", Some(sequencePackingOracle), sequencePacking),
     GraftQuery("boilerplate_spans", Some(boilerplateOracle), boilerplateSpans),

@@ -432,6 +432,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("cluster_representatives: one quality-first pick per multi-member cluster") {
+    val reps = SparkEntry.queries("cluster_representatives")(spark, sf).cache()
+    val comp = SparkEntry.queries("dedup_components")(spark, sf)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
+    // exactly the multi-member clusters, one row each
+    assert(reps.count() == sizes.filter(col("n") >= 2).count())
+    assert(reps.join(sizes, "component").filter(col("n_members") =!= col("n")).count() == 0)
+    // the representative is a member of its cluster
+    assert(reps.join(comp,
+      reps("rep_doc_id") === comp("doc_id") && reps("component") === comp("component"),
+      "left_anti").count() == 0, "representative outside its cluster")
+    // quality-first: if any member passes the gate, the pick passes
+    val q = SparkEntry.queries("text_quality_filter")(spark, sf)
+      .select(col("doc_id"), col("passes"))
+    val anyPass = comp.join(q, "doc_id").groupBy(col("component"))
+      .agg(max(col("passes")).as("any_pass"))
+    assert(reps.join(anyPass, "component")
+      .filter(col("any_pass") && !col("rep_passes")).count() == 0,
+      "a failing doc was picked over a passing cluster member")
+    reps.unpersist()
+  }
+
+  test("corpus_diff: statuses recover the snapshot derivation exactly") {
+    val d = SparkEntry.queries("corpus_diff")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"))
+    def cnt(m: Int) = docs.filter(pmod(col("doc_id"), lit(11)) === m).count()
+    val by = d.groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("removed") == cnt(3))
+    assert(by("changed") == cnt(5))
+    assert(by("added") == cnt(7))
+    assert(by("unchanged") == docs.count() - cnt(3) - cnt(5))
+    // added rows carry the shifted ids, all above the id space
+    assert(d.filter(col("status") === "added").filter(col("doc_id") < 1000000).count() == 0)
+    d.unpersist()
+  }
+
   test("kmv_overlap: estimates track exact day-audience overlaps within sketch error") {
     val est = SparkEntry.queries("kmv_overlap")(spark, sf).cache()
     assert(est.count() == 10, "5 days -> 10 pairs")
