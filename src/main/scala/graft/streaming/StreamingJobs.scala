@@ -561,6 +561,62 @@ object StreamingJobs {
       .filter(col("jaccard") >= 0.5)
       .select(col("in_id"), col("idx_id").as("dup_of"), col("jaccard"))
 
+  // ------------------------------- streaming snapshot diff (ingest)
+  /** Incremental corpus diff: the NEW snapshot arrives as a stream and
+    * each document is classified against the standing release the
+    * moment it lands — a stream-static LEFT join on doc_id with a
+    * content-hash compare, completely stateless on the stream side
+    * (the hash is per-row column work, the standing snapshot shuffles
+    * once). Emits `added` / `changed` / `unchanged`; the `removed`
+    * class is inherently an END-of-snapshot reconciliation (absence
+    * can only be decided once the new snapshot is complete), so it
+    * stays with the batch `corpus_diff` — the honest split between
+    * what ingest can know per-row and what release close-out computes.
+    * Snapshot-B rows derive in-stream from the same rules as the batch
+    * query (clone fan-out via explode, never a second source read).
+    */
+  def snapshotDiffStream(spark: SparkSession, dir: String): DataFrame = {
+    val docsBatch = graft.sources.Tables.documents(spark, dir)
+    val incoming = spark.readStream.schema(docsBatch.schema)
+      .parquet(stagedPath(dir, "documents"))
+    snapshotDiffJoin(spark, dir, snapshotBOf(incoming))
+  }
+
+  /** Batch twin of [[snapshotDiffStream]] on the same frames. */
+  def snapshotDiffBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docsBatch = graft.sources.Tables.documents(spark, dir)
+    snapshotDiffJoin(spark, dir, snapshotBOf(docsBatch))
+  }
+
+  /** The derived snapshot-B frame (same rules as `corpus_diff`):
+    * %11==3 removed, %11==5 revised, %11==7 cloned under a shifted id.
+    * Works on static AND streaming frames — the clone fans out through
+    * an explode over the row itself, so one source pass suffices.
+    */
+  private def snapshotBOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(array(
+        struct(col("doc_id"), col("text"), lit(false).as("is_clone")),
+        struct((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(true).as("is_clone")))).as("r"),
+        pmod(col("doc_id"), lit(11)).as("m"))
+      .filter((!col("r.is_clone") && col("m") =!= 3) ||
+        (col("r.is_clone") && col("m") === 7))
+      .select(col("r.doc_id").as("doc_id"),
+        when(!col("r.is_clone") && col("m") === 5,
+          concat(col("r.text"), lit(" rev2"))).otherwise(col("r.text")).as("text"))
+
+  private def snapshotDiffJoin(spark: SparkSession, dir: String, snapB: DataFrame): DataFrame = {
+    val standing = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ha"))
+    snapB.select(col("doc_id"), md5(col("text")).as("hb"))
+      .join(standing, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ha").isNull, "added")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Streaming hot-pages chain (the reference's E2 pipeline,
     * NetworkFlow top-5 URLs): negated-regex filter, 30m/5m sliding
     * counts in the stream, rank-limit per micro-batch in foreachBatch

@@ -429,6 +429,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(best) == sortedRows(registered))
   }
 
+  test("streaming snapshot diff equals its batch twin and corpus_diff minus removals") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.snapshotDiffStream(spark, sf), "snap_diff", "append")
+    val batch = StreamingJobs.snapshotDiffBatch(spark, sf)
+    assert(batch.count() > 0)
+    assert(sortedRows(stream) == sortedRows(batch))
+    // per-row ingest classification covers everything except the
+    // end-of-snapshot reconciliation class
+    val registered = SparkEntry.queries("corpus_diff")(spark, sf)
+      .filter(col("status") =!= "removed")
+    assert(sortedRows(batch) == sortedRows(registered))
+    // all three live statuses are actually exercised
+    assert(stream.select(col("status")).distinct().count() == 3)
+  }
+
   test("streaming state and file sink survive a query restart from checkpoint (exactly-once)") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val ev = graft.sources.Tables.events(spark, sf)
