@@ -200,42 +200,54 @@ object DedupQueries {
   }
 
   // ------------------------------------------------- winnowing
-  private val WinK = 5 // char k-gram size
-  private val WinW = 8 // winnow window (hashes); guarantee t = w+k-1 = 12 chars
+  private val WinK = 3 // word k-gram size
+  private val WinW = 4 // winnow window (hashes); guarantee t = w+k-1 = 6 words
   private val WinPosPack = 16777216L // 2^24: hv*pack+pos < 2^56, pos < 16M grams
+  private val WinDfFrac = 10 // stop-fingerprint cutoff: df <= ndocs/10
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
-    * algorithm): per doc, hash every char 5-gram in position order,
-    * slide a window of 8 hashes, keep each window's minimum — the
-    * fingerprint set is ~2/(w+1) of the grams yet GUARANTEES any
-    * shared substring of ≥ w+k−1 chars shares a fingerprint (the
-    * local-selection property hash-sampling lacks). Selection packs
-    * (hv, pos) into one BIGINT so the window min needs no struct
-    * ordering and both engines agree on ties; pair generation is a
-    * fingerprint equi-join with a stop-fingerprint cutoff (df ≤ 100)
-    * so candidates scale with genuine sharing, never n². Output:
-    * pairs sharing ≥ 3 fingerprints with the containment score
-    * shared/min(|fp|) — the plagiarism/boilerplate-overlap signal.
+    * algorithm) over word 3-grams: per doc, hash every gram in
+    * position order, slide a window of 4 hashes, keep each window's
+    * minimum — the fingerprint set is ~2/(w+1) of the grams yet
+    * GUARANTEES any shared word run of ≥ w+k−1 = 6 tokens shares a
+    * fingerprint (the local-selection property hash-sampling lacks).
+    * Selection packs (hv, pos) into one BIGINT so the window min
+    * needs no struct ordering and both engines agree on ties; pair
+    * generation is a fingerprint equi-join behind a stop-fingerprint
+    * cutoff so candidates scale with genuine sharing, never n².
+    *
+    * Two deliberate SCALE choices, both learned from a 10× probe:
+    * the gram unit is the word (a bounded-vocabulary corpus makes
+    * char-gram df grow linearly with corpus size — every fingerprint
+    * eventually looks common), and the stop cutoff is RELATIVE
+    * (df ≤ ndocs/10, a one-row broadcast): a fixed absolute cutoff
+    * that reports fine at sf0.01 silently empties the report at
+    * sf0.1 as boilerplate df crosses it. Output: pairs sharing ≥ 3
+    * fingerprints at the containment knee shared/min(|fp|) ≥ 0.25 —
+    * the plagiarism/boilerplate-overlap signal.
     */
   private def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val grams = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
       .select(col("doc_id"),
-        posexplode(graft.functions.TextFunctions.charNgrams("text", WinK))
-          .as(Seq("pos", "g")))
+        posexplode(TextFunctions.wordShingles("toks", WinK)).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
       .withColumn("key",
         conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") * WinPosPack + col("pos"))
     val fp = grams
       .withColumn("minkey", min(col("key")).over(wDoc.rowsBetween(0, WinW - 1)))
       .withColumn("n", count(lit(1)).over(wCnt))
-      .filter(col("pos") <= greatest(col("n") - WinW, lit(0)))
+      .filter(col("pos") <= greatest(col("n") - (WinW - 1), lit(1)))
       .select(col("doc_id"), expr(s"minkey div $WinPosPack").as("fhv"))
       .distinct()
-      .localCheckpoint() // both join sides + the per-doc counts
+      .localCheckpoint() // three readers: rare rollup, pair join, counts
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
     val rare = fp.groupBy(col("fhv")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100)
+      .crossJoin(broadcast(nd))
+      .filter(col("df") <= expr(s"ndocs div $WinDfFrac"))
     val fpr = fp.join(rare.select(col("fhv")), "fhv")
     val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     fpr.as("a")
@@ -247,24 +259,24 @@ object DedupQueries {
       .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
       .withColumn("containment",
         round(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
-      // MOSS-style score cutoff: the corpus shares boilerplate phrases
-      // freely (42% of ALL pairs share >= 3 fingerprints); the report
-      // keeps the sharp knee where genuine overlap starts
+      // MOSS-style score cutoff: the report keeps the sharp knee
+      // where genuine overlap starts (true near-dups score 1.0 here)
       .filter(col("containment") >= 0.25)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
   }
 
   private val winnowingOracle =
-    s"""WITH g0 AS (
-       |  SELECT doc_id,
-       |         unnest(CASE WHEN length(trim(text)) >= $WinK
-       |           THEN list_transform(range(1, length(trim(text)) - ${WinK - 2}),
-       |             i -> CAST(CAST('0x' || substr(md5(substr(trim(text), i, $WinK)), 1, 8) AS UBIGINT) AS BIGINT)
-       |                    * $WinPosPack + (i - 1))
-       |           ELSE [] END) AS key
-       |  FROM documents),
-       |g AS (SELECT doc_id, key, key % $WinPosPack AS pos FROM g0),
-       |w AS (
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, u.pos AS pos,
+       |         CAST(CAST('0x' || substr(md5(u.g), 1, 8) AS UBIGINT) AS BIGINT)
+       |           * $WinPosPack + u.pos AS key
+       |  FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= $WinK
+       |      THEN list_transform(range(1, len(w) - ${WinK - 2}),
+       |        i -> struct_pack(pos := i, g := w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       |      ELSE [] END) AS u FROM t) s),
+       |win AS (
        |  SELECT doc_id, pos,
        |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
        |                        ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS minkey,
@@ -272,8 +284,10 @@ object DedupQueries {
        |  FROM g),
        |fp AS (
        |  SELECT DISTINCT doc_id, minkey // $WinPosPack AS fhv
-       |  FROM w WHERE pos <= greatest(n - $WinW, 0)),
-       |rare AS (SELECT fhv FROM fp GROUP BY 1 HAVING count(*) <= 100),
+       |  FROM win WHERE pos <= greatest(n - ${WinW - 1}, 1)),
+       |nd AS (SELECT count(*) AS ndocs FROM documents),
+       |rare AS (SELECT fhv FROM fp GROUP BY 1
+       |         HAVING count(*) <= (SELECT ndocs FROM nd) // $WinDfFrac),
        |fpr AS (SELECT fp.doc_id, fp.fhv FROM fp JOIN rare USING (fhv)),
        |cnt AS (SELECT doc_id, count(*) AS c FROM fp GROUP BY 1),
        |p AS (

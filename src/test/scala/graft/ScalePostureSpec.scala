@@ -529,6 +529,7 @@ class ScalePostureSpec extends AnyFunSuite {
       "ngram_lm_perplexity", "dsir_selection", // broadcast V/N/total scalars
       "hard_negatives", "mixture_alpha_sample", // broadcast probe set / 1-row totals
       "mixture_manifest", // composes mixture_alpha_sample's 1-row total
+      "winnowing_pairs", // 1-row ndocs broadcast for the relative stop cutoff
       "kmv_overlap") // 5-row day self-pairing
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for (q <- SparkEntry.all) {
