@@ -248,7 +248,9 @@ object DedupQueries {
     val rare = fp.groupBy(col("fhv")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
       .filter(col("df") <= expr(s"ndocs div $WinDfFrac"))
-    val fpr = fp.join(rare.select(col("fhv")), "fhv")
+    // checkpoint: both sides of the pair self-join read fpr — without
+    // this the rare rollup and its ndocs broadcast run twice
+    val fpr = fp.join(rare.select(col("fhv")), "fhv").localCheckpoint()
     val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     fpr.as("a")
       .join(fpr.as("b"), col("a.fhv") === col("b.fhv") && col("a.doc_id") < col("b.doc_id"))
