@@ -1033,6 +1033,8 @@ object DedupQueries {
     * in flight regardless of cluster size.
     */
   private def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    // the components frame tails a per-round checkpoint, so the two
+    // readers below re-read a leaf, not the iterative loop
     val comp = dedupComponents(spark, dir)
     val q = TextAnalytics.qualityFilter(spark, dir)
       .select(col("doc_id"), col("passes"), col("n_words"))
@@ -1040,16 +1042,19 @@ object DedupQueries {
       .partitionBy(col("component"))
       .orderBy(col("passes").desc, col("n_words").desc,
         md5(col("doc_id").cast("string")), col("doc_id"))
-    val members = comp.join(q, "doc_id")
-      .withColumn("rk", row_number().over(wComp))
-      .withColumn("n_members",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("component"))))
+    // cluster sizes as a rollup JOINED AFTER the winner filter — keeping
+    // the count out of the window frame is what lets the rank-1 filter
+    // collapse to WindowGroupLimit (one row in flight per cluster)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
       .filter(col("n_members") >= 2)
-    members.filter(col("rk") === 1)
+    comp.join(q, "doc_id")
+      .withColumn("rk", row_number().over(wComp))
+      .filter(col("rk") === 1)
+      .join(sizes, "component")
       .select(col("component"), col("doc_id").as("rep_doc_id"),
         col("passes").as("rep_passes"), col("n_words").as("rep_n_words"),
-        col("n_members").cast("long").as("n_members"))
+        col("n_members"))
   }
 
   private val clusterRepresentativesOracle =
