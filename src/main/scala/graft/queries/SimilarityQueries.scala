@@ -425,6 +425,58 @@ object SimilarityQueries {
   private def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
     quantizeFrame(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
 
+  // --------------------------------- random projection (JL sketch)
+  private val JlOutDims = 16
+  private val JlInDims = 64
+
+  /** The deterministic Rademacher projection matrix: entry (j,i) is
+    * ±1/√m with the sign drawn from md5("jl{j}_{i}") — computed ONCE
+    * at plan-build time in Scala (the identical constants are
+    * interpolated into the oracle SQL), so no hashing ever runs per
+    * row. 1/√16 = 0.25 is an exact binary fraction: every product
+    * against a float32 input is exact in double, and the fixed-order
+    * fold both engines apply makes the projected values bit-identical
+    * cross-engine before the defensive round.
+    */
+  private lazy val jlMatrix: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlOutDims).map { j =>
+      (0 until JlInDims).map { i =>
+        val h = md.digest(s"jl${j}_$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 0.25 else -0.25
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction (Achlioptas-style
+    * ±1 projection): 64-dim float embeddings → 16 dims through a
+    * literal sign matrix — pure per-row expression work, zero
+    * shuffles, codegen end-to-end, and the Rademacher projection is
+    * unbiased (E‖Rx‖² = ‖x‖²), so downstream ANN/dedup distance work
+    * runs on ¼ the bytes with bounded distortion (spec-asserted on
+    * real pairs). At 100 TB this is the standard pre-shrink before
+    * sketch/index builds; the matrix rides the plan as literals so
+    * the stage composes with any scan without a broadcast.
+    */
+  private def embeddingProject(spark: SparkSession, dir: String): DataFrame = {
+    val proj = (0 until JlOutDims).map { j =>
+      val row = array(jlMatrix(j).map(lit): _*)
+      round(aggregate(zip_with(row, col("e"), (r, x) => r * x.cast("double")),
+        lit(0.0), (a, v) => a + v), 9).as(f"y$j%02d")
+    }
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
+      .select(col("vec_id") +: proj: _*)
+  }
+
+  private val embeddingProjectOracle = {
+    val cols = (0 until JlOutDims).map { j =>
+      val row = jlMatrix(j).mkString("[", ", ", "]")
+      s"round(list_aggregate(list_transform(range(1, ${JlInDims + 1}), " +
+        s"i -> ($row)[i] * embedding[i]::DOUBLE), 'sum'), 9) AS y${"%02d".format(j)}"
+    }
+    s"SELECT vec_id,\n${cols.mkString(",\n")}\nFROM embeddings"
+  }
+
   private val embeddingQuantizeOracle =
     """WITH q AS (
       |  SELECT vec_id, embedding AS e,
@@ -751,5 +803,6 @@ object SimilarityQueries {
     GraftQuery("ann_lsh", Some(annLshOracle), annLsh),
     GraftQuery("ann_ivf", Some(annIvfOracle), annIvf),
     GraftQuery("embedding_quantize", Some(embeddingQuantizeOracle), embeddingQuantize),
+    GraftQuery("embedding_project", Some(embeddingProjectOracle), embeddingProject),
   )
 }

@@ -477,6 +477,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("embedding_project: unbiased distance preservation at quarter width") {
+    val p = SparkEntry.queries("embedding_project")(spark, sf).cache()
+    assert(p.count() == 500)
+    val yCols = (0 until 16).map(j => f"y$j%02d")
+    // no degenerate output dimension
+    val stds = p.agg(stddev(col(yCols.head)), yCols.tail.map(c => stddev(col(c))): _*)
+      .first().toSeq.map(_.asInstanceOf[Double])
+    assert(stds.forall(_ > 0.0), "a projected dimension collapsed to a constant")
+    // JL property on real pairs: squared distances in the 16-dim sketch
+    // track the 64-dim originals — per-pair distortion is noisy at m=16
+    // (std ~ sqrt(2/m)), but the Rademacher projection is unbiased, so
+    // the MEAN ratio over ~250 consecutive-id pairs concentrates near 1
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val exact = e.as("a").join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.vec_id").as("vec_id"),
+        aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, v) => a + v).as("d64"))
+    val projDist = yCols.map(c => (col(s"a.$c") - col(s"b.$c")) * (col(s"a.$c") - col(s"b.$c")))
+      .reduce(_ + _)
+    val proj = p.as("a").join(p.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.vec_id").as("vec_id"), projDist.as("d16"))
+    val meanRatio = exact.join(proj, "vec_id").filter(col("d64") > 0)
+      .agg(avg(col("d16") / col("d64"))).first().getDouble(0)
+    assert(math.abs(meanRatio - 1.0) < 0.15,
+      s"mean distance ratio $meanRatio strayed from unbiased")
+    p.unpersist()
+  }
+
   test("kmv_overlap: estimates track exact day-audience overlaps within sketch error") {
     val est = SparkEntry.queries("kmv_overlap")(spark, sf).cache()
     assert(est.count() == 10, "5 days -> 10 pairs")
