@@ -467,10 +467,17 @@ object CorpusMining {
     */
   private val BpeRounds = 6
 
+  /** Tokens containing '<' or '>' would make the '<sym>' cell encoding
+    * ambiguous (the per-char wrapper turns a literal '>' into '<>>'),
+    * so both engines drop them before symbol encoding.
+    */
+  private def bpeTokenOk(w: Column): Column =
+    length(w) > 0 && !w.contains("<") && !w.contains(">")
+
   private def bpeWordTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(bpeTokenOk(col("w")))
       .groupBy(col("w"))
       .agg(count(lit(1)).cast("long").as("freq"))
       .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("freq"))
@@ -498,9 +505,12 @@ object CorpusMining {
         val (l, rr, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, l, rr, l + rr, cnt))
+        // Column-API replace: the merged pair reaches the plan as a
+        // literal, never re-parsed as SQL text — a token containing a
+        // quote or backslash cannot break or alter the pattern.
         words = words
           .withColumn("s",
-            expr(s"replace(s, '<$l><$rr>', '<$l$rr>')"))
+            replace(col("s"), lit(s"<$l><$rr>"), lit(s"<$l$rr>")))
           .localCheckpoint()
         r += 1
       }
@@ -536,7 +546,7 @@ object CorpusMining {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(bpeTokenOk(col("w")))
       .join(wordTok, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
@@ -557,7 +567,7 @@ object CorpusMining {
        |       CAST(sum(len(w)) AS BIGINT) AS n_chars,
        |       round(sum(len(w)) / CAST(sum(n_sym) AS DOUBLE), 6) AS chars_per_token
        |FROM dt JOIN wt USING (w)
-       |WHERE len(w) > 0
+       |WHERE len(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'
        |GROUP BY 1""".stripMargin
 
   private def bpeOracleCtes: String = {
@@ -565,7 +575,7 @@ object CorpusMining {
       """w0 AS (
         |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS s, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
-        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+        |  WHERE len(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%' GROUP BY w)""".stripMargin
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, unnest(list_transform(range(1, len(sy)), i -> [sy[i], sy[i+1]])) AS pr

@@ -138,6 +138,12 @@ object DedupQueries {
       col(s"s${2 * b}") * P + col(s"s${2 * b + 1}"))
     docs
       .withColumn(shsAs, shs)
+      // docs with <3 tokens have an empty shingle set: array_min over it
+      // yields NULL signatures/band keys. The exploded minhashIndex form
+      // simply omits such docs, so drop them here too — otherwise a
+      // future null-safe ('<=>') band join would bucket every short doc
+      // together.
+      .filter(size(col(shsAs)) >= 1)
       .withColumn("hvs", transform(col(shsAs),
         x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % P))
       .select(Seq(col("doc_id").as(idAs), col(shsAs),

@@ -410,8 +410,13 @@ object MixtureAnalytics {
     * ARITHMETIC — (src_rank−1)·n_src + src_index — not a global sort:
     * per-source ranks ride source-partitioned windows (distributed),
     * the source index is a broadcast-scale frame, and the schedule is
-    * rerun-stable. This is the last artifact a data pipeline emits —
-    * the order the trainer actually consumes.
+    * rerun-stable. NOTE: global_pos is a SPARSE total order, not a
+    * dense permutation — once a smaller source exhausts, its stride
+    * slots stay empty (positions remain unique and monotone per
+    * source, which is all a sort-by-position trainer needs; a dense
+    * renumbering would cost a global window over the whole corpus).
+    * This is the last artifact a data pipeline emits — the order the
+    * trainer actually consumes.
     */
   private def trainingOrder(spark: SparkSession, dir: String): DataFrame = {
     val srcIdx = Tables.documents(spark, dir).select(col("source")).distinct()

@@ -20,6 +20,14 @@ import graft.streaming.StateMachines._
   */
 object StreamingJobs {
 
+  /** Epoch microseconds of a Timestamp — the batch queries order by
+    * `unix_micros`, so every FSM sorts its micro-batch rows by the SAME
+    * microsecond key (getTime is only millisecond-resolution; two events
+    * in the same ms but different us must order by time, not event_id).
+    */
+  private def tsUs(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Spark's file stream source requires a directory; the testdata
     * tables are single files. Stage a per-table directory holding a
     * symlink to the parquet file (in production this is simply the
@@ -157,7 +165,7 @@ object StreamingJobs {
             Iterator.empty
           } else {
             val st0 = state.getOption.getOrElse(LoginState(None))
-            val sorted = it.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            val sorted = it.toSeq.sortBy(r => (tsUs(r.ts), r.event_id))
             val (st, outs) = sorted.foldLeft((st0, Vector.empty[LoginWarning])) {
               case ((s, acc), r) =>
                 val (s2, o) = StateMachines.loginStep(
@@ -249,7 +257,7 @@ object StreamingJobs {
         (uid: Long, it: Iterator[FunnelRow], state: GroupState[FunnelState]) =>
           val first = !state.exists
           val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
-          val st = it.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          val st = it.toSeq.sortBy(r => (tsUs(r.ts), r.event_id))
             .foldLeft(st0)((s, r) =>
               StateMachines.funnelStep(s, r.event_type, r.ts.getTime / 1000L))
           state.update(st)
@@ -711,8 +719,7 @@ object StreamingJobs {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Scd2Row], state: GroupState[Scd2State]) =>
           // epoch micros exactly as the batch query's unix_micros
-          def us(t: java.sql.Timestamp): Long =
-            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+          def us(t: java.sql.Timestamp): Long = tsUs(t)
           var st = state.getOption.orNull
           val out = Vector.newBuilder[Scd2Interval]
           // order by the full microsecond key (getTime is only ms — two
@@ -790,10 +797,21 @@ object StreamingJobs {
     val fs = statePth.getFileSystem(s.sparkContext.hadoopConfiguration)
     val existing =
       if (!fs.exists(statePth) || fs.listStatus(statePth).isEmpty) null
-      else s.read.parquet(statePath)
-        .select(col("user_id"), col("n_events"),
+      else {
+        val raw = s.read.parquet(statePath)
+        // a state table written before the replay-guard existed has no
+        // last_batch column — treat it as -1 (never matches a real
+        // batchId) instead of failing every subsequent micro-batch.
+        // NOTE: state and checkpoint must be deleted TOGETHER — resetting
+        // only the checkpoint restarts batchId at 0, which would match
+        // stale last_batch stamps and silently drop batch 0's partials.
+        val lastBatch =
+          if (raw.columns.contains("last_batch")) col("last_batch")
+          else lit(-1L).as("last_batch")
+        raw.select(col("user_id"), col("n_events"),
           col("sum_v").cast("decimal(28,2)").as("sum_v"), col("last_ts_us"),
-          col("last_batch"))
+          lastBatch)
+      }
     val touched =
       if (existing == null) partialAll.withColumn("last_batch", lit(batchId))
       else {
