@@ -21,6 +21,15 @@ import graft.streaming.StateMachines._
 object StatefulQueries {
 
   // ----------------------------------------------- login-fail FSM (C1)
+  /** The reference's CEP form (LF/app/LoginFailWithCEP.scala:38-47)
+    * expressed through the generic [[graft.streaming.CepPattern]]
+    * combinator — two strictly-consecutive fails within the gap. Same
+    * oracle as the hand-rolled `loginFold`, so the builder's NFA is
+    * hash-gated against the FSM semantics it compiles to.
+    */
+  private val loginFailPattern: graft.streaming.CepPattern[Unit] =
+    graft.streaming.CepPatterns.loginFail(3600)
+
   private def loginFailFsm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -30,10 +39,56 @@ object StatefulQueries {
       .groupByKey(_._1)
       .flatMapGroups { (uid, it) =>
         val sorted = it.toSeq.sortBy(r => (r._2, r._3))
-        StateMachines.loginFold(uid, sorted.map(r => (r._2, true)), 3600).iterator
+        loginFailPattern.foldSorted(sorted.map(r => (r._2, ()))).iterator
+          .map(m => LoginWarning(uid, m.tsOf("first"), m.tsOf("second"), "repeated failures"))
       }
       .toDF()
   }
+
+  // ------------------------------------- generic CEP: fail-fail-success
+  /** A pattern the reference does NOT ship — two consecutive failures
+    * resolved by a success within a day — written purely with the
+    * combinators (begin/next/next/within), no new FSM. This is the
+    * "user brings a new pattern" path the builder exists for.
+    */
+  import graft.streaming.CepPatterns.CepEv
+
+  private val failFailSuccessPattern: graft.streaming.CepPattern[CepEv] =
+    graft.streaming.CepPatterns.failFailSuccess(86400)
+
+  private def cepFailFailSuccess(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val sorted = it.toSeq.sortBy(r => (r._2, r._3))
+          .map(r => (r._2, CepEv(r._2, r._3, r._4)))
+        failFailSuccessPattern.foldSorted(sorted).iterator.map { m =>
+          (uid, m.tsOf("f1"), m.tsOf("f2"), m.tsOf("ok"), m("ok").id)
+        }
+      }
+      .toDF("user_id", "fail1_sec", "fail2_sec", "ok_sec", "ok_event_id")
+  }
+
+  private val cepFfsOracle =
+    """WITH e AS (
+      |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_id, event_type
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, sec, event_id, event_type,
+      |         lead(sec, 1) OVER win AS sec2, lead(event_type, 1) OVER win AS et2,
+      |         lead(sec, 2) OVER win AS sec3, lead(event_type, 2) OVER win AS et3,
+      |         lead(event_id, 2) OVER win AS id3
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY sec, event_id))
+      |SELECT user_id, sec AS fail1_sec, sec2 AS fail2_sec, sec3 AS ok_sec,
+      |       id3 AS ok_event_id
+      |FROM w
+      |WHERE event_type = 'error' AND et2 = 'error' AND et3 <> 'error'
+      |  AND sec3 - sec <= 86400""".stripMargin
 
   // -------------------------------------------- order-timeout FSM (C5)
   /** create = order placement, pay = FIRST lineitem shipment; the C5
@@ -115,6 +170,7 @@ object StatefulQueries {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q9_login_fail_fsm", Some(EventAnalytics.q9Oracle), loginFailFsm),
+    GraftQuery("cep_fail_fail_success", Some(cepFfsOracle), cepFailFailSuccess),
     GraftQuery("q10_order_timeout_fsm", Some(orderFsmOracle), orderTimeoutFsm),
     GraftQuery("tx_match_fsm", Some(txMatchOracle), txMatchFsm),
   )

@@ -210,8 +210,15 @@ object TextAnalytics {
     * driver-side, and at 100 TB the explode feeds the same hash
     * aggregation the dedup tier already scales on.
     */
-  private[queries] def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+  private[queries] def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterOf(Tables.documents(spark, dir))
+
+  /** [[qualityFilter]] over a caller-supplied (doc_id, text) frame —
+    * every signal is within-document, so the gate applies unchanged to
+    * a micro-batch slice (the streaming dedup-verdicts twin).
+    */
+  private[graft] def qualityFilterOf(docs: DataFrame): DataFrame = {
+    val base = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("n_stop", TextFunctions.markerCount("toks", TextFunctions.Stopwords))

@@ -182,6 +182,46 @@ object StreamingJobs {
       }
   }
 
+  // ------------------------------------------------- generic CEP stream
+  final case class CepEvRow(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  final case class CepFfsMatch(user_id: Long, fail1_sec: Long,
+      fail2_sec: Long, ok_sec: Long, ok_event_id: Long)
+
+  /** Streaming runner for the [[CepPatterns.failFailSuccess]] pattern:
+    * the SAME `CepPattern.step` the batch query folds, carried per key
+    * in GroupState — the compile target the combinator builder exists
+    * for. State is the live partial-match set, pruned each batch to
+    * partials the watermark can still complete (`prunedBelow`), so a
+    * `within`-bounded pattern holds O(matches-in-flight) state per key
+    * no matter how long the stream runs. Rows sort by the same
+    * (second, event_id) key the batch form and its oracle use.
+    */
+  def cepFailFailSuccessStream(spark: SparkSession, dir: String): Dataset[CepFfsMatch] = {
+    import spark.implicits._
+    import graft.streaming.CepPatterns._
+    val pattern = failFailSuccess(86400)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Vector[CepPattern.Partial[CepEv]]] =
+      org.apache.spark.sql.Encoders.javaSerialization
+    eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[CepEvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[CepPattern.Partial[CepEv]], CepFfsMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CepEvRow], state: GroupState[Vector[CepPattern.Partial[CepEv]]]) =>
+          val sorted = it.toSeq
+            .map(r => (r.ts.getTime / 1000L, r.event_id, r.event_type))
+            .sortBy(r => (r._1, r._2))
+            .map(r => (r._1, CepEv(r._1, r._2, r._3)))
+          val (partials, matches) =
+            pattern.step(state.getOption.getOrElse(Vector.empty), sorted)
+          state.update(pattern.prunedBelow(partials, state.getCurrentWatermarkMs() / 1000L))
+          matches.iterator.map(m =>
+            CepFfsMatch(uid, m.tsOf("f1"), m.tsOf("f2"), m.tsOf("ok"), m("ok").id))
+      }
+  }
+
   // ------------------------------------------------ blacklist (F1) FSM
   final case class ClickRow(user_id: Long, item_id: Long, ts: java.sql.Timestamp)
   final case class TaggedClick(user_id: Long, item_id: Long, tag: String, cnt: Long)
@@ -448,6 +488,51 @@ object StreamingJobs {
   def hotItemsTopN(spark: SparkSession, dir: String, k: Int, outPath: String): DataFrame =
     hotItemsTopNFrom(eventsStream(spark, dir), k, outPath)
 
+  // ------------------------------------- graft-log connector (S1/S4/K3)
+  /** Producer twin (KafkaProducer.scala:19-32): CSV-encode the events
+    * table into a `graft-log` directory log through the connector's
+    * BATCH_WRITE path. Tab-separated because `props` is JSON (contains
+    * commas); `props` rides last so an embedded tab can't shift fields
+    * (the reader splits with a field limit).
+    */
+  def loadEventsLog(spark: SparkSession, dir: String, logDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(eventsRawSchema).parquet(stagedPath(dir, "events"))
+      .select(concat(
+        col("event_id"), lit("\t"), col("ts"), lit("\t"), col("user_id"),
+        lit("\t"), col("event_type"), lit("\t"), col("value"), lit("\t"),
+        col("props")).as("value"))
+      .write.format("graft-log").option("path", logDir).mode("append").save()
+  }
+
+  /** Consumer twin (HotItems.scala:37-48): the events stream read back
+    * THROUGH the offset-addressed connector — `readStream.format(
+    * "graft-log")` — and decoded to the exact `eventsStream` shape, so
+    * every downstream job runs unchanged against the log.
+    */
+  def eventsFromLog(spark: SparkSession, logDir: String,
+      watermark: String = "1 second"): DataFrame = {
+    spark.readStream.format("graft-log").option("path", logDir).load()
+      .select(split(col("value"), "\t", 6).as("f"))
+      .select(
+        col("f").getItem(0).cast("long").as("event_id"),
+        timestamp_micros(floor(col("f").getItem(1).cast("long") / 1000L).cast("long")).as("ts"),
+        col("f").getItem(2).cast("long").as("user_id"),
+        col("f").getItem(3).as("event_type"),
+        col("f").getItem(4).cast("double").as("value"),
+        col("f").getItem(5).as("props"))
+      .withWatermark("ts", watermark)
+  }
+
+  /** The reference's E1 chain end-to-end through the custom connector:
+    * log-encoded events → graft-log micro-batch source → sliding-window
+    * count → per-window top-N. Equals batch `q1_hot_items` when the log
+    * holds the full table (GraftLogSpec).
+    */
+  def hotItemsTopNFromLog(spark: SparkSession, logDir: String, k: Int,
+      outPath: String): DataFrame =
+    hotItemsTopNFrom(eventsFromLog(spark, logDir), k, outPath)
+
   /** [[hotItemsTopN]] over a caller-supplied events stream. */
   def hotItemsTopNFrom(events: DataFrame, k: Int, outPath: String): DataFrame = {
     val spark = events.sparkSession
@@ -568,6 +653,72 @@ object StreamingJobs {
         col("inter").cast("double") / (col("c_v") + col("c_i") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("in_id"), col("idx_id").as("dup_of"), col("jaccard"))
+
+  // --------------------------------- streaming dedup-verdicts (capstone)
+  /** Streaming twin of the batch `dedup_verdicts` manifest: every
+    * arriving document gets its keep/drop verdict the moment it lands,
+    * under the same reason precedence (exact_dup > near_dup > quality).
+    *
+    *  - exact-dup: stream-static equi-join on the content hash against
+    *    the standing corpus' canonical-per-hash table (one tiny join
+    *    key per doc);
+    *  - near-dup: the SAME banded MinHash probe `dedupProbeStream`
+    *    runs — candidates ∝ batch size × collision rate, never corpus²;
+    *  - quality: per-document column work (`qualityFilterOf`), batch-
+    *    local by construction.
+    *
+    * The per-batch collapse to one row per doc (distinct + left join)
+    * runs INSIDE foreachBatch — bounded by the micro-batch, no
+    * streaming state anywhere. Over a full file replay the appended
+    * verdicts equal the batch manifest row-for-row on the arrived
+    * prefix (StreamingSpec, 18th twin).
+    */
+  def dedupVerdictsStream(spark: SparkSession, dir: String, outPath: String): DataFrame = {
+    import graft.queries.DedupQueries.minhashBandKeyed
+    val docsBatch = graft.sources.Tables.documents(spark, dir)
+    val canon = docsBatch.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("canon")).localCheckpoint()
+    val index = minhashBandKeyed(docsBatch,
+      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i").localCheckpoint()
+    val incoming = spark.readStream.schema(docsBatch.schema)
+      .parquet(stagedPath(dir, "documents"))
+    val q = incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint() // read by probe, quality, and verdict join
+        val near = minhashBandKeyed(b, "in_id", "shs_v", "c_v", "band_v", "bh_v", "bands_v")
+          .join(index,
+            col("band_v") === col("band_i") && col("bh_v") === col("bh_i") &&
+              col("idx_id") < col("in_id"))
+          .filter(graft.queries.SimilarityQueries.firstCollidingBand(
+            "bands_v", "bands_i", "band_v"))
+          .withColumn("inter",
+            size(array_intersect(col("shs_v"), col("shs_i"))).cast("long"))
+          // unrounded, exactly minhashLsh's confirm filter
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("c_v") + col("c_i") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("in_id").as("doc_id")).distinct()
+          .withColumn("is_near", lit(true))
+        val qual = graft.queries.TextAnalytics.qualityFilterOf(b)
+          .select(col("doc_id"), col("fail_reason"))
+        b.select(col("doc_id"), md5(col("text")).as("h"))
+          .join(canon, "h")
+          .join(near, Seq("doc_id"), "left")
+          .join(qual, Seq("doc_id"))
+          .withColumn("reason",
+            when(col("doc_id") =!= col("canon"), "exact_dup")
+              .when(col("is_near"), "near_dup")
+              .otherwise(col("fail_reason")))
+          .select(col("doc_id"),
+            when(col("reason") === "ok", "keep").otherwise("drop").as("verdict"),
+            col("reason"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
 
   // ------------------------------- streaming snapshot diff (ingest)
   /** Incremental corpus diff: the NEW snapshot arrives as a stream and

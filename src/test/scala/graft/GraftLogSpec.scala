@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftLog, GraftLogDataWriter, GraftLogMicroBatchStream, GraftLogInputPartition, GraftLogStreamingWrite}
+import graft.streaming.StreamingJobs
+
+/** The `graft-log` DataSourceV2 connector: offset math, batch round
+  * trip, exactly-once restart replay from a checkpointed offset, the
+  * idempotent streaming sink commit, and the reference's E1 HotItems
+  * chain end-to-end through the connector.
+  */
+class GraftLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-log-$tag").toString
+
+  test("offset slicing maps a [start,end) range onto per-segment skip/take") {
+    val dir = tmp("slice")
+    val conf = new Configuration()
+    val f = GraftLog.fs(dir, conf)
+    // three segments of 3, 4, 2 records
+    for ((n, i) <- Seq(3, 4, 2).zipWithIndex) {
+      val out = f.create(new org.apache.hadoop.fs.Path(dir, GraftLog.segName(i.toLong, n.toLong)), true)
+      out.write((0 until n).map(j => s"s$i-r$j\n").mkString.getBytes("UTF-8")); out.close()
+    }
+    assert(GraftLog.totalCount(dir, conf) == 9)
+    val parts = GraftLogMicroBatchStream.slices(dir, 2, 8)
+      .map(_.asInstanceOf[GraftLogInputPartition])
+    assert(parts.map(p => (p.skip, p.take, p.firstOffset)).toSeq ==
+      Seq((2L, 1L, 2L), (0L, 4L, 3L), (0L, 1L, 7L)))
+    // empty range plans nothing
+    assert(GraftLogMicroBatchStream.slices(dir, 4, 4).isEmpty)
+  }
+
+  test("batch write → batch read round-trips values with monotone offsets") {
+    import spark.implicits._
+    val dir = tmp("batch")
+    val in = (0 until 257).map(i => s"rec-$i")
+    in.toDF("value").repartition(3)
+      .write.format("graft-log").option("path", dir).mode("append").save()
+    val back = spark.read.format("graft-log").option("path", dir).load()
+    assert(back.select(col("value")).as[String].collect().sorted.toSeq == in.sorted)
+    // offsets are exactly 0..n-1 once, in segment order
+    assert(back.select(col("offset")).as[Long].collect().sorted.toSeq ==
+      (0L until 257L))
+    // record counts ride the segment NAMES: latest-offset is metadata-only
+    val segs = GraftLog.segments(dir, new Configuration())
+    assert(segs.map(_.count).sum == 257 && segs.forall(_.count > 0))
+  }
+
+  test("restart replays from the checkpointed offset: appended records only, no duplicates") {
+    import spark.implicits._
+    val dir = tmp("replay")
+    val chk = tmp("replay-chk")
+    val outP = tmp("replay-out")
+    (0 until 100).map(i => s"a-$i").toDF("value").coalesce(2)
+      .write.format("graft-log").option("path", dir).mode("append").save()
+
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    def drain(): Long = {
+      seen.set(0L)
+      val q = spark.readStream.format("graft-log").option("path", dir).load()
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen.addAndGet(b.count())
+          b.write.mode("append").parquet(outP); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); seen.get()
+    }
+    assert(drain() == 100L)
+    // producer appends two more segments while the consumer is down
+    (0 until 30).map(i => s"b-$i").toDF("value").coalesce(2)
+      .write.format("graft-log").option("path", dir).mode("append").save()
+    // the restarted query resumes at offset 100 — ONLY the delta replays
+    assert(drain() == 30L)
+    val all = spark.read.parquet(outP)
+    assert(all.count() == 130L)
+    assert(all.select(col("offset")).as[Long].collect().sorted.toSeq == (0L until 130L))
+    // and a third run with nothing new processes nothing
+    assert(drain() == 0L)
+  }
+
+  test("streaming sink writes through the engine; epoch commit is idempotent on replay") {
+    import spark.implicits._
+    val src = tmp("sink-src") + "/in"
+    val dir = tmp("sink-log")
+    val chk = tmp("sink-chk")
+    (0 until 40).map(i => s"v-$i").toDF("value")
+      .coalesce(1).write.parquet(src)
+    val q = spark.readStream.schema("value STRING").parquet(src)
+      .writeStream.format("graft-log").option("path", dir)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.format("graft-log").option("path", dir).load()
+    assert(back.select(col("value")).as[String].collect().sorted.toSeq ==
+      (0 until 40).map(i => s"v-$i").sorted)
+
+    // crash-between-commit-and-offset-log replay: the same epoch commits
+    // again — the marker makes the second commit drop its temps
+    val conf = new Configuration()
+    val epochs = GraftLog.fs(dir, conf)
+      .listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("_epoch-"))
+    assert(epochs.nonEmpty)
+    val replayEpoch = epochs.head.stripPrefix("_epoch-").toLong
+    val w = new GraftLogDataWriter(dir, 0, 0)
+    w.write(InternalRow(UTF8String.fromString("dup-row")))
+    val msg = w.commit()
+    new GraftLogStreamingWrite(dir, 0).commit(replayEpoch, Array(msg))
+    val after = spark.read.format("graft-log").option("path", dir).load()
+    assert(after.count() == 40L, "replayed epoch must not append duplicates")
+    assert(!GraftLog.segments(dir, conf).exists(_.count == 1L))
+  }
+
+  test("E1 HotItems end-to-end through the connector equals batch q1_hot_items") {
+    val dir = tmp("hotitems")
+    val out = tmp("hotitems-out")
+    StreamingJobs.loadEventsLog(spark, sf, dir)
+    val stream = StreamingJobs.hotItemsTopNFromLog(spark, dir, 3, out)
+      .select(col("window_start"), col("item_id"), col("cnt"),
+        col("rn").cast("long").as("rn"))
+    val batch = SparkEntry.queries("q1_hot_items")(spark, sf)
+    assert(stream.count() > 0)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+}

@@ -429,6 +429,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(best) == sortedRows(registered))
   }
 
+  test("streaming dedup verdicts equal the batch manifest (18th twin)") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-verdicts").toString + "/out"
+    val stream = StreamingJobs.dedupVerdictsStream(spark, sf, out)
+    val batch = SparkEntry.queries("dedup_verdicts")(spark, sf)
+    assert(batch.count() > 0)
+    assert(sortedRows(stream) == sortedRows(batch))
+    // every reason class the batch manifest carries must be exercised live
+    val reasons = stream.select("reason").distinct().collect().map(_.getString(0)).toSet
+    assert(reasons.contains("ok") || reasons.contains("near_dup"))
+  }
+
   test("streaming snapshot diff equals its batch twin and corpus_diff minus removals") {
     val stream = StreamingJobs.runToMemory(
       StreamingJobs.snapshotDiffStream(spark, sf), "snap_diff", "append")
