@@ -21,15 +21,11 @@ object Storage {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
-  /** Write `df` as a bucketed+sorted managed table. `buckets` should
-    * match the downstream shuffle partitioning (one-time shuffle at
-    * write, none at read).
+  /** Drop `table` and clear any stale managed-table location a previous
+    * session's metastore left behind (it blocks CREATE TABLE AS SELECT).
     */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, bucketCol: String): Unit = {
-    val spark = df.sparkSession
+  private def dropAndClean(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // a stale location from a previous session's metastore still blocks
-    // CREATE TABLE AS SELECT — clear it (managed-table location only)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     val loc = java.nio.file.Paths.get(warehouse, table)
@@ -38,11 +34,27 @@ object Storage {
       java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
+  }
+
+  /** Write `df` as a bucketed+sorted managed table. `buckets` should
+    * match the downstream shuffle partitioning (one-time shuffle at
+    * write, none at read).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, bucketCol: String): Unit = {
+    dropAndClean(df.sparkSession, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Write `df` as a plain managed parquet table (small dimension /
+    * model tables — codebooks, centroids — that broadcast at read).
+    */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    dropAndClean(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
   /** True when the executed plan of `df` contains a shuffle exchange —

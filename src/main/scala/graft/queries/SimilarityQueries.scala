@@ -544,14 +544,20 @@ object SimilarityQueries {
   /** Trains the PQ model over (vec_id, e): returns (bv block slices,
     * c1 codebooks, codes) — shared by `ann_pq` and `ann_ivf_pq`.
     */
-  private def pqTrain(v: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    // (vec, block) slices — read by seeding, both assigns, and probes
+  /** (vec, block) slices — read by seeding, both assigns, and probes;
+    * pure per-row column work (explode of 16 array slices).
+    */
+  private def blockSlices(v: DataFrame): DataFrame = {
     val blockCols = (0 until PqBlocks).map(b =>
       struct(lit(b.toLong).as("blk"),
         slice(col("e"), b * PqBlockDims + 1, PqBlockDims).as("be")))
-    val bv = v.select(col("vec_id"), explode(array(blockCols: _*)).as("s"))
+    v.select(col("vec_id"), explode(array(blockCols: _*)).as("s"))
       .select(col("vec_id"), col("s.blk").as("blk"), col("s.be").as("be"))
       .localCheckpoint()
+  }
+
+  private def pqTrain(v: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val bv = blockSlices(v)
     val seedIds = v.withColumn("skey", md5(col("vec_id").cast("string")))
       .orderBy(col("skey"), col("vec_id")).limit(PqK)
       .withColumn("cid", row_number().over(
@@ -646,22 +652,26 @@ object SimilarityQueries {
     * pins on round(L2, 6) + label, so the whole pipeline keeps an exact
     * DuckDB oracle.
     */
-  private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val v = vecs.select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
-    val (bv, c1, codes) = pqTrain(v)
-    // coarse quantizer: the per-label decimal-pinned centroid of ann_ivf
+  /** Coarse quantizer: the per-label decimal-pinned centroid of ann_ivf. */
+  private def coarseCentroids(vecs: DataFrame): DataFrame = {
     val dims = 1 to 64
     val dimSums = dims.map(i =>
       sum(element_at(col("embedding"), i).cast("double")
         .cast(org.apache.spark.sql.types.DecimalType(30, 12))).as(s"s$i")) :+
       count(lit(1)).as("cnt")
-    val centroids = vecs.groupBy(col("label"))
+    vecs.groupBy(col("label"))
       .agg(dimSums.head, dimSums.tail: _*)
       .select(col("label").as("c_label"),
         array(dims.map(i =>
           (col(s"s$i").cast("double") / col("cnt")).cast("float")): _*).as("cvec"))
+  }
+
+  /** The IVF-pruned PQ search given an (already trained or loaded)
+    * index: coarse cells via broadcast centroid crossJoin (≤2 per
+    * probe), candidates from cell membership, then ADC + re-rank.
+    */
+  private def ivfPqSearch(vecs: DataFrame, v: DataFrame, bv: DataFrame,
+      c1: DataFrame, codes: DataFrame, centroids: DataFrame): DataFrame = {
     val probes = v.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"))
     val wCell = org.apache.spark.sql.expressions.Window
@@ -677,6 +687,65 @@ object SimilarityQueries {
       .select(col("probe_id"), col("vec_id"))
     pqSearch(v, bv, c1, codes, Some(cand))
   }
+
+  private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val v = vecs.select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
+    val (bv, c1, codes) = pqTrain(v)
+    ivfPqSearch(vecs, v, bv, c1, codes, coarseCentroids(vecs))
+  }
+
+  // -------------------------------------- persisted ANN index (build/probe)
+  /** Table names are suffixed with the corpus dir's hash so an index
+    * built at one scale factor is never probed against another.
+    */
+  private def annIndexTables(dir: String): (String, String, String) = {
+    val tag = math.abs(dir.hashCode).toString
+    (s"graft_ann_codes_$tag", s"graft_ann_codebooks_$tag", s"graft_ann_centroids_$tag")
+  }
+
+  /** Index BUILD, separated from probe: train the PQ codebooks + coarse
+    * centroids once, persist them as managed tables — codes BUCKETED by
+    * vec_id (the probe-side join key, so the big table never reshuffles
+    * at query time), codebooks/centroids as tiny broadcast-scale model
+    * tables. At 100 TB the build is the one expensive pass; every query
+    * after it reads the index. Returns the codes read BACK from the
+    * persisted table, so the oracle gates what was actually stored.
+    */
+  private def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val v = vecs.select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
+    val (_, c1, codes) = pqTrain(v)
+    val (tCodes, tCb, tCent) = annIndexTables(dir)
+    graft.operators.Storage.writeBucketed(codes, tCodes, 8, "vec_id")
+    graft.operators.Storage.writeTable(c1, tCb)
+    graft.operators.Storage.writeTable(coarseCentroids(vecs), tCent)
+    spark.table(tCodes).select(col("vec_id"), col("blk"), col("cid"))
+  }
+
+  /** Probe-only query against the PERSISTED index: no training — block
+    * slices are per-row column work on the probe set's own vectors, the
+    * codebooks/centroids broadcast from their model tables, and the ADC
+    * join hits the bucketed code table on its bucket key. Hash-exact vs
+    * the fused `ann_ivf_pq` (same oracle), so persistence is proven
+    * lossless. Builds the index first if this session hasn't.
+    */
+  private def annIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (tCodes, tCb, tCent) = annIndexTables(dir)
+    if (!spark.catalog.tableExists(tCodes)) annIndexBuild(spark, dir).count()
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val v = vecs.select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
+    val bv = blockSlices(v)
+    ivfPqSearch(vecs, v, bv,
+      spark.table(tCb), spark.table(tCodes), spark.table(tCent))
+  }
+
+  private val annIndexCodesOracle =
+    s"""WITH $pqOracleCtes
+       |SELECT vec_id, blk, cid FROM codes""".stripMargin
 
   /** Exact squared L2 between two FLOAT vectors (both promoted to
     * double per element — the same fold both engines run).
@@ -797,6 +866,8 @@ object SimilarityQueries {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("ann_pq", Some(annPqOracle), annPq),
     GraftQuery("ann_ivf_pq", Some(annIvfPqOracle), annIvfPq),
+    GraftQuery("ann_index_build", Some(annIndexCodesOracle), annIndexBuild),
+    GraftQuery("ann_index_probe", Some(annIvfPqOracle), annIndexProbe),
     GraftQuery("ann_bruteforce", Some(annBruteforceOracle), annBruteforce),
     GraftQuery("hard_negatives", Some(hardNegativesOracle), hardNegatives),
     GraftQuery("embedding_neardup", Some(embeddingNeardupOracle), embeddingNeardup),

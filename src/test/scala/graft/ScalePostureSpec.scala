@@ -518,6 +518,7 @@ class ScalePostureSpec extends AnyFunSuite {
     // sets). Everything else must plan product-free.
     val intentionalTinyBroadcast = Set(
       "ann_bruteforce", "ann_ivf", "ann_ivf_pq", "kmeans_embeddings", // probe/centroid k-rows
+      "ann_index_probe", // same centroid-table broadcast as ann_ivf_pq
       "semdedup", // same k-row centroid broadcast as kmeans_embeddings
       "tfidf_top_terms", "bm25_search", "pmi_bigrams", // corpus totals (1 row)
       "source_divergence", // 1-row corpus token total
@@ -584,5 +585,19 @@ class ScalePostureSpec extends AnyFunSuite {
     val emitted = spark.table("late_test").select("ws").collect().map(_.getLong(0)).toSet
     val late = java.time.Instant.parse("2024-01-01T08:00:00Z").getEpochSecond
     assert(!emitted.contains(late), s"late event's window must be dropped, got $emitted")
+  }
+
+  test("persisted ANN index: probe equals fused ivf-pq; bucketed codes never reshuffle") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // probe builds the index on first use, then reads only the tables
+    val probe = SparkEntry.queries("ann_index_probe")(spark, sf)
+    val fused = SparkEntry.queries("ann_ivf_pq")(spark, sf)
+    assert(rows(probe) == rows(fused), "persisted index must be lossless")
+    // the code table's bucket key is the probe join/agg key: clustering
+    // comes from the bucketed scan, not an Exchange
+    val codes = Storage.table(spark, s"graft_ann_codes_${math.abs(sf.hashCode)}")
+    assert(!Storage.hasShuffle(codes.groupBy(col("vec_id")).agg(count(lit(1)))),
+      "bucketed code table must satisfy vec_id clustering without a shuffle")
   }
 }
