@@ -5,22 +5,66 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * Catalyst expressions for SQL users. Activate with
+  * Catalyst expressions AND its flagship pipelines for SQL users.
+  * Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * (or `withExtensions(new GraftExtensions)`); after that
   * `SELECT float_vec_dot(a, b)`, `word_shingles(toks, k)`,
   * `char_ngrams(text, n)` and `morton_interleave(x, y)` work in plain
   * SQL — the same codegen'd expressions the DataFrame API gets from
-  * VectorExpressions / TextExpressions / LayoutExpressions — and the
-  * BandJoinRewrite optimizer rule is active.
+  * VectorExpressions / TextExpressions / LayoutExpressions — the
+  * BandJoinRewrite optimizer rule is active, and the pipeline TABLE
+  * functions compose in FROM clauses:
+  *
+  * {{{
+  *   SELECT * FROM dedup_verdicts('/data/sf0.01') WHERE verdict = 'drop';
+  *   SELECT * FROM text_quality_filter('/data/sf0.01');
+  *   SELECT * FROM content_defined_chunks('/data/sf0.01');
+  *   SELECT * FROM graft_query('tpch_q1_pricing_summary', '/data/sf0.01');
+  * }}}
+  *
+  * Each TVF expands to the SAME logical plan the registered query
+  * builds (the registry is the single source of truth), so a pure-SQL
+  * user gets the identical oracle-gated semantics — and Catalyst
+  * optimizes straight through the expansion (filters push into the
+  * underlying scans; there is no materialization boundary).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.StringType
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn: size argument must be an integer literal, got $other")
+  }
+
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) if s != null =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be a string literal, got $other")
+  }
+
+  /** Registers `name(dir)` as a table function expanding to registered
+    * query `query` over the parquet tables in `dir`.
+    */
+  private def pipelineTvf(ext: SparkSessionExtensions, name: String, query: String): Unit =
+    ext.injectTableFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo("graft.SparkEntry", name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"$name expects one argument: the data directory")
+        queryPlan(query, strArg(exprs.head, name))
+      }))
+
+  private def queryPlan(query: String, dir: String): LogicalPlan = {
+    val fns = graft.SparkEntry.queries
+    require(fns.contains(query),
+      s"unknown graft query '$query'; see SparkEntry.queries.keys")
+    fns(query)(org.apache.spark.sql.SparkSession.active, dir)
+      .queryExecution.logical
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -50,5 +94,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharNgrams(
           org.apache.spark.sql.catalyst.expressions.StringTrim(exprs.head),
           intArg(exprs(1), "char_ngrams"))))
+    // flagship pipelines as SQL table functions, plus the generic escape
+    // hatch over the whole registry
+    pipelineTvf(ext, "dedup_verdicts", "dedup_verdicts")
+    pipelineTvf(ext, "text_quality_filter", "text_quality_filter")
+    pipelineTvf(ext, "content_defined_chunks", "content_defined_chunks")
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_query"),
+      new ExpressionInfo("graft.SparkEntry", "graft_query"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2,
+          "graft_query expects (query name, data directory)")
+        queryPlan(strArg(exprs.head, "graft_query"), strArg(exprs(1), "graft_query"))
+      }))
   }
 }

@@ -95,6 +95,43 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline TVFs: SELECT * FROM dedup_verdicts(dir) equals the registered query") {
+    import org.apache.spark.sql.SparkSession
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .appName("tvf-test")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      val viaTvf = ext.sql(s"SELECT * FROM dedup_verdicts('$sf')")
+      val registered = SparkEntry.queries("dedup_verdicts")(ext, sf)
+      assert(rows(viaTvf) == rows(registered))
+      // predicate composes through the expansion — no materialization
+      val drops = ext.sql(
+        s"SELECT count(*) AS n FROM dedup_verdicts('$sf') WHERE verdict = 'drop'")
+        .head().getLong(0)
+      assert(drops == registered.filter(col("verdict") === "drop").count())
+      // the quality gate and chunker answer in SQL too
+      assert(ext.sql(s"SELECT * FROM text_quality_filter('$sf')").count() ==
+        SparkEntry.queries("text_quality_filter")(ext, sf).count())
+      assert(ext.sql(s"SELECT * FROM content_defined_chunks('$sf')").count() ==
+        SparkEntry.queries("content_defined_chunks")(ext, sf).count())
+      // generic registry escape hatch
+      val q1 = ext.sql(s"SELECT * FROM graft_query('tpch_q1_pricing_summary', '$sf')")
+      assert(rows(q1) == rows(SparkEntry.queries("tpch_q1_pricing_summary")(ext, sf)))
+      // unknown names fail with a catalogue hint, not a planner crash
+      val err = intercept[Exception](ext.sql(s"SELECT * FROM graft_query('nope', '$sf')"))
+      assert(err.getMessage.contains("unknown graft query"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("as-of join plans exactly one shuffle (union + window, no range-join explosion)") {
     val df = SparkEntry.queries("asof_join")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString()
