@@ -153,14 +153,22 @@ object DedupQueries {
         posexplode(col(bandsAs)).as(Seq(bandAs, bhAs)))
   }
 
-  private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val (sh, sigs, bands) = minhashIndex(spark, dir)
-    val cand = bands.as("a")
+  /** Candidate pairs from the LSH band equi-join — the scale-safe
+    * candidate generator shared by `dedup_minhash_lsh` (which verifies
+    * with shingle-Jaccard) and `dedup_ngram_jaccard` (which verifies
+    * with char-3-gram Jaccard).
+    */
+  private def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (sh, sigs, bands) = minhashIndex(spark, dir)
+    val cand = bandCandidates(bands)
     val cnt = sigs.select(col("doc_id"), col("c"))
     val inter = cand
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
@@ -727,22 +735,43 @@ object DedupQueries {
   }
 
   // ------------------------------------------------- n-gram Jaccard
-  /** Character-3-gram Jaccard over a deterministic 10% sample, with a
-    * stop-gram cutoff (grams in >100 docs dropped) — the cutoff is what
-    * keeps the shared-gram join linear-ish at corpus scale.
+  /** Character-3-gram Jaccard as the VERIFICATION metric over LSH
+    * candidate pairs — exact set similarity computed only where a
+    * candidate generator says it might matter, which is the only form
+    * of n-gram Jaccard that exists at corpus scale.
+    *
+    * Two earlier forms of this query died under graft.tools.ScaleProbe
+    * at sf1, and both failure modes are worth recording:
+    * (1) a shared-rare-gram join (pairs via grams with df below a
+    *     cutoff) goes DARK on a bounded-vocabulary corpus — char-gram
+    *     df grows linearly with corpus size, so every gram eventually
+    *     exceeds any fixed cutoff, and a RELATIVE cutoff (df ≤ n/4)
+    *     fares no better once every trigram appears in >25% of docs;
+    * (2) a deterministic id-sample (doc_id % 10) structurally excludes
+    *     near-duplicate pairs, whose ids are not correlated with the
+    *     sampling key — the sampled query can never see both halves of
+    *     a duplicate pair.
+    * The scale-stable shape: candidates from the word-shingle MinHash
+    * band equi-join (volume ∝ true signature collisions, never n² and
+    * never gram-df²), then exact char-3-gram Jaccard restricted to
+    * candidates — the verify joins are equi-joins on (doc_id, gram)
+    * bounded by candidates × grams-per-doc. Near-dup recall is the LSH
+    * curve 1-(1-s²)⁴ on word-shingle similarity s (≥ 0.99 at s ≥ 0.85);
+    * the reported score is the exact char-gram Jaccard.
     */
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, bands) = minhashIndex(spark, dir)
+    val cand = bandCandidates(bands)
+    // char-gram table read by the rollup and both verify joins
     val g = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 10 === 0)
       .withColumn("gs", array_distinct(TextFunctions.charNgrams("text", 3)))
       .select(col("doc_id"), explode(col("gs")).as("g"))
-    val rare = g.groupBy(col("g")).agg(count(lit(1)).as("df")).filter(col("df") <= 100)
-    val gf = g.join(rare.select(col("g")), "g")
+      .localCheckpoint()
     val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = gf.as("a")
-      .join(gf.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    val inter = cand
+      .join(g.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(g.as("y"), col("doc_b") === col("y.doc_id") && col("x.g") === col("y.g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     inter
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
@@ -752,17 +781,19 @@ object DedupQueries {
   }
 
   private val ngramOracle =
-    """WITH g AS (
+    s"""WITH $duckMinhashIndex,
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |g AS (
       |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) >= 3
       |    THEN list_distinct(list_transform(range(1, length(trim(text)) - 1), i -> substr(trim(text), i, 3)))
       |    ELSE [] END) AS g
-      |  FROM documents WHERE doc_id % 10 = 0),
-      |rare AS (SELECT g FROM g GROUP BY 1 HAVING count(*) <= 100),
-      |gf AS (SELECT g.doc_id, g.g FROM g JOIN rare USING (g)),
+      |  FROM documents),
       |cnt AS (SELECT doc_id, count(*) AS c FROM g GROUP BY 1),
       |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  SELECT doc_a, doc_b, count(*) AS i
+      |  FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b AND y.g = x.g
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
       |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
