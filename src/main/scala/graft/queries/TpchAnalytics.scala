@@ -434,36 +434,52 @@ object TpchAnalytics {
     * cross-engine: min() is order-independent and the unit-price
     * division is a single IEEE op on identical inputs.
     */
+  /** TPC-H Q2 decorrelated by hand. The textbook correlated-min form
+    * makes the optimizer aggregate the FULL (partkey, suppkey) offers
+    * rollup before any pruning — the subquery's rewrite can't see that
+    * only size-15 parts and EUROPE suppliers ever reach the equality.
+    * Pushing both filters BELOW the rollup as broadcast semi-joins
+    * shrinks the lineitem aggregation ~50× (p_size = 15 is 1/50 of
+    * parts), after which the per-part min and the equality join-back
+    * are small-table work. Semantics are identical: the subquery's
+    * domain is exactly the outer row's partkey, and its EUROPE
+    * restriction matches the outer supplier chain, so min-per-partkey
+    * over the pre-filtered offers IS the correlated min.
+    */
   private def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
-    Tables.part(spark, dir).createOrReplaceTempView("graft_q2_part")
-    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q2_supplier")
-    Tables.nation(spark, dir).createOrReplaceTempView("graft_q2_nation")
-    Tables.region(spark, dir).createOrReplaceTempView("graft_q2_region")
-    // the offers rollup feeds BOTH the outer join chain and the
-    // correlated-min subquery; SQL CTEs are inlined (re-executed) per
-    // reference, so materialize it once — the "CTE materialization" a
-    // warehouse would do for a reused aggregate
-    Tables.lineitem(spark, dir)
+    val part15 = Tables.part(spark, dir)
+      .filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_brand"))
+    val eurSupp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // one lineitem scan, pre-filtered by both broadcast dimensions,
+    // then the rollup; checkpointed because the equality join reads it
+    // on both sides (offers and its own per-part min)
+    val offers = Tables.lineitem(spark, dir)
+      .join(broadcast(part15.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eurSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
       .localCheckpoint()
-      .createOrReplaceTempView("graft_q2_offers")
-    spark.sql(
-      """WITH offers AS (SELECT * FROM graft_q2_offers)
-        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, o.unit_cost
-        |FROM graft_q2_part p, offers o, graft_q2_supplier s, graft_q2_nation n, graft_q2_region r
-        |WHERE p.p_partkey = o.l_partkey AND s.s_suppkey = o.l_suppkey
-        |  AND p.p_size = 15
-        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
-        |  AND r.r_name = 'EUROPE'
-        |  AND o.unit_cost = (
-        |    SELECT min(o2.unit_cost)
-        |    FROM offers o2, graft_q2_supplier s2, graft_q2_nation n2, graft_q2_region r2
-        |    WHERE o2.l_partkey = p.p_partkey AND s2.s_suppkey = o2.l_suppkey
-        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-        |      AND r2.r_name = 'EUROPE')
-        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-        |LIMIT 100""".stripMargin)
+    val minCost = offers.groupBy(col("l_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+      .select(col("l_partkey").as("mc_partkey"), col("min_cost"))
+    offers
+      .join(minCost,
+        col("l_partkey") === col("mc_partkey") &&
+          col("unit_cost") === col("min_cost"))
+      .join(broadcast(part15), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
   }
 
   private val tpchQ2Oracle =
