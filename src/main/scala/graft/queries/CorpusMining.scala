@@ -92,7 +92,11 @@ object CorpusMining {
     * DECIMAL(28,9) before the per-doc sum, making the 3-double
     * addition order-independent cross-engine.
     */
-  private def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  /** BM25 per-doc scores WITHOUT the final top-k, so retrieval
+    * compositions (hybrid_search_rrf) can reuse the exact same scored
+    * frame the registered `bm25_search` ranks.
+    */
+  private[queries] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokensCol).as("term"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -118,12 +122,19 @@ object CorpusMining {
         round(sum(round(col("c"), 9).cast(DecimalType(28, 9))).cast("double"), 6)
           .as("score"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
   }
 
-  private val bm25Oracle =
-    s"""WITH toks AS (
+  private def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  /** The WITH-clause body shared by the bm25 oracle and the
+    * hybrid-fusion oracle (same scoring, reused verbatim so the two
+    * oracles can't drift apart).
+    */
+  private[queries] val bm25OracleScoredCtes =
+    s"""toks AS (
        |  SELECT doc_id, t.term
        |  FROM documents, unnest($duckToks) AS t(term)),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
@@ -137,12 +148,18 @@ object CorpusMining {
        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
        |      * (tf * (${Bm25K1} + 1.0))
        |      / (tf + ${Bm25K1} * (1.0 - ${Bm25B} + ${Bm25B} * dl.dl / avgdl)) AS c
-       |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-       |SELECT doc_id,
-       |       round(CAST(SUM(CAST(round(c, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
-       |       CAST(count(*) AS BIGINT) AS n_terms
-       |FROM contrib
-       |GROUP BY 1
+       |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |bm25_scored AS (
+       |  SELECT doc_id,
+       |         round(CAST(SUM(CAST(round(c, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
+       |         CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM contrib
+       |  GROUP BY 1)""".stripMargin
+
+  private val bm25Oracle =
+    s"""WITH $bm25OracleScoredCtes
+       |SELECT doc_id, score, n_terms
+       |FROM bm25_scored
        |ORDER BY score DESC, doc_id
        |LIMIT 20""".stripMargin
 
@@ -601,6 +618,104 @@ object CorpusMining {
        |  SELECT freq, unnest(string_split(trim(s, '<>'), '><')) AS sym FROM w$BpeRounds)
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- Naive Bayes lang classifier
+  /** Multinomial Naive Bayes document classifier, the fastText-style
+    * model shape a corpus pipeline trains for language-ID / quality
+    * gating (reference's analytic tier has no learned classifiers; this
+    * is the LLM-pipeline extension). Train on even doc_ids, score odd:
+    *
+    *   pred(d) = argmax_c [ ln P(c) + Σ_t tf(d,t) · ln((cnt(c,t)+1)/(tot_c+V)) ]
+    *
+    * Spark shape: the model (lang × vocab counts, lang totals, priors,
+    * V) is vocabulary-sized — the side that broadcasts; the scored side
+    * stays (doc,term)-partitioned through one explode + one rollup to
+    * (doc,lang) and a per-doc argmax via rank-limit, i.e. the tfidf
+    * shuffle shape. Laplace add-1 smoothing means the test×lang grid is
+    * dense in lang (5 classes) — a crossJoin with a broadcast 5-row
+    * frame, not a blowup. Per-(doc,lang) log-likelihood sums quantize
+    * each term's contribution to DECIMAL(28,9) (order-independent);
+    * argmax pinned by round(score,6) + lang tiebreak.
+    */
+  private def nbLangClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokensCol).as("term"))
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val classCnt = train.groupBy(col("lang").as("clang"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTot = classCnt.groupBy(col("clang")).agg(sum(col("cnt")).as("tot"))
+    val vocab = train.select(col("term")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val trainDocs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+    val priors = trainDocs.groupBy(col("lang").as("clang"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("n"))))
+      .withColumn("lnprior", log(col("nd").cast("double") / col("n")))
+      .select(col("clang"), col("lnprior"))
+    // test terms outside the training vocabulary carry no likelihood —
+    // standard multinomial-NB handling, mirrored by the oracle's join
+    val testTf = toks.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(vocab, "term")
+    val scores = testTf
+      .crossJoin(broadcast(classTot))
+      .join(broadcast(classCnt), Seq("clang", "term"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(vSize))
+      .withColumn("c",
+        col("tf") * log((col("cnt") + lit(1)).cast("double") / (col("tot") + col("v"))))
+      .groupBy(col("doc_id"), col("true_lang"), col("clang"))
+      .agg(sum(round(col("c"), 9).cast(DecimalType(28, 9))).cast("double").as("ll"))
+      .join(broadcast(priors), "clang")
+      .withColumn("score", round(col("ll") + col("lnprior"), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("clang"))
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"), col("clang").as("pred_lang"),
+        (col("true_lang") === col("clang")).cast("long").as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val nbLangOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, t.term
+       |  FROM documents, unnest($duckToks) AS t(term)),
+       |tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+       |cc AS (SELECT lang AS clang, term, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1, 2),
+       |ct AS (SELECT clang, CAST(sum(cnt) AS BIGINT) AS tot FROM cc GROUP BY 1),
+       |vocab AS (SELECT DISTINCT term FROM tr),
+       |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+       |pri AS (
+       |  SELECT lang AS clang, ln(CAST(count(*) AS DOUBLE) / n.n) AS lnprior
+       |  FROM documents CROSS JOIN (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0) n
+       |  WHERE doc_id % 2 = 0 GROUP BY 1, n.n),
+       |tt AS (
+       |  SELECT doc_id, lang AS true_lang, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+       |ttv AS (SELECT tt.* FROM tt JOIN vocab USING (term)),
+       |grid AS (
+       |  SELECT ttv.doc_id, ttv.true_lang, ttv.tf, ct.clang, ct.tot,
+       |         COALESCE(cc.cnt, 0) AS cnt, vs.v
+       |  FROM ttv CROSS JOIN ct
+       |  LEFT JOIN cc ON cc.clang = ct.clang AND cc.term = ttv.term
+       |  CROSS JOIN vs),
+       |sc AS (
+       |  SELECT doc_id, true_lang, clang,
+       |         round(CAST(SUM(CAST(round(tf * ln(CAST(cnt + 1 AS DOUBLE) / (tot + v)), 9)
+       |                              AS DECIMAL(28,9))) AS DOUBLE)
+       |               + any_value(lnprior), 6) AS score
+       |  FROM grid JOIN pri USING (clang)
+       |  GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, clang) AS rn
+       |  FROM sc)
+       |SELECT doc_id, true_lang, clang AS pred_lang,
+       |       CAST(true_lang = clang AS BIGINT) AS correct
+       |FROM rk WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("bpe_merges", Some(bpeMergesOracle), bpeMerges),
     GraftQuery("bpe_vocab", Some(bpeVocabOracle), bpeVocab),
@@ -611,5 +726,6 @@ object CorpusMining {
     GraftQuery("semdedup", Some(semDedupOracle), semDedup),
     GraftQuery("pmi_bigrams", Some(pmiOracle), pmiBigrams),
     GraftQuery("vocab_growth", Some(vocabGrowthOracle), vocabGrowth),
+    GraftQuery("nb_lang_classifier", Some(nbLangOracle), nbLangClassifier),
   )
 }

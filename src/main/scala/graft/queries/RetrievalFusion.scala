@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorExpressions
+import graft.sources.Tables
+
+/** Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical BM25
+  * ranking over `documents` and a dense cosine ranking over
+  * `embeddings` — the standard two-tower retrieval composition a RAG /
+  * training-data curation stack runs (fuse sparse + dense candidates,
+  * keep the union's best). Cormack et al.'s RRF: score(d) = Σ_lists
+  * 1/(k + rank_list(d)) with k = 60.
+  *
+  * Scale shape: each list is an independent top-20 — BM25 reuses
+  * `CorpusMining.bm25Scored` (term-filtered before any doc-keyed
+  * work), the dense side is the `ann_bruteforce` broadcast-probe scan
+  * against ONE query vector. Both lists collapse via orderBy+limit
+  * (TakeOrdered: per-partition k-row heaps, driver merges k×parts
+  * rows), so ranks are assigned by a window over ≤20 rows, never a
+  * global sort. The fusion join is 20×20 rows — size-independent of
+  * the corpus. At 100 TB the dense list swaps for the persisted
+  * `ann_index_probe` path; the fusion stays identical.
+  */
+object RetrievalFusion {
+
+  private val RrfK = 60
+  private val ProbeVecId = 100L
+  private val ListK = 20
+  private val FusedK = 10
+
+  private def dotCol(a: String, b: String): Column =
+    VectorExpressions.dotF32(col(a), col(b))
+
+  private def duckDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')"
+
+  private def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    // lexical list: BM25 top-20, ranks over the collapsed 20-row frame
+    val lex = CorpusMining.bm25Scored(spark, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(ListK)
+      .withColumn("lex_rank",
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    // dense list: cosine top-20 against the fixed probe vector
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("vn", sqrt(dotCol("e", "e")))
+    val probe = vecs
+      .filter(col("vec_id") === ProbeVecId)
+      .select(col("e").as("pe"), col("vn").as("pn"))
+    val dense = vecs.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= ProbeVecId)
+      .withColumn("simr", round(dotCol("pe", "e") / (col("pn") * col("vn")), 6))
+      .orderBy(col("simr").desc, col("vec_id"))
+      .limit(ListK)
+      .withColumn("vec_rank",
+        row_number().over(
+          Window.orderBy(col("simr").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id"), col("vec_rank"))
+    // RRF fusion over the union of the two 20-row lists
+    lex.join(dense, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("lex_rank"), col("vec_rank"))
+      .withColumn("rrf",
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 9))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(FusedK)
+  }
+
+  private val hybridSearchRrfOracle =
+    s"""WITH ${CorpusMining.bm25OracleScoredCtes},
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM (SELECT doc_id, score FROM bm25_scored ORDER BY score DESC, doc_id LIMIT $ListK)),
+       |v AS (
+       |  SELECT vec_id, embedding AS e,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS vn
+       |  FROM embeddings),
+       |p AS (SELECT e AS pe, vn AS pn FROM v WHERE vec_id = $ProbeVecId),
+       |ds AS (
+       |  SELECT vec_id, round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
+       |  FROM v CROSS JOIN p WHERE vec_id <> $ProbeVecId
+       |  ORDER BY simr DESC, vec_id LIMIT $ListK),
+       |dense AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY simr DESC, vec_id) AS BIGINT) AS vec_rank
+       |  FROM ds)
+       |SELECT COALESCE(lex.doc_id, dense.vec_id) AS doc_id, lex_rank, vec_rank,
+       |       round(COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) +
+       |             COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0), 9) AS rrf
+       |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $FusedK""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("hybrid_search_rrf", Some(hybridSearchRrfOracle), hybridSearchRrf),
+  )
+}

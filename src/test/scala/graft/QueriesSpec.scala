@@ -91,4 +91,51 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.select("status").distinct().collect().map(_.getString(0)).toSet
       .subsetOf(Set("shipped", "timeout")))
   }
+
+  test("hybrid_search_rrf: every fused doc came from a list, ranks ≤ 20, rrf bounded") {
+    val df = SparkEntry.queries("hybrid_search_rrf")(spark, sf)
+    assert(df.filter(col("lex_rank").isNull && col("vec_rank").isNull).isEmpty,
+      "a fused doc must appear in at least one source list")
+    assert(df.filter(
+      coalesce(col("lex_rank"), lit(1L)) > 20 ||
+        coalesce(col("vec_rank"), lit(1L)) > 20).isEmpty)
+    // max possible RRF = rank 1 in both lists = 2/61; min > 0
+    assert(df.filter(col("rrf") > 2.0 / 61 + 1e-9 || col("rrf") <= 0).isEmpty)
+  }
+
+  test("k_anonymity: classes partition customers; l ≤ k; at_risk ⇔ k < 5") {
+    val df = SparkEntry.queries("k_anonymity")(spark, sf)
+    val customers = graft.sources.Tables.read(spark, sf, "customer").count()
+    assert(df.agg(sum("k")).first().getLong(0) == customers,
+      "equivalence classes must partition the table")
+    assert(df.filter(col("l") > col("k")).isEmpty, "l-diversity can't exceed class size")
+    assert(df.filter((col("k") < 5).cast("long") =!= col("at_risk")).isEmpty)
+  }
+
+  test("dp_noisy_counts: deterministic, noise bounded by b·ln(mod)") {
+    val a = SparkEntry.queries("dp_noisy_counts")(spark, sf).collect()
+    val b = SparkEntry.queries("dp_noisy_counts")(spark, sf).collect()
+    assert(a.sameElements(b), "seeded noise must replay identically")
+    val exact = graft.sources.Tables.read(spark, sf, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n"))
+    val joined = SparkEntry.queries("dp_noisy_counts")(spark, sf).join(exact, "nation")
+    // inverse-CDF magnitude cap: b·ln(1/(2·u_min)) with u_min = 1/(mod+1)
+    // + 1e-6: the minimum-u group hits the cap exactly, modulo float
+    // association between the cap formula and the engine's ln chain
+    val cap = 2.0 * math.log((1000003.0 + 1) / 2) + 1e-6
+    assert(joined.filter(abs(col("noisy_n") - col("n")) > cap).isEmpty)
+  }
+
+  test("nb_lang_classifier: scores every odd doc, predicts only trained classes") {
+    val df = SparkEntry.queries("nb_lang_classifier")(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val oddDocs = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(df.count() == oddDocs, "every held-out doc must get a prediction")
+    val trainLangs = docs.filter(col("doc_id") % 2 === 0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(df.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(trainLangs))
+    assert(df.filter(!col("correct").isin(0L, 1L)).isEmpty)
+  }
 }

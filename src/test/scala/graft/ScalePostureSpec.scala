@@ -568,7 +568,9 @@ class ScalePostureSpec extends AnyFunSuite {
       "hard_negatives", "mixture_alpha_sample", // broadcast probe set / 1-row totals
       "mixture_manifest", // composes mixture_alpha_sample's 1-row total
       "winnowing_pairs", // 1-row ndocs broadcast for the relative stop cutoff
-      "kmv_overlap") // 5-row day self-pairing
+      "kmv_overlap", // 5-row day self-pairing
+      "hybrid_search_rrf", // 1-row probe vector + bm25's 1-row corpus stats
+      "nb_lang_classifier") // broadcast model: 5-row lang totals + 1-row V
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for (q <- SparkEntry.all) {
       val plan =
