@@ -17,16 +17,33 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as raw longs and truncate to
-    * microsecond timestamps with integer division — bit-identical to
-    * how DuckDB (µs-native) loads the same file, so oracle comparisons
-    * stay exact.
+  /** The events parquet has shipped `ts` in two physical encodings
+    * across driver data generations: TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as raw longs and truncate
+    * to microseconds, bit-identical to how µs-native DuckDB loads the
+    * same file) and plain TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ;
+    * the session is pinned to UTC, so the cast to session-zoned
+    * TIMESTAMP preserves the instant). Branch on the footer schema so
+    * both generations load to the identical TimestampType column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  /** True when this data generation stores events.ts as raw int64
+    * nanos (the legacy encoding) — streaming readers need the matching
+    * explicit schema before `readStream` can bind. */
+  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
   }
   /** Fan a scan out to the session's full parallelism when the source
     * has fewer splits than cores. Every consumer of the text/embedding

@@ -44,7 +44,10 @@ object StreamingJobs {
     stage.toString
   }
 
-  /** Raw events schema as stored (ts = TIMESTAMP(NANOS) read as long). */
+  /** Raw events schema of the LEGACY data generation (ts =
+    * TIMESTAMP(NANOS), read as long). Current generations store
+    * TIMESTAMP(MICROS), which binds as TIMESTAMP_NTZ — use
+    * [[eventsRawSchemaFor]] to pick the right one for a directory. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -53,17 +56,30 @@ object StreamingJobs {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  def eventsRawSchemaFor(tsLong: Boolean): StructType =
+    if (tsLong) eventsRawSchema
+    else StructType(eventsRawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
+  /** Raw file-replay events stream with `ts` normalized to a
+    * session-zoned (UTC) TimestampType, whichever physical encoding
+    * this data generation uses — the single place the streaming side
+    * branches on it. */
+  private def rawEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsLong = graft.sources.Tables.eventsTsIsLong(spark, dir)
+    val raw = spark.readStream
+      .schema(eventsRawSchemaFor(tsLong))
+      .parquet(stagedPath(dir, "events"))
+    if (tsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
   /** File-replay stream of the events table with proper event-time
     * timestamps and a bounded-out-of-orderness watermark.
     */
-  def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 second"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stagedPath(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", watermark)
-  }
+  def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 second"): DataFrame =
+    rawEventsStream(spark, dir).withWatermark("ts", watermark)
 
   /** Streaming twin of q3_pv_hourly: tumbling 1h count of views. */
   def pvHourly(spark: SparkSession, dir: String): DataFrame =
@@ -376,13 +392,10 @@ object StreamingJobs {
     * (StreamingSpec asserts stream == batch).
     */
   def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // raw source, not eventsStream: the session clock is the floored
     // second column, and a stream allows exactly ONE watermark column
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stagedPath(dir, "events"))
-      .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+    rawEventsStream(spark, dir)
+      .withColumn("tsec", date_trunc("second", col("ts")))
       .withWatermark("tsec", "1 second")
       .groupBy(session_window(col("tsec"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -497,7 +510,15 @@ object StreamingJobs {
     */
   def loadEventsLog(spark: SparkSession, dir: String, logDir: String): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsRawSchema).parquet(stagedPath(dir, "events"))
+    val tsLong = graft.sources.Tables.eventsTsIsLong(spark, dir)
+    val raw = spark.read.schema(eventsRawSchemaFor(tsLong))
+      .parquet(stagedPath(dir, "events"))
+    // the log's wire format carries epoch-nanos, whatever the parquet
+    // generation stored — consumers (eventsFromLog) depend only on it
+    val nanos =
+      if (tsLong) raw
+      else raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    nanos
       .select(concat(
         col("event_id"), lit("\t"), col("ts"), lit("\t"), col("user_id"),
         lit("\t"), col("event_type"), lit("\t"), col("value"), lit("\t"),
