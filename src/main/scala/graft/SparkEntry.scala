@@ -21,7 +21,8 @@ object SparkEntry {
       RelationalExtras.queries ++ SequenceAnalytics.queries ++
       StatsAnalytics.queries ++ CorpusMining.queries ++ SketchQueries.queries ++
       PipelineShaping.queries ++ LayoutAnalytics.queries ++ MixtureAnalytics.queries ++
-      TemporalAnalytics.queries ++ RetrievalFusion.queries ++ PrivacyAnalytics.queries
+      TemporalAnalytics.queries ++ RetrievalFusion.queries ++ PrivacyAnalytics.queries ++
+      WorkloadProfiling.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

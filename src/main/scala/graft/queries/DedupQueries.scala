@@ -213,6 +213,58 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5""".stripMargin
   }
 
+  // ------------------------------------------------- containment dedup
+  private val ContainmentMin = 0.7
+
+  /** Asymmetric-containment near-dup detection over the SAME banded
+    * LSH candidates as `dedup_minhash_lsh`: C(a⊂b) = |A∩B| / |A|.
+    * Jaccard misses the small-doc-embedded-in-large-doc case (a 50-word
+    * quote inside a 5000-word page has J ≈ 0.01 but containment ≈ 1);
+    * a training-corpus dedup pass needs both lenses. Reported when
+    * either direction's containment ≥ 0.7 — greatest(i/ca, i/cb).
+    *
+    * Scale shape: identical to dedup_minhash_lsh — band equi-join
+    * candidates (collisions, never n²), intersection via a shingle
+    * equi-join on the candidate set only. The containment arithmetic
+    * reuses the set sizes already carried on the signature table.
+    */
+  private def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (sh, sigs, bands) = minhashIndex(spark, dir)
+    val cand = bandCandidates(bands)
+    val cnt = sigs.select(col("doc_id"), col("c"))
+    val inter = cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("cont_a_in_b", round(col("i").cast("double") / col("ca.c"), 6))
+      .withColumn("cont_b_in_a", round(col("i").cast("double") / col("cb.c"), 6))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentMin)
+      .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"), col("cont_b_in_a"),
+        round(col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")), 6)
+          .as("jaccard"))
+  }
+
+  private val containmentOracle =
+    s"""WITH $duckMinhashIndex,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS i
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b AND y.sh = x.sh
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(i AS DOUBLE) / ca.c, 6) AS cont_a_in_b,
+       |       round(CAST(i AS DOUBLE) / cb.c, 6) AS cont_b_in_a,
+       |       round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+       |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE greatest(round(CAST(i AS DOUBLE) / ca.c, 6),
+       |               round(CAST(i AS DOUBLE) / cb.c, 6)) >= $ContainmentMin""".stripMargin
+
   // ------------------------------------------------- winnowing
   private val WinK = 3 // word k-gram size
   private val WinW = 4 // winnow window (hashes); guarantee t = w+k-1 = 6 words
@@ -1115,6 +1167,7 @@ object DedupQueries {
     GraftQuery("dedup_verdicts", Some(dedupVerdictsOracle), dedupVerdicts),
     GraftQuery("cluster_representatives", Some(clusterRepresentativesOracle), clusterRepresentatives),
     GraftQuery("dedup_minhash_lsh", Some(minhashOracle), minhashLsh),
+    GraftQuery("dedup_containment", Some(containmentOracle), containmentDedup),
     GraftQuery("dedup_incremental", Some(dedupIncrementalOracle), dedupIncremental),
     GraftQuery("winnowing_pairs", Some(winnowingOracle), winnowingPairs),
     GraftQuery("dedup_simhash", Some(simhashOracle), dedupSimhash),

@@ -99,7 +99,109 @@ object RetrievalFusion {
        |ORDER BY rrf DESC, doc_id
        |LIMIT $FusedK""".stripMargin
 
+  // ------------------------------------------------- MMR re-ranking
+  private val MmrLambda = 0.7
+  private val MmrPicks = 5
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein '98): greedily
+    * re-rank the dense top-20 candidate list for diversity —
+    * pick_s = argmax_d λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s). The
+    * standard final-stage diversification a retrieval / hard-negative
+    * pipeline runs after candidate generation.
+    *
+    * Scale shape: the DISTRIBUTED part is candidate generation (the
+    * same broadcast-probe scan `ann_bruteforce` uses, TakeOrdered to
+    * 20 rows). The greedy loop is inherently sequential but runs on
+    * the COLLAPSED k-row frame: 5 rounds of join/agg over ≤20 rows +
+    * a 20×20 pairwise sim table, all broadcast, size-independent of
+    * the corpus. Ties break by vec_id; every similarity is rounded to
+    * 6dp before the greedy compare so both engines walk the same path.
+    */
+  private def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("vn", sqrt(dotCol("e", "e")))
+    val probe = vecs
+      .filter(col("vec_id") === ProbeVecId)
+      .select(col("e").as("pe"), col("vn").as("pn"))
+    val cands = vecs.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= ProbeVecId)
+      .withColumn("rel", round(dotCol("pe", "e") / (col("pn") * col("vn")), 6))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(ListK)
+      .select(col("vec_id"), col("e"), col("rel"))
+      .localCheckpoint()
+    val sims = cands.as("x").join(cands.as("y"),
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(
+          VectorExpressions.dotF32(col("x.e"), col("y.e")) /
+            (sqrt(VectorExpressions.dotF32(col("x.e"), col("x.e"))) *
+              sqrt(VectorExpressions.dotF32(col("y.e"), col("y.e")))), 6)
+          .as("sim"))
+      .localCheckpoint()
+    // pick 1: pure relevance; the max-sim penalty term is 0 on an empty set
+    var picked = cands
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"),
+        lit(1L).as("pick"), round(lit(MmrLambda) * col("rel"), 6).as("mmr"))
+      .localCheckpoint()
+    for (s <- 2 to MmrPicks) {
+      val selIds = picked.select(col("vec_id").as("sid"))
+      val maxSim = sims.join(broadcast(selIds), col("b") === col("sid"))
+        .groupBy(col("a")).agg(max(col("sim")).as("ms"))
+      val pick = cands
+        .join(broadcast(selIds), col("vec_id") === col("sid"), "left_anti")
+        .join(broadcast(maxSim), col("vec_id") === col("a"))
+        .withColumn("mmr",
+          round(lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("ms"), 6))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(s.toLong).as("pick"), col("mmr"))
+      picked = picked.union(pick).localCheckpoint()
+    }
+    picked
+  }
+
+  private val mmrRerankOracle = {
+    val steps = (2 to MmrPicks).map { s =>
+      s"""s$s AS (
+         |  SELECT c.vec_id, c.rel, CAST($s AS BIGINT) AS pick,
+         |         round($MmrLambda * c.rel - ${1 - MmrLambda} * m.ms, 6) AS mmr
+         |  FROM cand c
+         |  JOIN (SELECT a, max(sim) AS ms FROM sims
+         |        JOIN sel${s - 1} ON b = sel${s - 1}.vec_id GROUP BY a) m
+         |    ON c.vec_id = m.a
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${s - 1})
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         |sel$s AS (SELECT vec_id FROM sel${s - 1} UNION SELECT vec_id FROM s$s)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to MmrPicks)
+      .map(s => s"SELECT vec_id, rel, pick, mmr FROM s$s").mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS e,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS vn
+       |  FROM embeddings),
+       |p AS (SELECT e AS pe, vn AS pn FROM v WHERE vec_id = $ProbeVecId),
+       |cand AS (
+       |  SELECT vec_id, e, round(${duckDot("pe", "e")} / (pn * vn), 6) AS rel
+       |  FROM v CROSS JOIN p WHERE vec_id <> $ProbeVecId
+       |  ORDER BY rel DESC, vec_id LIMIT $ListK),
+       |sims AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |         round(${duckDot("x.e", "y.e")} /
+       |               (sqrt(${duckDot("x.e", "x.e")}) * sqrt(${duckDot("y.e", "y.e")})), 6) AS sim
+       |  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id),
+       |s1 AS (
+       |  SELECT vec_id, rel, CAST(1 AS BIGINT) AS pick, round($MmrLambda * rel, 6) AS mmr
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$steps
+       |$unions""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("hybrid_search_rrf", Some(hybridSearchRrfOracle), hybridSearchRrf),
+    GraftQuery("mmr_rerank", Some(mmrRerankOracle), mmrRerank),
   )
 }

@@ -127,6 +127,60 @@ class QueriesSpec extends AnyFunSuite {
     assert(joined.filter(abs(col("noisy_n") - col("n")) > cap).isEmpty)
   }
 
+  test("mmr_rerank: 5 distinct picks from the dense top-20, mmr ≤ λ·rel, first pick is pure-rel argmax") {
+    val df = SparkEntry.queries("mmr_rerank")(spark, sf).orderBy("pick").collect()
+    assert(df.length == 5)
+    assert(df.map(_.getLong(df.head.fieldIndex("vec_id"))).distinct.length == 5,
+      "greedy picks must be distinct")
+    val relIdx = df.head.fieldIndex("rel")
+    val mmrIdx = df.head.fieldIndex("mmr")
+    // penalty term is subtractive: mmr can never exceed λ·rel (+ rounding)
+    assert(df.forall(r => r.getDouble(mmrIdx) <= 0.7 * r.getDouble(relIdx) + 1e-6))
+    // pick 1 has the max relevance of the whole candidate list
+    assert(df.head.getDouble(relIdx) == df.map(_.getDouble(relIdx)).max)
+  }
+
+  test("skew_audit: shares ≤ 1 and descending, skew ratio consistent with share") {
+    val df = SparkEntry.queries("skew_audit")(spark, sf)
+      .orderBy(col("cnt").desc, col("join_key")).collect()
+    assert(df.length > 0 && df.length <= 20)
+    val shares = df.map(_.getDouble(df.head.fieldIndex("share")))
+    assert(shares.forall(s => s > 0 && s <= 1.0))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+    // skew_vs_avg = share * n_keys (same formula, 4dp vs 6dp rounding)
+    df.foreach { r =>
+      val expect = r.getDouble(r.fieldIndex("share")) * r.getLong(r.fieldIndex("n_keys"))
+      assert(math.abs(r.getDouble(r.fieldIndex("skew_vs_avg")) - expect) < 1e-2)
+    }
+  }
+
+  test("join_size_estimate: exact equals the materialized join; estimate unbiased-ish") {
+    val r = SparkEntry.queries("join_size_estimate")(spark, sf).collect().head
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click").select("user_id", "event_id")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("e2"))
+    val exact = clicks.join(purch, "user_id").count()
+    assert(r.getLong(r.fieldIndex("exact_size")) == exact,
+      "Σ a_u·b_u must equal the true join output size")
+    assert(r.getLong(r.fieldIndex("keys_sampled")) <= r.getLong(r.fieldIndex("keys_total")))
+    assert(r.getDouble(r.fieldIndex("est_size")) >= 0)
+  }
+
+  test("dedup_containment: containment ≥ jaccard, bounded by 1, and ≥ threshold somewhere") {
+    val df = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+    assert(df.length > 0, "sf0.001 fixture has near-dup docs; containment must find pairs")
+    df.foreach { r =>
+      val ca = r.getDouble(r.fieldIndex("cont_a_in_b"))
+      val cb = r.getDouble(r.fieldIndex("cont_b_in_a"))
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(ca <= 1.0 + 1e-9 && cb <= 1.0 + 1e-9)
+      assert(math.max(ca, cb) >= 0.7)
+      // containment dominates Jaccard: |A∩B|/|A| ≥ |A∩B|/|A∪B|
+      assert(ca >= j - 1e-9 && cb >= j - 1e-9)
+    }
+  }
+
   test("nb_lang_classifier: scores every odd doc, predicts only trained classes") {
     val df = SparkEntry.queries("nb_lang_classifier")(spark, sf)
     val docs = graft.sources.Tables.documents(spark, sf)
