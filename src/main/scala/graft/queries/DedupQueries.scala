@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -786,6 +787,84 @@ object DedupQueries {
        |SELECT doc_id, round(r, 6) AS rank FROM r3""".stripMargin
   }
 
+  // ------------------------------------------------- label propagation
+  private val LpaIters = 3
+
+  /** Synchronous label propagation (Raghavan et al. '07) over the
+    * SimHash near-dup graph: each node adopts its neighborhood's most
+    * frequent label, ties to the smallest — 3 fixed iterations. Where
+    * connected components answers "which docs are transitively
+    * linked?", LPA answers "which docs form DENSE duplicate
+    * communities?" — a long chain of pairwise near-dups fragments into
+    * local communities instead of one giant component, which is the
+    * granularity a canonical-selection pass actually wants.
+    *
+    * Determinism: the frequency argmax orders by (count DESC, label
+    * ASC) under row_number, so both engines pick identical labels;
+    * isolated nodes keep their own id (they never receive a neighbor
+    * vote). Scale shape: per iteration one equi-join (edges ⋈ labels,
+    * partitioned on src) + one grouped count + a per-dst
+    * WindowGroupLimit — fixed 3-deep static plan, no driver loop, and
+    * the edge set is LSH-band collisions, never n².
+    */
+  private def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val edges = simhashPairs(spark, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
+    var labels = nodes.withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to LpaIters) {
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("n").desc, col("lbl").asc)
+      val best = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("dst"), col("lbl").as("new_lbl"))
+      labels = nodes
+        .join(best, nodes("doc_id") === best("dst"), "left")
+        .select(nodes("doc_id"),
+          coalesce(col("new_lbl"), nodes("doc_id")).as("lbl"))
+    }
+    labels.select(col("doc_id"), col("lbl").as("community"),
+      count(lit(1)).over(Window.partitionBy(col("lbl"))).as("community_size"))
+  }
+
+  private val labelPropagationOracle = {
+    def iter(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT n.doc_id, coalesce(b.new_lbl, n.doc_id) AS lbl
+         |  FROM documents n LEFT JOIN (
+         |    SELECT dst, lbl AS new_lbl FROM (
+         |      SELECT e.dst, p.lbl, count(*) AS n,
+         |             row_number() OVER (PARTITION BY e.dst
+         |               ORDER BY count(*) DESC, p.lbl) AS rk
+         |      FROM e JOIN $prev p ON e.src = p.doc_id
+         |      GROUP BY e.dst, p.lbl) t
+         |    WHERE rk = 1) b ON n.doc_id = b.dst)""".stripMargin
+    s"""WITH $duckSimhash,
+       |banded AS (
+       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
+       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+       |${iter("l0", "l1")},
+       |${iter("l1", "l2")},
+       |${iter("l2", "l3")}
+       |SELECT doc_id, lbl AS community,
+       |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+       |FROM l3""".stripMargin
+  }
+
   // ------------------------------------------------- n-gram Jaccard
   /** Character-3-gram Jaccard as the VERIFICATION metric over LSH
     * candidate pairs — exact set similarity computed only where a
@@ -1175,6 +1254,7 @@ object DedupQueries {
     GraftQuery("dedup_ngram_jaccard", Some(ngramOracle), ngramJaccard),
     GraftQuery("dedup_components", Some(componentsOracle), dedupComponents),
     GraftQuery("neardup_pagerank", Some(pagerankOracle), neardupPagerank),
+    GraftQuery("label_propagation", Some(labelPropagationOracle), labelPropagation),
     GraftQuery("split_contamination", Some(contaminationOracle), splitContamination),
     GraftQuery("pair_edit_distance", Some(pairEditOracle), pairEditDistance),
     GraftQuery("neardup_triangles", Some(trianglesOracle), neardupTriangles),

@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -129,8 +131,101 @@ object WorkloadProfiling {
        |       round(abs(est_size - exact_size) / exact_size, 4) AS rel_err
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------- bloom-prefilter join
+  private val BloomBuckets = 4096L
+  private val BloomErrMin = 3L
+
+  /** Runtime-filter join, expressed relationally: purchases of users
+    * with ≥3 error events. The build side's key set is collapsed to a
+    * ≤4096-row BUCKET table (one-hash Bloom filter as a relation); the
+    * probe side semi-joins the broadcast bucket table BEFORE the exact
+    * key join re-checks the false positives. Output is identical to
+    * the plain join by construction — the oracle IS the plain join —
+    * while the probe shuffle carries only bucket-colliding rows. This
+    * is the shape Spark's own `spark.sql.optimizer.runtimeFilter`
+    * injects; materializing it as an operator makes the pattern
+    * available (and provable) on engines/paths where the optimizer
+    * can't see through the build side.
+    */
+  private def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long") % BloomBuckets
+    val build = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= BloomErrMin)
+      .select(col("user_id").as("err_user"))
+    val buckets = build.select(bucketOf(col("err_user")).as("bk")).distinct()
+    val probe = ev.filter(col("event_type") === "purchase")
+      .withColumn("bk", bucketOf(col("user_id")))
+      .join(broadcast(buckets), "bk") // bloom prefilter: drops most rows
+      .join(build, col("user_id") === col("err_user")) // exact re-check
+    probe.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+
+  private val bloomPrefilterJoinOracle =
+    s"""WITH build AS (
+       |  SELECT user_id FROM events WHERE event_type = 'error'
+       |  GROUP BY 1 HAVING count(*) >= $BloomErrMin)
+       |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events e JOIN build USING (user_id)
+       |WHERE e.event_type = 'purchase'
+       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- compaction planning
+  private val TargetFileBytes = 4096L
+
+  /** Small-file compaction planning over `documents` by source: size
+    * each source in bytes (n_chars as the proxy), derive the target
+    * file count for a fixed file-size budget, and assign every doc to
+    * an output file by round-robin over the size-descending rank — the
+    * classic LPT-flavored balancing that keeps file sizes within one
+    * max-doc of each other. Emits the PLAN (per planned file: doc
+    * count + bytes), which is what a lakehouse maintenance job
+    * executes as its shuffle spec. Scale shape: one groupBy per
+    * source + a per-source window rank — partitioned by the same key
+    * the write would be, never a global sort.
+    */
+  private def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val sized = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("src_bytes"))
+      .withColumn("target_files",
+        greatest(lit(1L), ceil(col("src_bytes").cast("double") / TargetFileBytes)))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.join(sized, "source")
+      .withColumn("file_id", (row_number().over(w) - 1) % col("target_files"))
+      .groupBy(col("source"), col("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("file_bytes"))
+      .join(sized.select(col("source"), col("target_files")), "source")
+  }
+
+  private val compactionPlanOracle =
+    s"""WITH sized AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_bytes,
+       |         greatest(1, CAST(ceil(CAST(sum(n_chars) AS DOUBLE) / $TargetFileBytes) AS BIGINT)) AS target_files
+       |  FROM documents GROUP BY 1),
+       |assigned AS (
+       |  SELECT d.source, d.n_chars,
+       |         (row_number() OVER (PARTITION BY d.source
+       |            ORDER BY d.n_chars DESC, d.doc_id) - 1) % s.target_files AS file_id,
+       |         s.target_files
+       |  FROM documents d JOIN sized s USING (source))
+       |SELECT source, file_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS file_bytes, target_files
+       |FROM assigned
+       |GROUP BY 1, 2, 5""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("skew_audit", Some(skewAuditOracle), skewAudit),
     GraftQuery("join_size_estimate", Some(joinSizeEstimateOracle), joinSizeEstimate),
+    GraftQuery("bloom_prefilter_join", Some(bloomPrefilterJoinOracle), bloomPrefilterJoin),
+    GraftQuery("compaction_plan", Some(compactionPlanOracle), compactionPlan),
   )
 }

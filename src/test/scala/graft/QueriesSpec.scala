@@ -181,6 +181,48 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("label_propagation: labels every doc; community sizes consistent; isolated docs keep own id") {
+    val df = SparkEntry.queries("label_propagation")(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(df.count() == docs.count(), "every doc gets a community")
+    // community_size is the actual census of its label
+    val census = df.groupBy(col("community")).agg(count(lit(1)).as("actual"))
+    assert(df.join(census, "community")
+      .filter(col("community_size") =!= col("actual")).isEmpty)
+    // at least one non-trivial community exists on the near-dup fixture
+    assert(df.filter(col("community_size") > 1).count() > 0)
+  }
+
+  test("bloom_prefilter_join equals the plain exact join (false positives re-checked)") {
+    val df = SparkEntry.queries("bloom_prefilter_join")(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val build = ev.filter(col("event_type") === "error")
+      .groupBy("user_id").agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= 3).select("user_id")
+    val plain = ev.filter(col("event_type") === "purchase")
+      .join(build, "user_id")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    assert(df.select("user_id", "n_purchases").exceptAll(plain).isEmpty)
+    assert(plain.exceptAll(df.select("user_id", "n_purchases")).isEmpty)
+  }
+
+  test("compaction_plan: files partition each source's docs and balance within one max-doc") {
+    val df = SparkEntry.queries("compaction_plan")(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val totalDocs = docs.count()
+    assert(df.map(_.getLong(df.head.fieldIndex("n_docs"))).sum == totalDocs,
+      "planned files must partition the corpus")
+    val bySrc = df.groupBy(_.getString(df.head.fieldIndex("source")))
+    val maxChars = docs.agg(max("n_chars")).first().getLong(0)
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.length == rows.head.getLong(rows.head.fieldIndex("target_files")),
+        "plan must emit exactly target_files files per source")
+      val sizes = rows.map(_.getLong(rows.head.fieldIndex("file_bytes")))
+      // LPT round-robin bound: spread ≤ one max doc
+      assert(sizes.max - sizes.min <= maxChars)
+    }
+  }
+
   test("nb_lang_classifier: scores every odd doc, predicts only trained classes") {
     val df = SparkEntry.queries("nb_lang_classifier")(spark, sf)
     val docs = graft.sources.Tables.documents(spark, sf)
