@@ -716,6 +716,87 @@ object CorpusMining {
        |FROM rk WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- logistic-regression classifier
+  private val LrSteps = 3
+
+  /** Logistic-regression quality classifier trained IN-ENGINE: 3
+    * unrolled full-batch gradient-descent steps (lr = 1.0, w₀ = 0) on
+    * two shape features — word count and average word length — against
+    * the lang='en' target. The point is the mechanics a learned
+    * quality filter needs at corpus scale, with none of the usual
+    * nondeterminism: every per-doc gradient contribution is rounded to
+    * 9dp and summed as DECIMAL(28,9) (order-independent, so the same
+    * weights fall out of any partitioning), weights re-round to 9dp
+    * per step, and the step count is fixed — a static 3-deep plan over
+    * one checkpointed feature table, weights carried as a 1-row
+    * broadcast frame, nothing on the driver.
+    */
+  private def lrQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val wcount = size(graft.functions.TextFunctions.tokens(col("text"))).cast("double")
+    val feats = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        round(wcount / 100.0, 9).as("x1"),
+        round(col("n_chars") / wcount / 10.0, 9).as("x2"))
+      .localCheckpoint()
+    def pCol: Column = round(
+      lit(1.0) / (lit(1.0) +
+        exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))), 9)
+    var w = spark.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+    for (_ <- 1 to LrSteps) {
+      val g = feats.crossJoin(broadcast(w))
+        .withColumn("p", pCol)
+        .withColumn("r", col("p") - col("y"))
+        .agg(
+          sum(round(col("r"), 9).cast(DecimalType(28, 9))).as("s0"),
+          sum(round(col("r") * col("x1"), 9).cast(DecimalType(28, 9))).as("s1"),
+          sum(round(col("r") * col("x2"), 9).cast(DecimalType(28, 9))).as("s2"),
+          count(lit(1)).as("n"))
+      w = w.crossJoin(broadcast(g)).select(
+        round(col("w0") - col("s0").cast("double") / col("n"), 9).as("w0"),
+        round(col("w1") - col("s1").cast("double") / col("n"), 9).as("w1"),
+        round(col("w2") - col("s2").cast("double") / col("n"), 9).as("w2"))
+    }
+    feats.crossJoin(broadcast(w))
+      .withColumn("p", pCol)
+      .agg(
+        max(col("w0")).as("w0"), max(col("w1")).as("w1"), max(col("w2")).as("w2"),
+        count(lit(1)).as("n_docs"),
+        round(avg(when((col("p") >= 0.5) === (col("y") === 1.0), 1.0)
+          .otherwise(0.0)), 6).as("train_acc"),
+        round(avg(when(col("p") >= 0.5, 1.0).otherwise(0.0)), 6).as("pred_pos_rate"))
+  }
+
+  private val lrQualityOracle = {
+    def step(k: Int) =
+      s"""g$k AS (
+         |  SELECT CAST(sum(CAST(round(p - y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s0,
+         |         CAST(sum(CAST(round((p - y) * x1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s1,
+         |         CAST(sum(CAST(round((p - y) * x2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s2,
+         |         count(*) AS n
+         |  FROM (SELECT f.*, round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))), 9) AS p
+         |        FROM feats f CROSS JOIN w${k - 1}t)),
+         |w${k}t AS (
+         |  SELECT round(w0 - s0/n, 9) AS w0, round(w1 - s1/n, 9) AS w1,
+         |         round(w2 - s2/n, 9) AS w2
+         |  FROM w${k - 1}t CROSS JOIN g$k)""".stripMargin
+    s"""WITH feats AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |         round(len(string_split(trim(text), ' ')) / 100.0, 9) AS x1,
+       |         round(n_chars / len(string_split(trim(text), ' ')) / 10.0, 9) AS x2
+       |  FROM documents),
+       |w0t AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+       |               CAST(0.0 AS DOUBLE) AS w2),
+       |${(1 to LrSteps).map(step).mkString(",\n")}
+       |SELECT w0, w1, w2, CAST(count(*) AS BIGINT) AS n_docs,
+       |       round(avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
+       |       round(avg(CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END), 6) AS pred_pos_rate
+       |FROM (SELECT f.*, w.*, round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))), 9) AS p
+       |      FROM feats f CROSS JOIN w${LrSteps}t w)
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("bpe_merges", Some(bpeMergesOracle), bpeMerges),
     GraftQuery("bpe_vocab", Some(bpeVocabOracle), bpeVocab),
@@ -727,5 +808,6 @@ object CorpusMining {
     GraftQuery("pmi_bigrams", Some(pmiOracle), pmiBigrams),
     GraftQuery("vocab_growth", Some(vocabGrowthOracle), vocabGrowth),
     GraftQuery("nb_lang_classifier", Some(nbLangOracle), nbLangClassifier),
+    GraftQuery("lr_quality_classifier", Some(lrQualityOracle), lrQualityClassifier),
   )
 }

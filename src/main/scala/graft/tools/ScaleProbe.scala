@@ -86,7 +86,8 @@ object ScaleProbe {
     "dedup_minhash_lsh", "dedup_components", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "winnowing_pairs", "semdedup",
     "cluster_representatives", "substring_scrub", "dedup_verdicts",
-    "ann_pq", "ann_ivf_pq", "embedding_neardup", "ann_index_probe")
+    "ann_pq", "ann_ivf_pq", "embedding_neardup", "ann_index_probe",
+    "dedup_containment", "label_propagation")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("testdata_sf1")

@@ -223,6 +223,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("lr_quality_classifier: deterministic replay, sane metrics, moving weights") {
+    val a = SparkEntry.queries("lr_quality_classifier")(spark, sf).collect()
+    val b = SparkEntry.queries("lr_quality_classifier")(spark, sf).collect()
+    assert(a.sameElements(b), "decimal-pinned GD must replay bit-identically")
+    val r = a.head
+    val acc = r.getDouble(r.fieldIndex("train_acc"))
+    assert(acc >= 0.0 && acc <= 1.0)
+    assert(r.getLong(r.fieldIndex("n_docs")) ==
+      graft.sources.Tables.documents(spark, sf).count())
+    // 3 GD steps from w=0 with a non-degenerate target must move weights
+    assert(Seq("w0", "w1", "w2").map(c => r.getDouble(r.fieldIndex(c)))
+      .exists(_ != 0.0))
+  }
+
   test("nb_lang_classifier: scores every odd doc, predicts only trained classes") {
     val df = SparkEntry.queries("nb_lang_classifier")(spark, sf)
     val docs = graft.sources.Tables.documents(spark, sf)

@@ -572,7 +572,8 @@ class ScalePostureSpec extends AnyFunSuite {
       "hybrid_search_rrf", // 1-row probe vector + bm25's 1-row corpus stats
       "nb_lang_classifier", // broadcast model: 5-row lang totals + 1-row V
       "mmr_rerank", // 1-row probe + 20-row candidate pairwise sims (collapsed list)
-      "skew_audit") // 1-row (total, ndv) stats broadcast onto the top-20 frame
+      "skew_audit", // 1-row (total, ndv) stats broadcast onto the top-20 frame
+      "lr_quality_classifier") // 1-row weight frame broadcast per GD step
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for (q <- SparkEntry.all) {
       val plan =
