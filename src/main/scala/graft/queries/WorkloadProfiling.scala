@@ -147,21 +147,35 @@ object WorkloadProfiling {
     * available (and provable) on engines/paths where the optimizer
     * can't see through the build side.
     */
-  private def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
-        .cast("long") % BloomBuckets
-    val build = ev.filter(col("event_type") === "error")
+  /** The one-hash bucket of a key — the "Bloom bit" both join sides
+    * share. Exposed for the streaming twin. */
+  private[graft] def bloomBucketCol(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("long") % BloomBuckets
+
+  /** Build side: users with ≥3 error events. Exposed for the streaming
+    * twin, which runs the identical prefilter stream-static. */
+  private[graft] def errorUserBuild(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "error")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
       .filter(col("n_err") >= BloomErrMin)
       .select(col("user_id").as("err_user"))
-    val buckets = build.select(bucketOf(col("err_user")).as("bk")).distinct()
-    val probe = ev.filter(col("event_type") === "purchase")
-      .withColumn("bk", bucketOf(col("user_id")))
+
+  /** Bloom-prefiltered probe: the bucket semi-join then the exact
+    * re-check, shared verbatim by the batch query and the stream twin
+    * (the probe frame is the only thing that differs). */
+  private[graft] def bloomPrefilteredProbe(probe: DataFrame, build: DataFrame): DataFrame = {
+    val buckets = build.select(bloomBucketCol(col("err_user")).as("bk")).distinct()
+    probe.filter(col("event_type") === "purchase")
+      .withColumn("bk", bloomBucketCol(col("user_id")))
       .join(broadcast(buckets), "bk") // bloom prefilter: drops most rows
       .join(build, col("user_id") === col("err_user")) // exact re-check
-    probe.groupBy(col("user_id"))
+  }
+
+  private def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    bloomPrefilteredProbe(ev, errorUserBuild(ev))
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
   }

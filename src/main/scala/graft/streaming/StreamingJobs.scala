@@ -385,6 +385,31 @@ object StreamingJobs {
       .select(col("event_id"), col("user_id"), col("n_name"))
   }
 
+  /** Stream-static runtime-filter join (the 19th twin): the purchase
+    * stream pre-filtered by the broadcast ≤4096-row bucket table
+    * before the exact key join re-checks false positives — the same
+    * bloom-prefilter shape `bloom_prefilter_join` proves in batch,
+    * running stateless per micro-batch. At scale this is how a
+    * high-volume stream joins a selective build side without shuffling
+    * non-matching rows into the join at all.
+    */
+  def bloomPrefilterStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.WorkloadProfiling
+    val build = WorkloadProfiling.errorUserBuild(
+      graft.sources.Tables.events(spark, dir))
+    WorkloadProfiling.bloomPrefilteredProbe(eventsStream(spark, dir), build)
+      .select(col("event_id"), col("user_id"), col("value"))
+  }
+
+  /** Batch twin of [[bloomPrefilterStream]] — identical frames, static
+    * probe. */
+  def bloomPrefilterBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.WorkloadProfiling
+    val ev = graft.sources.Tables.events(spark, dir)
+    WorkloadProfiling.bloomPrefilteredProbe(ev, WorkloadProfiling.errorUserBuild(ev))
+      .select(col("event_id"), col("user_id"), col("value"))
+  }
+
   /** Streaming twin of batch `sessionize`: per-user 30-minute-gap
     * session windows via `session_window` — merging window state keyed
     * by user, evicted once the watermark passes a session's close.

@@ -429,6 +429,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(best) == sortedRows(registered))
   }
 
+  test("streaming bloom-prefilter join equals its batch twin and rolls up to the registered query (19th twin)") {
+    val stream = StreamingJobs.runToMemory(
+      StreamingJobs.bloomPrefilterStream(spark, sf), "bloom_prefilter", "append")
+    val batch = StreamingJobs.bloomPrefilterBatch(spark, sf)
+    assert(batch.count() > 0, "expected purchases by heavy-error users at this scale")
+    assert(sortedRows(stream) == sortedRows(batch))
+    // the live rows aggregate to exactly the registered batch query
+    val rolled = stream.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+    val registered = SparkEntry.queries("bloom_prefilter_join")(spark, sf)
+    assert(sortedRows(rolled) == sortedRows(registered))
+  }
+
   test("streaming dedup verdicts equal the batch manifest (18th twin)") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-verdicts").toString + "/out"
