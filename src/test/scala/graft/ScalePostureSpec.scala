@@ -592,6 +592,46 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(docs.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
   }
 
+  test("bloom prefilter is genuinely selective: bounded bucket table, probe rows shrink before the key join") {
+    import graft.queries.WorkloadProfiling
+    val ev = graft.sources.Tables.events(spark, sf)
+    // the registered query's own build side covers EVERY user at the
+    // tiny test scales (each has ≥3 errors), so prove the MECHANISM
+    // with an explicitly selective build subset: 3 of the ~15 users
+    val build = ev.select(col("user_id").as("err_user")).distinct()
+      .orderBy(col("err_user")).limit(3)
+    val buckets = build
+      .select(WorkloadProfiling.bloomBucketCol(col("err_user")).as("bk")).distinct()
+    assert(buckets.count() <= 4096, "the bloom relation must stay broadcast-sized by construction")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val afterPrefilter = purchases
+      .withColumn("bk", WorkloadProfiling.bloomBucketCol(col("user_id")))
+      .join(broadcast(buckets), "bk").count()
+    val exactMatches = purchases
+      .join(build, col("user_id") === col("err_user")).count()
+    // prefilter admits every true match plus only bucket-colliding noise
+    assert(afterPrefilter >= exactMatches)
+    assert(afterPrefilter < purchases.count(),
+      "the prefilter must drop non-colliding probe rows before the join")
+    // and the full prefiltered pipeline equals the plain join on this build
+    val viaBloom = WorkloadProfiling.bloomPrefilteredProbe(ev, build)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val plain = purchases.join(build, col("user_id") === col("err_user"))
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBloom == plain)
+    // and the bucket semi-join broadcasts — never shuffles the probe
+    val plan = graft.SparkEntry.queries("bloom_prefilter_join")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), "bucket prefilter must be a broadcast join")
+  }
+
+  test("skew_audit's top-20 plans as TakeOrdered, never a global sort of the key space") {
+    val plan = graft.SparkEntry.queries("skew_audit")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a per-partition top-k heap, got:\n$plan")
+  }
+
   test("watermark drops late data in append-mode streaming aggregation") {
     import java.nio.file.{Files, Paths}
     // two files processed as two micro-batches: the second contains an
