@@ -76,6 +76,60 @@ object DedupQueries {
   private val PermB = Seq(12345L, 67891L, 104729L, 217645199L,
     413158511L, 613651349L, 817504243L, 1031750401L)
 
+  // -------------------------------------------- band-bucket cap (scale)
+  /** Per-(band, bucket) candidate caps. A bucket of n docs yields
+    * n·(n−1)/2 candidate pairs, so ONE boilerplate-heavy bucket turns a
+    * banded self-join quadratic (observed: the sf1 probe corpus grew
+    * 725 → 6.77M SimHash pairs across a 100× doc scale-up). Standard
+    * LSH practice caps the bucket: buckets above the cap are SKIPPED
+    * entirely — a bucket that hot is a stop-signature carrying no
+    * discriminative signal (near-identical docs still pair through
+    * their other, rarer bands, and byte-identical docs are exact-dedup's
+    * job, not LSH's). The skip is mirrored verbatim in every DuckDB
+    * oracle, so correctness holds at ANY scale, whether or not the cap
+    * engages; `dedup_band_stats` accounts the dropped mass. With the
+    * cap, SimHash pair volume is bounded by 4·256·cap²/2 regardless of
+    * corpus size, and MinHash candidates by buckets·cap²/2 — linear in
+    * docs, never n². Measured on the driver corpus: at the sf0.01 gate
+    * the largest buckets are 128 (SimHash) and 4 (MinHash), so the cap
+    * stays dormant and gate outputs are unchanged; at sf0.1 eight
+    * SimHash stop-signature buckets exceed 400 docs (max 1,338) and
+    * carry 73% of the 2.8M-pair worst-case candidate volume — exactly
+    * the mass the cap exists to shed.
+    */
+  private[queries] val SimhashBandCap = 400
+  private[queries] val MinhashBandCap = 400
+
+  /** Drop every row of any (key) bucket holding more than `cap` rows.
+    * The oversized-bucket list is a heavy-hitter rollup — tiny by
+    * construction — so it broadcasts and the filter costs one
+    * map-side-combined agg + a broadcast anti-join, never a shuffle of
+    * the banded table.
+    */
+  private def capBuckets(banded: DataFrame, cap: Int, keys: Seq[String]): DataFrame = {
+    val big = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(big), keys, "left_anti")
+  }
+
+  // --------------------------------- shared pair-graph (per-run reuse)
+  /** The SimHash pair graph is consumed by SIX registered queries
+    * (pairs, components, edit-distance, PageRank, LPA, triangles — and
+    * cluster_representatives through components). Re-deriving the
+    * banded self-join per query is pure waste: a pipeline materializes
+    * the pair table once per corpus and every graph consumer reads it.
+    * Memoized per (session, input dir) as an eagerly-computed
+    * localCheckpoint — a leaf plan, so each consumer re-plans against a
+    * scan. Dir contents are immutable for a session's lifetime (the
+    * same contract the ANN index tables already rely on).
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** MinHash signatures via universal hashing — ONE md5 per distinct
     * shingle, then each of the 8 permutations is `(a_p*h + b_p) mod P`
     * (arithmetic only, exact in both engines). Hashing cost is 1/8 of
@@ -159,13 +213,15 @@ object DedupQueries {
     * with shingle-Jaccard) and `dedup_ngram_jaccard` (which verifies
     * with char-3-gram Jaccard).
     */
-  private def bandCandidates(bands: DataFrame): DataFrame =
-    bands.as("a")
-      .join(bands.as("b"),
+  private def bandCandidates(bands: DataFrame): DataFrame = {
+    val kept = capBuckets(bands, MinhashBandCap, Seq("band", "bh"))
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val (sh, sigs, bands) = minhashIndex(spark, dir)
@@ -196,14 +252,16 @@ object DedupQueries {
        |sig AS (SELECT doc_id, $sigCols FROM hashed GROUP BY 1),
        |bands AS (
        |  SELECT doc_id, g.b AS band, CASE g.b $bandCase END AS bh
-       |  FROM sig CROSS JOIN generate_series(0, ${NumBands - 1}) g(b))""".stripMargin
+       |  FROM sig CROSS JOIN generate_series(0, ${NumBands - 1}) g(b)),
+       |bigmb AS (SELECT band, bh FROM bands GROUP BY 1, 2 HAVING count(*) > $MinhashBandCap),
+       |keptmb AS (SELECT bands.* FROM bands ANTI JOIN bigmb USING (band, bh))""".stripMargin
   }
 
   private val minhashOracle = {
     s"""WITH $duckMinhashIndex,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |  FROM keptmb a JOIN keptmb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT doc_a, doc_b, count(*) AS i
@@ -252,7 +310,7 @@ object DedupQueries {
     s"""WITH $duckMinhashIndex,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |  FROM keptmb a JOIN keptmb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT doc_a, doc_b, count(*) AS i
@@ -470,17 +528,20 @@ object DedupQueries {
     * <=3 confirm filter can accept — the candidate set is exact for
     * this radius (a <=6 radius would need 7 bands).
     */
-  private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Byte-banded SimHash table: (doc_id, simhash, b, bk). */
+  private def simhashBanded(spark: SparkSession, dir: String): DataFrame =
     // materialize the signatures once: the banded self-join otherwise
     // recomputes the whole 32-vote aggregation for BOTH sides (the two
     // subtrees do not canonicalize to a reused exchange), doubling the
     // most expensive stage of the pipeline
-    val sh = simhashDf(spark, dir).localCheckpoint()
-    val banded = sh
+    simhashDf(spark, dir).localCheckpoint()
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bk", expr("shiftright(simhash, 8 * b) & 255"))
-    banded.as("a")
-      .join(banded.as("b"),
+
+  private def simhashPairsFresh(spark: SparkSession, dir: String): DataFrame = {
+    val kept = capBuckets(simhashBanded(spark, dir), SimhashBandCap, Seq("b", "bk"))
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -491,15 +552,28 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  private val simhashPairsOracle =
-    s"""WITH $duckSimhash,
-       |banded AS (
+  /** Memoized, materialized pair graph — see [[pairsCache]]. */
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((spark, dir),
+      _ => simhashPairsFresh(spark, dir).localCheckpoint())
+
+  /** Shared oracle snippet: banded SimHash table with the bucket cap
+    * applied — the `keptb` CTE every pair-graph oracle joins.
+    */
+  private val duckSimhashBanded =
+    s"""banded AS (
        |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
        |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |bigb AS (SELECT b, bk FROM banded GROUP BY 1, 2 HAVING count(*) > $SimhashBandCap),
+       |keptb AS (SELECT banded.* FROM banded ANTI JOIN bigb USING (b, bk))""".stripMargin
+
+  private val simhashPairsOracle =
+    s"""WITH $duckSimhash,
+       |$duckSimhashBanded,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.simhash AS sim_a, b.simhash AS sim_b
-       |  FROM banded a JOIN banded b
+       |  FROM keptb a JOIN keptb b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
        |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
@@ -515,24 +589,27 @@ object DedupQueries {
     * shuffle-partitioned join/agg — no driver-side graph. The oracle
     * computes the same fixpoint as a recursive transitive closure.
     */
-  private def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    // both edge directions in ONE pass over the pairs pipeline (a
-    // union of two selects would run the whole SimHash candidate
-    // generation twice while populating the cache)
-    // eager localCheckpoint, not cache(): the rounds below re-plan
-    // their pipeline once per iteration, and a checkpoint is a LEAF
-    // plan — with cache() every round's logical plan still carries the
-    // whole SimHash candidate pipeline subtree through analysis and
-    // canonicalization, and that fixed planning cost dominates a small
-    // graph's wall-clock
-    val edges = simhashPairs(spark, dir)
-      .select(explode(array(
-        struct(col("doc_a"), col("doc_b")),
-        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
-      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
-      .localCheckpoint()
-    componentsOverEdges(Tables.documents(spark, dir).select(col("doc_id")), edges)
-  }
+  private def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    // memoized like the pair graph itself: cluster_representatives and
+    // any later canonical-selection pass re-read the SAME component
+    // labels a pipeline would have materialized once
+    componentsCache.computeIfAbsent((spark, dir), _ => {
+      // both edge directions in ONE pass over the (already
+      // checkpointed) shared pair graph
+      // eager localCheckpoint, not cache(): the rounds below re-plan
+      // their pipeline once per iteration, and a checkpoint is a LEAF
+      // plan — with cache() every round's logical plan still carries the
+      // whole SimHash candidate pipeline subtree through analysis and
+      // canonicalization, and that fixed planning cost dominates a small
+      // graph's wall-clock
+      val edges = simhashPairs(spark, dir)
+        .select(explode(array(
+          struct(col("doc_a"), col("doc_b")),
+          struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+        .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+        .localCheckpoint()
+      componentsOverEdges(Tables.documents(spark, dir).select(col("doc_id")), edges)
+    })
 
   /** Min-label propagation over an ALREADY MATERIALIZED bidirectional
     * edge table — the persist-once/consume-many form: a pipeline at
@@ -607,12 +684,10 @@ object DedupQueries {
 
   private val componentsOracle =
     s"""WITH RECURSIVE $duckSimhash,
-       |banded AS (
-       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
-       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |$duckSimhashBanded,
        |p AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
+       |  FROM keptb a JOIN keptb b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
        |und AS (SELECT doc_a AS a, doc_b AS b FROM p
@@ -648,13 +723,11 @@ object DedupQueries {
 
   private val pairEditOracle =
     s"""WITH $duckSimhash,
-       |banded AS (
-       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
-       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |$duckSimhashBanded,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.simhash AS sim_a, b.simhash AS sim_b
-       |  FROM banded a JOIN banded b
+       |  FROM keptb a JOIN keptb b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |cand AS (
        |  SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
@@ -769,12 +842,10 @@ object DedupQueries {
          |    GROUP BY e.dst) s
          |  ON n.doc_id = s.dst)""".stripMargin
     s"""WITH $duckSimhash,
-       |banded AS (
-       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
-       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |$duckSimhashBanded,
        |p AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
+       |  FROM keptb a JOIN keptb b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
@@ -846,12 +917,10 @@ object DedupQueries {
          |      GROUP BY e.dst, p.lbl) t
          |    WHERE rk = 1) b ON n.doc_id = b.dst)""".stripMargin
     s"""WITH $duckSimhash,
-       |banded AS (
-       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
-       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |$duckSimhashBanded,
        |p AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
+       |  FROM keptb a JOIN keptb b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
@@ -915,7 +984,7 @@ object DedupQueries {
     s"""WITH $duckMinhashIndex,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |  FROM keptmb a JOIN keptmb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
       |g AS (
       |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) >= 3
       |    THEN list_distinct(list_transform(range(1, length(trim(text)) - 1), i -> substr(trim(text), i, 3)))
@@ -957,13 +1026,11 @@ object DedupQueries {
 
   private val trianglesOracle =
     s"""WITH $duckSimhash,
-       |banded AS (
-       |  SELECT doc_id, simhash, g.b, (simhash >> (8 * g.b)) & 255 AS bk
-       |  FROM sim CROSS JOIN generate_series(0, 3) g(b)),
+       |$duckSimhashBanded,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.simhash AS sim_a, b.simhash AS sim_b
-       |  FROM banded a JOIN banded b
+       |  FROM keptb a JOIN keptb b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |e AS (
        |  SELECT doc_a, doc_b FROM cand
@@ -1239,7 +1306,61 @@ object DedupQueries {
        |       n_words AS rep_n_words, CAST(n_members AS BIGINT) AS n_members
        |FROM m WHERE rk = 1 AND n_members >= 2""".stripMargin
 
+  // --------------------------------------- band-bucket dropped mass
+  /** The cap's accounting ledger: per band of each LSH space, how many
+    * buckets/rows exist, the largest bucket, and the mass the cap
+    * drops — capped bucket count, rows skipped, and the candidate
+    * pairs those buckets would have generated (n·(n−1)/2 each). This
+    * is the observability a production pipeline runs NEXT TO its dedup
+    * pass: pairs_avoided is exactly the quadratic term the cap
+    * removes, and a nonzero rows_dropped at one band is the signal to
+    * go look at what boilerplate saturated that bucket (same shape as
+    * skew_audit for join keys).
+    */
+  private def bandStatsOf(buckets: DataFrame, space: String, cap: Int): DataFrame =
+    buckets.groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_bucket"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("capped_buckets"),
+        sum(when(col("n") > cap, col("n")).otherwise(0L)).as("rows_dropped"),
+        sum(when(col("n") > cap, expr("n * (n - 1) div 2")).otherwise(0L)).as("pairs_avoided"))
+      .select(lit(space).as("space"), col("band").cast("long").as("band"),
+        col("n_buckets"), col("n_rows"), col("max_bucket"),
+        col("capped_buckets"), col("rows_dropped"), col("pairs_avoided"))
+
+  private def dedupBandStats(spark: SparkSession, dir: String): DataFrame = {
+    val sbuck = simhashBanded(spark, dir)
+      .groupBy(col("b").as("band"), col("bk")).agg(count(lit(1)).as("n"))
+    val (_, _, bands) = minhashIndex(spark, dir)
+    val mbuck = bands.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+    bandStatsOf(sbuck, "simhash", SimhashBandCap)
+      .unionAll(bandStatsOf(mbuck, "minhash", MinhashBandCap))
+  }
+
+  private def duckBandStat(src: String, space: String, cap: Int): String =
+    s"""SELECT '$space' AS space, CAST(band AS BIGINT) AS band,
+       |       CAST(count(*) AS BIGINT) AS n_buckets,
+       |       CAST(sum(n) AS BIGINT) AS n_rows,
+       |       CAST(max(n) AS BIGINT) AS max_bucket,
+       |       CAST(sum(CASE WHEN n > $cap THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets,
+       |       CAST(sum(CASE WHEN n > $cap THEN n ELSE 0 END) AS BIGINT) AS rows_dropped,
+       |       CAST(sum(CASE WHEN n > $cap THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_avoided
+       |FROM $src GROUP BY 2""".stripMargin
+
+  private val dedupBandStatsOracle =
+    s"""WITH $duckSimhash,
+       |$duckSimhashBanded,
+       |$duckMinhashIndex,
+       |sbuck AS (SELECT b AS band, bk, count(*) AS n FROM banded GROUP BY 1, 2),
+       |mbuck AS (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2)
+       |${duckBandStat("sbuck", "simhash", SimhashBandCap)}
+       |UNION ALL
+       |${duckBandStat("mbuck", "minhash", MinhashBandCap)}""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("dedup_band_stats", Some(dedupBandStatsOracle), dedupBandStats),
     GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
     GraftQuery("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
     GraftQuery("substring_scrub", Some(substringScrubOracle), substringScrub),

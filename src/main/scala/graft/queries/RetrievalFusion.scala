@@ -30,6 +30,7 @@ object RetrievalFusion {
   private val ProbeVecId = 100L
   private val ListK = 20
   private val FusedK = 10
+  private val IndexNProbe = 2
 
   private def dotCol(a: String, b: String): Column =
     VectorExpressions.dotF32(col(a), col(b))
@@ -37,23 +38,21 @@ object RetrievalFusion {
   private def duckDot(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')"
 
-  private def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
-    // lexical list: BM25 top-20, ranks over the collapsed 20-row frame
-    val lex = CorpusMining.bm25Scored(spark, dir)
+  /** Lexical list: BM25 top-20, ranks over the collapsed 20-row frame. */
+  private def lexTop(spark: SparkSession, dir: String): DataFrame =
+    CorpusMining.bm25Scored(spark, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(ListK)
       .withColumn("lex_rank",
         row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("lex_rank"))
-    // dense list: cosine top-20 against the fixed probe vector
-    val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("vn", sqrt(dotCol("e", "e")))
-    val probe = vecs
-      .filter(col("vec_id") === ProbeVecId)
-      .select(col("e").as("pe"), col("vn").as("pn"))
-    val dense = vecs.crossJoin(broadcast(probe))
+
+  /** Rank the dense candidate frame (vec_id, vn, e + broadcast pe/pn)
+    * down to the top-20 cosine list.
+    */
+  private def denseTop(cands: DataFrame): DataFrame =
+    cands
       .filter(col("vec_id") =!= ProbeVecId)
       .withColumn("simr", round(dotCol("pe", "e") / (col("pn") * col("vn")), 6))
       .orderBy(col("simr").desc, col("vec_id"))
@@ -62,7 +61,9 @@ object RetrievalFusion {
         row_number().over(
           Window.orderBy(col("simr").desc, col("vec_id"))).cast("long"))
       .select(col("vec_id"), col("vec_rank"))
-    // RRF fusion over the union of the two 20-row lists
+
+  /** RRF fusion over the union of the two 20-row lists. */
+  private def fuse(lex: DataFrame, dense: DataFrame): DataFrame =
     lex.join(dense, col("doc_id") === col("vec_id"), "full_outer")
       .select(
         coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
@@ -73,6 +74,44 @@ object RetrievalFusion {
             coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 9))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(FusedK)
+
+  private def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("vn", sqrt(dotCol("e", "e")))
+    val probe = vecs
+      .filter(col("vec_id") === ProbeVecId)
+      .select(col("e").as("pe"), col("vn").as("pn"))
+    fuse(lexTop(spark, dir), denseTop(vecs.crossJoin(broadcast(probe))))
+  }
+
+  /** The 100 TB form of [[hybridSearchRrf]]: the dense list's scan is
+    * PRUNED through the persisted ANN index's coarse quantizer — the
+    * probe picks its 2 nearest cells from the broadcast centroid table
+    * (the same decimal-pinned cell rule as `ann_index_probe`) and only
+    * embeddings in those cells are scored. On a corpus whose clusters
+    * are real this is lossless vs the brute-force list (proven in
+    * ScalePostureSpec on a clustered corpus); on overlapping clusters
+    * it is the standard IVF recall trade — either way the scored rows
+    * drop from n to ~nprobe/ncells of the corpus and the fusion logic
+    * is shared verbatim with the brute-force form.
+    */
+  private def hybridSearchRrfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("vn", sqrt(dotCol("e", "e")))
+    val probe = vecs
+      .filter(col("vec_id") === ProbeVecId)
+      .select(col("e").as("pe"), col("vn").as("pn"))
+    val cells = SimilarityQueries.ivfCentroids(spark, dir)
+      .crossJoin(broadcast(probe))
+      .withColumn("cd", round(SimilarityQueries.l2Dist2(col("cvec"), col("pe")), 6))
+      .orderBy(col("cd"), col("c_label")).limit(IndexNProbe)
+      .select(col("c_label"))
+    val cands = vecs
+      .join(broadcast(cells), vecs("label") === col("c_label"))
+      .crossJoin(broadcast(probe))
+    fuse(lexTop(spark, dir), denseTop(cands))
   }
 
   private val hybridSearchRrfOracle =
@@ -88,6 +127,45 @@ object RetrievalFusion {
        |ds AS (
        |  SELECT vec_id, round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
        |  FROM v CROSS JOIN p WHERE vec_id <> $ProbeVecId
+       |  ORDER BY simr DESC, vec_id LIMIT $ListK),
+       |dense AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY simr DESC, vec_id) AS BIGINT) AS vec_rank
+       |  FROM ds)
+       |SELECT COALESCE(lex.doc_id, dense.vec_id) AS doc_id, lex_rank, vec_rank,
+       |       round(COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) +
+       |             COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0), 9) AS rrf
+       |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $FusedK""".stripMargin
+
+  private def duckL2(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)), 'sum')"
+
+  private val hybridSearchRrfIndexedOracle =
+    s"""WITH ${CorpusMining.bm25OracleScoredCtes},
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM (SELECT doc_id, score FROM bm25_scored ORDER BY score DESC, doc_id LIMIT $ListK)),
+       |v AS (
+       |  SELECT vec_id, label, embedding AS e,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS vn
+       |  FROM embeddings),
+       |p AS (SELECT e AS pe, vn AS pn FROM v WHERE vec_id = $ProbeVecId),
+       |cent AS (
+       |  SELECT label, g.i AS pos,
+       |         CAST(SUM(CAST(embedding[g.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+       |  GROUP BY 1, 2),
+       |cvecs AS (
+       |  SELECT label AS c_label, list_transform(list(m ORDER BY pos), x -> x::FLOAT) AS cvec
+       |  FROM cent GROUP BY 1),
+       |cells AS (
+       |  SELECT c_label FROM cvecs CROSS JOIN p
+       |  ORDER BY round(${duckL2("cvec", "pe")}, 6), c_label LIMIT $IndexNProbe),
+       |ds AS (
+       |  SELECT vec_id, round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
+       |  FROM v JOIN cells ON v.label = cells.c_label CROSS JOIN p
+       |  WHERE vec_id <> $ProbeVecId
        |  ORDER BY simr DESC, vec_id LIMIT $ListK),
        |dense AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY simr DESC, vec_id) AS BIGINT) AS vec_rank
@@ -202,6 +280,8 @@ object RetrievalFusion {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("hybrid_search_rrf", Some(hybridSearchRrfOracle), hybridSearchRrf),
+    GraftQuery("hybrid_search_rrf_indexed",
+      Some(hybridSearchRrfIndexedOracle), hybridSearchRrfIndexed),
     GraftQuery("mmr_rerank", Some(mmrRerankOracle), mmrRerank),
   )
 }

@@ -743,6 +743,25 @@ object SimilarityQueries {
       spark.table(tCb), spark.table(tCodes), spark.table(tCent))
   }
 
+  /** Persisted coarse-centroid table (c_label, cvec) of the ANN index,
+    * building the whole index on first use in a session — the entry
+    * point `hybrid_search_rrf_indexed` prunes its dense list through.
+    */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val (tCodes, _, tCent) = annIndexTables(dir)
+    if (!spark.catalog.tableExists(tCodes)) annIndexBuild(spark, dir).count()
+    spark.table(tCent)
+  }
+
+  /** Exact squared L2 between two FLOAT vector columns (the same
+    * per-element double-promoted fold the index's cell choice uses).
+    */
+  def l2Dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
   private val annIndexCodesOracle =
     s"""WITH $pqOracleCtes
        |SELECT vec_id, blk, cid FROM codes""".stripMargin

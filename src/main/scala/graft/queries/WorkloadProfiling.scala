@@ -207,10 +207,16 @@ object WorkloadProfiling {
   private def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), col("n_chars"))
+    // target_files is capped at the source's doc count: a doc is the
+    // atomic unit of assignment, so a source of n docs can never fill
+    // more than n files — without the cap a single oversized doc
+    // "plans" files that stay empty (the plan under-provisions)
     val sized = docs.groupBy(col("source"))
-      .agg(sum(col("n_chars")).as("src_bytes"))
+      .agg(sum(col("n_chars")).as("src_bytes"), count(lit(1)).as("n_src_docs"))
       .withColumn("target_files",
-        greatest(lit(1L), ceil(col("src_bytes").cast("double") / TargetFileBytes)))
+        least(
+          greatest(lit(1L), ceil(col("src_bytes").cast("double") / TargetFileBytes)),
+          col("n_src_docs")))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_chars").desc, col("doc_id"))
     docs.join(sized, "source")
@@ -223,7 +229,8 @@ object WorkloadProfiling {
   private val compactionPlanOracle =
     s"""WITH sized AS (
        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_bytes,
-       |         greatest(1, CAST(ceil(CAST(sum(n_chars) AS DOUBLE) / $TargetFileBytes) AS BIGINT)) AS target_files
+       |         least(greatest(1, CAST(ceil(CAST(sum(n_chars) AS DOUBLE) / $TargetFileBytes) AS BIGINT)),
+       |               count(*)) AS target_files
        |  FROM documents GROUP BY 1),
        |assigned AS (
        |  SELECT d.source, d.n_chars,

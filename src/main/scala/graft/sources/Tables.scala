@@ -39,12 +39,20 @@ object Tables {
 
   /** True when this data generation stores events.ts as raw int64
     * nanos (the legacy encoding) — streaming readers need the matching
-    * explicit schema before `readStream` can bind. */
-  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events").schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
-  }
+    * explicit schema before `readStream` can bind. Memoized per dir:
+    * the footer probe is a fresh batch read, it's called on every
+    * streaming-job construction, and a directory's physical encoding
+    * never changes within a session.
+    */
+  private val tsEncodingIsLong =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean =
+    tsEncodingIsLong.computeIfAbsent(dir, _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      read(spark, dir, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    })
   /** Fan a scan out to the session's full parallelism when the source
     * has fewer splits than cores. Every consumer of the text/embedding
     * tables does CPU-heavy per-row work (md5 shingles, n-grams, vector

@@ -5,23 +5,32 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** sf1 absolute-threshold probe for the heaviest dedup/ANN tier.
+/** sf1 absolute-threshold probe — now over the ENTIRE query registry.
   *
   * The winnowing lesson (round 7): a cutoff that passes at sf0.01 can
   * go DARK a decade up (fixed df cutoffs, saturating char-gram
-  * vocabularies). This main probes the next decade above the bench
-  * scale: it generates a deterministic sf1-shaped corpus (10× sf0.1 —
-  * 50k documents, 20k embeddings) with the same statistical profile as
-  * the driver's synthetic tables (31-word vocabulary, 20 sources,
-  * 10–100-word docs, ~5% perturbed near-duplicate copies, 10 labelled
-  * Gaussian embedding clusters with planted near-identical pairs), then
-  * runs the slowest dedup/ANN queries against it and reports rows +
-  * wall time. A query returning ZERO rows here has an absolute
-  * threshold hiding in it — exactly the failure class the probe exists
-  * to catch. The generated dir lives under the repo (testdata_sf1,
-  * gitignored); /root/testdata itself is read-only.
+  * vocabularies). And the round-8 lesson: probing only the 15 heaviest
+  * queries misses growth pathologies elsewhere (dedup_simhash_pairs
+  * grew ~quadratically and only the probe showed it). This main probes
+  * the next decade above the bench scale for every registered query:
   *
-  * Usage: runMain graft.tools.ScaleProbe [outDir]
+  *  - documents/embeddings/events are GENERATED at 10× the sf0.1 bench
+  *    shape (50k docs, 20k vectors, 1M events over 15k users — same
+  *    statistical profile as the driver's synthetic tables: 31-word
+  *    vocabulary, 20 sources, ~5% perturbed near-dup copies, labelled
+  *    Gaussian embedding clusters with planted near-identical pairs,
+  *    5 uniform event types with 30-day uniform timestamps and the
+  *    same ~66-events-per-user density);
+  *  - the TPC-H star tables are symlinked from the sf0.1 bench corpus
+  *    (their tier has no absolute thresholds and faithful sf1 TPC-H
+  *    generation belongs to the driver, not this probe) — the artifact
+  *    records the split.
+  *
+  * Every query runs to a full count with wall time; rows == 0 where a
+  * query is expected to produce output means an absolute threshold is
+  * hiding in it. Results land in SCALE_r09.json at the repo root.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [outDir] [artifact.json]
   */
 object ScaleProbe {
 
@@ -31,6 +40,7 @@ object ScaleProbe {
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
     "stream", "table", "the", "value", "vector", "window")
   private val Langs = Array("de", "en", "es", "fr", "zh")
+  private val EventTypes = Array("signup", "click", "purchase", "error", "view")
 
   /** Deterministic uniform in [0, n) from md5 of the tag. */
   private def h(tag: String, n: Int): Int = {
@@ -48,7 +58,8 @@ object ScaleProbe {
     (0 until n).map(i => Vocab(h(s"w:$id:$i:a", Vocab.length))).mkString(" ")
   }
 
-  def generate(spark: SparkSession, dir: String, nDocs: Long, nVecs: Long): Unit = {
+  def generate(spark: SparkSession, dir: String, nDocs: Long, nVecs: Long,
+      nEvents: Long): Unit = {
     import spark.implicits._
     val docs = spark.range(nDocs).map { id =>
       // ~5% of docs are a near-duplicate of their predecessor: same
@@ -79,18 +90,45 @@ object ScaleProbe {
     }.toDF("vec_id", "embedding", "label")
     vecs.repartition(8).write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
+
+    // events at the driver's per-user density (~66 events/user): both
+    // axes scale together, so per-user/per-item rates — what the
+    // blacklist/burst/session thresholds key on — match the bench corpus
+    val nUsers = (nEvents / 66).max(100)
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z, like the driver data
+    val events = spark.range(nEvents).map { id =>
+      val ts = t0 + h(s"ts:$id", 30 * 24 * 3600).toLong
+      (id,
+        new java.sql.Timestamp(ts * 1000L),
+        h(s"u:$id", nUsers.toInt).toLong,
+        EventTypes(h(s"et:$id", EventTypes.length)),
+        (h(s"v:$id", 15000) + 1) / 100.0,
+        s"""{"k": ${h(s"k:$id", 100)}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.repartition(32).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
   }
 
-  /** The round-7 expensive tier + every banded/bucketed dedup shape. */
-  private val ProbeQueries = Seq(
-    "dedup_minhash_lsh", "dedup_components", "dedup_simhash_pairs",
-    "dedup_ngram_jaccard", "winnowing_pairs", "semdedup",
-    "cluster_representatives", "substring_scrub", "dedup_verdicts",
-    "ann_pq", "ann_ivf_pq", "embedding_neardup", "ann_index_probe",
-    "dedup_containment", "label_propagation")
+  /** Symlink the TPC-H star tables from the sf0.1 bench corpus. */
+  private def linkRelational(dir: String): Unit = {
+    val src = "/root/testdata/sf0.1"
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        val link = java.nio.file.Paths.get(s"$dir/$t.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(s"$src/$t.parquet"))
+      }
+  }
+
+  /** Queries whose empty result is legitimate on this corpus, with the
+    * reason recorded in the artifact (everything else must emit rows).
+    */
+  private val EmptyOk: Map[String, String] = Map()
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("testdata_sf1")
+    val artifact = args.drop(1).headOption.getOrElse("SCALE_r09.json")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-probe")
@@ -103,20 +141,37 @@ object ScaleProbe {
     val fs = new java.io.File(s"$out/documents.parquet")
     if (!fs.exists()) {
       println(s"[probe] generating sf1 corpus under $out ...")
-      generate(spark, out, nDocs = 50000L, nVecs = 20000L)
+      generate(spark, out, nDocs = 50000L, nVecs = 20000L, nEvents = 1000000L)
     }
-    val results = ProbeQueries.map { name =>
+    linkRelational(out)
+
+    val results = graft.SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
       val rows =
-        try graft.SparkEntry.queries(name)(spark, out).count()
-        catch { case e: Throwable => println(s"[probe] $name FAILED: ${e.getMessage}"); -1L }
+        try q.run(spark, out).count()
+        catch { case e: Throwable =>
+          println(s"[probe] ${q.name} FAILED: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] $name%-28s rows=$rows%8d  ${sec}%7.1f s")
-      (name, rows, sec)
+      println(f"[probe] ${q.name}%-32s rows=$rows%10d  ${sec}%7.1f s")
+      (q.name, rows, sec)
     }
-    val dark = results.filter(_._2 <= 0)
-    println(if (dark.isEmpty) "[probe] PASS: no query went dark at sf1"
-      else s"[probe] DARK at sf1: ${dark.map(_._1).mkString(", ")}")
+    val dark = results.filter(r => r._2 == 0 && !EmptyOk.contains(r._1))
+    val failed = results.filter(_._2 < 0)
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val qjson = results.map { case (n, r, s) =>
+      s""""$n":{"rows":$r,"sec":${fmt(s)}}""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"probe":"full-registry sf1",
+         |"corpus":"documents 50k / embeddings 20k / events 1M generated at 10x the sf0.1 shape; TPC-H star tables symlinked from sf0.1 (no absolute thresholds in that tier)",
+         |"nqueries":${results.size},"dark":${dark.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
+         |"failed":${failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
+         |"total_sec":${fmt(results.map(_._3).sum)},
+         |"queries":$qjson}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(if (dark.isEmpty && failed.isEmpty)
+      s"[probe] PASS: all ${results.size} queries alive at probe scale -> $artifact"
+    else s"[probe] DARK: ${dark.map(_._1).mkString(",")} FAILED: ${failed.map(_._1).mkString(",")} -> $artifact")
     spark.stop()
   }
 }

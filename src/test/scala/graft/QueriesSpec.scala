@@ -164,7 +164,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("exact_size")) == exact,
       "Σ a_u·b_u must equal the true join output size")
     assert(r.getLong(r.fieldIndex("keys_sampled")) <= r.getLong(r.fieldIndex("keys_total")))
-    assert(r.getDouble(r.fieldIndex("est_size")) >= 0)
+    // the estimator path must actually run on the fixture: at least one
+    // key under the hash threshold, and the 1/8-sample estimate within
+    // 1x of truth (measured 0.40 on this corpus) — a sampler that
+    // samples nothing and estimates 0 must fail here
+    assert(r.getLong(r.fieldIndex("keys_sampled")) >= 1,
+      "hash-threshold sampler sampled zero keys on the fixture")
+    assert(r.getDouble(r.fieldIndex("est_size")) > 0)
+    assert(r.getDouble(r.fieldIndex("rel_err")) < 1.0,
+      s"estimate too far off: ${r.getDouble(r.fieldIndex("rel_err"))}")
   }
 
   test("dedup_containment: containment ≥ jaccard, bounded by 1, and ≥ threshold somewhere") {
@@ -215,8 +223,12 @@ class QueriesSpec extends AnyFunSuite {
     val bySrc = df.groupBy(_.getString(df.head.fieldIndex("source")))
     val maxChars = docs.agg(max("n_chars")).first().getLong(0)
     bySrc.foreach { case (_, rows) =>
+      // target_files is capped at the source's doc count, so the plan
+      // emits exactly target_files NON-EMPTY files at every data shape
       assert(rows.length == rows.head.getLong(rows.head.fieldIndex("target_files")),
         "plan must emit exactly target_files files per source")
+      assert(rows.forall(_.getLong(rows.head.fieldIndex("n_docs")) >= 1),
+        "no planned file may be empty")
       val sizes = rows.map(_.getLong(rows.head.fieldIndex("file_bytes")))
       // LPT round-robin bound: spread ≤ one max doc
       assert(sizes.max - sizes.min <= maxChars)

@@ -570,6 +570,7 @@ class ScalePostureSpec extends AnyFunSuite {
       "winnowing_pairs", // 1-row ndocs broadcast for the relative stop cutoff
       "kmv_overlap", // 5-row day self-pairing
       "hybrid_search_rrf", // 1-row probe vector + bm25's 1-row corpus stats
+      "hybrid_search_rrf_indexed", // same 1-row probe + 10-row centroid/cell broadcasts
       "nb_lang_classifier", // broadcast model: 5-row lang totals + 1-row V
       "mmr_rerank", // 1-row probe + 20-row candidate pairwise sims (collapsed list)
       "skew_audit", // 1-row (total, ndv) stats broadcast onto the top-20 frame
@@ -681,5 +682,92 @@ class ScalePostureSpec extends AnyFunSuite {
     val codes = Storage.table(spark, s"graft_ann_codes_${math.abs(sf.hashCode)}")
     assert(!Storage.hasShuffle(codes.groupBy(col("vec_id")).agg(count(lit(1)))),
       "bucketed code table must satisfy vec_id clustering without a shuffle")
+  }
+
+  test("hybrid_search_rrf_indexed equals the brute-force fusion on a clustered corpus") {
+    // On data whose clusters are REAL the IVF-pruned dense list is
+    // lossless: the probe's own cell holds its entire cosine top-20, so
+    // the indexed fusion must reproduce the brute-force fusion row for
+    // row. (On the driver's near-unclustered gate embeddings the two
+    // variants legitimately differ — that's the IVF recall trade, and
+    // each variant is oracle-gated separately.)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-idx").toString
+    (0 until 60).map { i =>
+      val text =
+        if (i % 3 == 0) s"spark window join doc$i filler words here append"
+        else s"doc$i plain filler words with no query terms at all"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // 10 orthogonal clusters (label l lives on dims 6l..6l+5); the
+    // probe's cluster gets 30 members so the whole top-20 is in-cell
+    (0 until 200).map { id =>
+      val lab = if (id >= 90 && id < 120) 0 else id % 9 + 1
+      val e = Array.tabulate(64) { d =>
+        val base = if (d / 6 == lab) 5.0f else 0.0f
+        base + ((id * 31 + d) % 7 - 3) * 0.001f
+      }
+      (id.toLong, e, lab)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    assert(rows("hybrid_search_rrf_indexed") == rows("hybrid_search_rrf"),
+      "indexed fusion must be lossless on a genuinely clustered corpus")
+  }
+
+  test("LSH band-bucket cap bounds a planted mega-bucket; dropped mass is accounted") {
+    // 500 byte-identical docs saturate ONE bucket in every SimHash byte
+    // band and every MinHash band (the boilerplate blow-up: candidate
+    // pairs would be C(500,2) = 124,750 per band). With the cap the
+    // pair queries must skip that bucket entirely and still report the
+    // 5 planted small clusters; dedup_band_stats must account the
+    // skipped mass. Without the cap this corpus is the exact profile
+    // that grew dedup_simhash_pairs ~quadratically at sf1.
+    import spark.implicits._
+    val mega = (0 until 500).map(i =>
+      (i.toLong, "the big boilerplate banner text repeated across every page of the site"))
+    val smallPairs = (0 until 5).flatMap { c =>
+      // fully disjoint token sets per cluster — clusters sharing 9 of
+      // 10 tokens would legitimately pair across clusters (hamming <=2)
+      val text = (0 until 10).map(j => s"c${c}tok$j").mkString(" ")
+      Seq((1000L + 2 * c, text), (1001L + 2 * c, text))
+    }
+    val unique = (0 until 50).map(i =>
+      (2000L + i, (0 until 10).map(j => s"u${i}w$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-megabucket").toString
+    (mega ++ smallPairs ++ unique).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, dir).collect()
+    assert(pairs.length == 5,
+      s"capped pair graph must keep exactly the 5 small clusters, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) >= 1000L && r.getLong(1) == r.getLong(0) + 1),
+      "surviving pairs must be the planted small clusters")
+
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, dir).collect()
+    assert(lsh.length == 5 && lsh.forall(_.getDouble(2) == 1.0),
+      s"minhash cap must keep only the 5 identical small pairs, got ${lsh.length}")
+
+    val stats = SparkEntry.queries("dedup_band_stats")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val sim = stats.filter(_._1 == "simhash")
+    assert(sim.length == 4)
+    // every band holds the 500-doc bucket: 4 × C(500,2) pairs avoided
+    // >= 500: a band's mega bucket may absorb the odd unique doc whose
+    // simhash byte happens to coincide — the cap drops it with the rest
+    assert(sim.forall { case (_, _, maxB, capped, dropped, avoided) =>
+      maxB >= 500L && capped >= 1L && dropped >= 500L && avoided >= 124750L },
+      s"simhash stats must account the mega-bucket per band: ${sim.mkString(", ")}")
+    val mh = stats.filter(_._1 == "minhash")
+    assert(mh.forall { case (_, _, maxB, _, dropped, avoided) =>
+      maxB >= 500L && dropped >= 500L && avoided >= 124750L },
+      s"minhash stats must account the mega-bucket per band: ${mh.mkString(", ")}")
   }
 }
