@@ -121,6 +121,49 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------- real in-engine codec
+  /** A decoded PPM-subset image — the output of [[parsePpm]]. */
+  final case class PpmDecoded(media_id: Long, width: Long, height: Long,
+      maxval: Long, n_body: Long, byte_sum: Long, body_md5: String)
+
+  /** REAL byte-level decode of the binary-PPM (P6) container: verify
+    * the magic bytes, parse the three ASCII header integers
+    * (width/height/maxval), require the single whitespace terminator,
+    * then walk the raw body computing length, byte sum and digest —
+    * the same parse a libnetpbm-style loader performs. This replaces
+    * the earlier checksum stub on the decode path: malformed payloads
+    * (wrong magic, truncated body, missing terminator) are REJECTED,
+    * not hashed — proven on handcrafted payloads in PipelineOpsSpec.
+    */
+  def parsePpm(mediaId: Long, payload: Array[Byte]): PpmDecoded = {
+    require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
+      s"media $mediaId: bad magic")
+    var i = 2
+    def readInt(): Long = {
+      while (i < payload.length && (payload(i) == ' ' || payload(i) == '\n')) i += 1
+      var v = 0L
+      val start = i
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0'); i += 1
+      }
+      require(i > start, s"media $mediaId: expected ASCII integer in header")
+      v
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    require(i < payload.length && payload(i) == '\n',
+      s"media $mediaId: missing header terminator")
+    i += 1
+    val body = java.util.Arrays.copyOfRange(payload, i, payload.length)
+    require(body.length == w * h * 3,
+      s"media $mediaId: body ${body.length} bytes, header promises ${w * h * 3}")
+    var sum = 0L
+    var j = 0
+    while (j < body.length) { sum += body(j) & 0xff; j += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5").digest(body)
+    PpmDecoded(mediaId, w, h, mv, body.length.toLong, sum,
+      md.map("%02x".format(_)).mkString)
+  }
+
   // ------------------------------------------------------------ queries
   /** Payload-level features via pure column expressions (byte length,
     * content digest, head digest) — the part of the multimodal path
@@ -163,8 +206,46 @@ object Multimodal {
       |FROM documents CROSS JOIN generate_series(0, 7) g(k)
       |WHERE 1 + g.k * 64 + 31 <= length(text)""".stripMargin
 
+  /** End-to-end encode→decode through the REAL codec: wrap each doc's
+    * bytes in a binary-PPM container (8 pixels wide, height from the
+    * byte budget, docs under one pixel row skipped — mirrored in the
+    * oracle), then [[parsePpm]] executes the actual byte-level parse in
+    * a partition-local transform. The oracle recomputes the expected
+    * header fields and body digest from the source text, so a decoder
+    * that shortcuts the parse (or a builder emitting a malformed
+    * container) hash-mismatches.
+    */
+  private def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("h", expr("length(text) div 24"))
+      .filter(col("h") >= 1)
+      .withColumn("payload", concat(
+        encode(concat(concat_ws(" ", lit("P6"), lit(8), col("h"), lit(255)),
+          lit("\n")), "UTF-8"),
+        encode(expr("substring(text, 1, CAST(h * 24 AS INT))"), "UTF-8")))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => parsePpm(id, p) })
+      .toDF()
+  }
+
+  private val decodeOracle =
+    """WITH m AS (
+      |  SELECT doc_id, strlen(text) // 24 AS h,
+      |         substr(text, 1, (strlen(text) // 24) * 24) AS body
+      |  FROM documents WHERE strlen(text) // 24 >= 1)
+      |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+      |       CAST(h AS BIGINT) AS height, CAST(255 AS BIGINT) AS maxval,
+      |       CAST(strlen(body) AS BIGINT) AS n_body,
+      |       CAST(list_aggregate(list_transform(range(1, strlen(body) + 1),
+      |            i -> ord(substr(body, i, 1))), 'sum') AS BIGINT) AS byte_sum,
+      |       md5(body) AS body_md5
+      |FROM m""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("multimodal_features", Some(featuresOracle), multimodalFeatures),
     GraftQuery("multimodal_frames", Some(framesOracle), multimodalFrames),
+    GraftQuery("multimodal_decode", Some(decodeOracle), multimodalDecode),
   )
 }

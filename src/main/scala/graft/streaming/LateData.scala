@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Late-data side channel for foreachBatch twins.
+  *
+  * The reference's windowed jobs silently DROP rows behind the
+  * watermark (Flink's default; `sideOutputLateData` is unused in the
+  * reference tree — e.g. HotItemsAnalysis/.../app/HotItems.scala keeps
+  * only the main stream), and Spark's built-in watermark drops them
+  * just as silently (runtime-asserted in ScalePostureSpec). A
+  * production pipeline wants those rows QUARANTINED for audit/replay
+  * instead of vanishing. Spark exposes no per-row late side output, so
+  * the foreachBatch twins track the watermark themselves with Spark's
+  * own update rule — watermark = max event time seen in PRIOR batches
+  * minus the delay, advancing at batch end — and split each batch with
+  * Spark's own drop rule: a row is late when its aggregation window
+  * can no longer change (window_end <= watermark).
+  *
+  * Conservation holds by construction — every input row lands in
+  * exactly one of (main, quarantine) — and is proven in StreamingSpec:
+  * count(main) + count(late) == count(input), with the quarantined
+  * rows being exactly the ones Spark's native watermark drops.
+  */
+object LateData {
+
+  /** Driver-side watermark state for one foreachBatch query — the same
+    * scalar Spark's WatermarkTracker keeps; batches arrive serially so
+    * a volatile is enough.
+    */
+  final class WatermarkTracker(delaySec: Long) {
+    @volatile private var wmSec: Long = Long.MinValue
+    def currentSec: Long = wmSec
+
+    /** Split `batch` into (on-time, late, watermarkUsed) under the
+      * CURRENT watermark, then advance it from this batch's max event
+      * time — the end-of-batch update Spark's own watermark executes.
+      * `windowEndSec` maps a row to the end (epoch seconds) of the
+      * aggregation window it would feed.
+      */
+    def split(batch: DataFrame, tsCol: String,
+        windowEndSec: org.apache.spark.sql.Column): (DataFrame, DataFrame, Long) = {
+      val wm = wmSec
+      val isLate = if (wm == Long.MinValue) lit(false) else windowEndSec <= lit(wm)
+      val main = batch.filter(!isLate)
+      val late = batch.filter(isLate)
+      val mx = batch.agg(max(unix_seconds(col(tsCol)))).head()
+      if (!mx.isNullAt(0)) wmSec = math.max(wmSec, mx.getLong(0) - delaySec)
+      (main, late, wm)
+    }
+  }
+
+  /** Start a foreachBatch query that passes on-time rows through to
+    * `outPath` and appends late rows (hourly-window drop rule) to
+    * `quarantinePath`, stamped with the watermark second that rejected
+    * them. Caller drives it (`processAllAvailable`/`stop`) so tests can
+    * interleave file arrivals with batch boundaries.
+    */
+  def hourlyQuarantinedQuery(stream: DataFrame, tsCol: String, delaySec: Long,
+      outPath: String, quarantinePath: String): StreamingQuery = {
+    val tracker = new WatermarkTracker(delaySec)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val wend = expr(s"((unix_seconds($tsCol) div 3600) + 1) * 3600")
+        val (main, late, wm) = tracker.split(batch, tsCol, wend)
+        main.write.mode("append").parquet(outPath)
+        late.withColumn("rejected_by_wm_sec", lit(wm))
+          .write.mode("append").parquet(quarantinePath)
+        ()
+      }
+      .start()
+  }
+}

@@ -61,6 +61,8 @@ object ScaleProbe {
   def generate(spark: SparkSession, dir: String, nDocs: Long, nVecs: Long,
       nEvents: Long): Unit = {
     import spark.implicits._
+    def missing(table: String) = !new java.io.File(s"$dir/$table.parquet").exists()
+    if (missing("documents")) {
     val docs = spark.range(nDocs).map { id =>
       // ~5% of docs are a near-duplicate of their predecessor: same
       // text with the final word swapped (high-Jaccard planted pairs,
@@ -74,7 +76,9 @@ object ScaleProbe {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.repartition(32).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
+    }
 
+    if (missing("embeddings")) {
     val vecs = spark.range(nVecs).map { id =>
       val label = h(s"lab:$id", 10)
       def dim(vid: Long, i: Int): Float = {
@@ -90,7 +94,9 @@ object ScaleProbe {
     }.toDF("vec_id", "embedding", "label")
     vecs.repartition(8).write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
+    }
 
+    if (missing("events")) {
     // events at the driver's per-user density (~66 events/user): both
     // axes scale together, so per-user/per-item rates — what the
     // blacklist/burst/session thresholds key on — match the bench corpus
@@ -98,15 +104,22 @@ object ScaleProbe {
     val t0 = 1704067200L // 2024-01-01T00:00:00Z, like the driver data
     val events = spark.range(nEvents).map { id =>
       val ts = t0 + h(s"ts:$id", 30 * 24 * 3600).toLong
+      // value is EXPONENTIAL (mean 50), like the driver's: measured
+      // sf0.1 stats are mean 49.9 / std 49.6 / max 560 — a uniform draw
+      // here has max z-score 1.73 and silently blanks every 3-sigma
+      // query (outlier_events went dark on the round-9 probe's first
+      // uniform-valued corpus)
+      val u = (h(s"v:$id", 1000000) + 1) / 1000001.0
       (id,
         new java.sql.Timestamp(ts * 1000L),
         h(s"u:$id", nUsers.toInt).toLong,
         EventTypes(h(s"et:$id", EventTypes.length)),
-        (h(s"v:$id", 15000) + 1) / 100.0,
+        math.rint(-50.0 * math.log(u) * 100) / 100.0,
         s"""{"k": ${h(s"k:$id", 100)}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     events.repartition(32).write.mode("overwrite")
       .parquet(s"$dir/events.parquet")
+    }
   }
 
   /** Symlink the TPC-H star tables from the sf0.1 bench corpus. */
@@ -138,11 +151,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val fs = new java.io.File(s"$out/documents.parquet")
-    if (!fs.exists()) {
-      println(s"[probe] generating sf1 corpus under $out ...")
-      generate(spark, out, nDocs = 50000L, nVecs = 20000L, nEvents = 1000000L)
-    }
+    println(s"[probe] ensuring sf1 corpus under $out ...")
+    generate(spark, out, nDocs = 50000L, nVecs = 20000L, nEvents = 1000000L)
     linkRelational(out)
 
     val results = graft.SparkEntry.all.map { q =>

@@ -128,6 +128,53 @@ class GraftLogSpec extends AnyFunSuite {
     assert(!GraftLog.segments(dir, conf).exists(_.count == 1L))
   }
 
+  test("write-side restart through the ENGINE: a rolled-back commit log replays the epoch without duplicates") {
+    import spark.implicits._
+    // The hand-called replay above proves the marker mechanism; this
+    // drives the same window through the engine itself: delete the LAST
+    // commit-log entry after a run (the exact crash window — sink epoch
+    // committed, engine offset/commit log not yet written) and restart.
+    // Structured Streaming re-executes that epoch; the `_epoch-<id>`
+    // marker must make the replayed sink commit drop its temps.
+    val watch = tmp("wrestart-watch")
+    val dir = tmp("wrestart-log")
+    val chk = tmp("wrestart-chk")
+    def stage(tag: String, n: Int): Unit = {
+      val f = tmp(s"wrestart-$tag") + "/data"
+      (0 until n).map(i => s"$tag-$i").toDF("value").coalesce(1).write.parquet(f)
+      Files.list(java.nio.file.Paths.get(f))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => Files.copy(p, java.nio.file.Paths.get(watch, s"${tag}_" + p.getFileName)))
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+        .writeStream.format("graft-log").option("path", dir)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stage("e0", 20); stage("e1", 15)
+    run()
+    def logValues(): Seq[String] =
+      spark.read.format("graft-log").option("path", dir).load()
+        .select(col("value")).as[String].collect().sorted.toSeq
+    val expect = ((0 until 20).map(i => s"e0-$i") ++ (0 until 15).map(i => s"e1-$i")).sorted
+    assert(logValues() == expect)
+    // inject the crash: roll back the engine's commit log by one epoch
+    val commits = new java.io.File(s"$chk/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2, "need at least two committed epochs to roll one back")
+    assert(commits.last.delete())
+    // the local ChecksumFs keeps a .N.crc sidecar; a stale one blocks
+    // the replayed commit's rename
+    val crc = new java.io.File(s"$chk/commits", s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    run() // the engine replays the final epoch into the sink
+    assert(logValues() == expect,
+      "replayed epoch through the engine must not duplicate records")
+  }
+
   test("E1 HotItems end-to-end through the connector equals batch q1_hot_items") {
     val dir = tmp("hotitems")
     val out = tmp("hotitems-out")

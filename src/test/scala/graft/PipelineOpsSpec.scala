@@ -712,6 +712,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.frameOffsets(1000, 32, 64, 3).size == 3)
   }
 
+  test("parsePpm is a real byte-level decoder: handcrafted container parses, malformed ones are rejected") {
+    // 2x1 image, 6 body bytes with known values — built by hand, NOT by
+    // the query's own encoder, so a decoder that shortcuts the parse
+    // (e.g. the old checksum stub) cannot pass
+    val body = Array[Byte](10, 20, 30, 40, 50, 60)
+    val payload = "P6 2 1 255\n".getBytes("UTF-8") ++ body
+    val d = Multimodal.parsePpm(7L, payload)
+    assert(d == Multimodal.PpmDecoded(7L, 2L, 1L, 255L, 6L, 210L,
+      java.security.MessageDigest.getInstance("MD5").digest(body)
+        .map("%02x".format(_)).mkString))
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePpm(8L, "P5 2 1 255\n".getBytes("UTF-8") ++ body)
+    }
+    // truncated body (header promises 6 bytes, payload carries 5)
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePpm(9L, "P6 2 1 255\n".getBytes("UTF-8") ++ body.take(5))
+    }
+    // missing header terminator
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePpm(10L, "P6 2 1 255".getBytes("UTF-8"))
+    }
+  }
+
   test("persist-once pair graph: bucketed edge table feeds CC, same labels, no edge re-shuffle") {
     import graft.operators.Storage
     // a pipeline at scale materializes the near-dup pair graph ONCE

@@ -615,4 +615,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(furthestSnapshots(stream)) ==
       sortedRows(batch.select("user_id", "t_view", "t_click", "t_purchase", "stage")))
   }
+
+  test("late-data quarantine: count(main) + count(late) == count(input); late set matches Spark's own drops") {
+    import java.nio.file.{Files, Paths}
+    val s = spark
+    import s.implicits._
+    // the SAME two-batch scenario the ScalePostureSpec watermark test
+    // proves Spark drops silently: batch 1 advances the watermark to
+    // 11:50, batch 2 carries one 4h-late row (+ one on-time row)
+    val src = Files.createTempDirectory("graft-q-src")
+    Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 12:00:00"))
+      .toDF("id", "t").withColumn("ts", col("t").cast("timestamp")).drop("t")
+      .coalesce(1).write.parquet(src.resolve("f1").toString)
+    Seq((3L, "2024-01-01 08:00:00"), (4L, "2024-01-01 12:30:00"))
+      .toDF("id", "t").withColumn("ts", col("t").cast("timestamp")).drop("t")
+      .coalesce(1).write.parquet(src.resolve("f2").toString)
+    val stage = Files.createTempDirectory("graft-q-in")
+    val outP = Files.createTempDirectory("graft-q-out").toString + "/main"
+    val quarP = Files.createTempDirectory("graft-q-quar").toString + "/late"
+    def arrive(sub: String, pre: String): Unit =
+      Files.list(src.resolve(sub)).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => Files.copy(p, stage.resolve(pre + p.getFileName)))
+    arrive("f1", "a_")
+    val q = graft.streaming.LateData.hourlyQuarantinedQuery(
+      spark.readStream.schema("id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString),
+      "ts", delaySec = 600L, outP, quarP)
+    try {
+      q.processAllAvailable()
+      arrive("f2", "b_")
+      q.processAllAvailable()
+    } finally q.stop()
+    val main = spark.read.parquet(outP)
+    val late = spark.read.parquet(quarP)
+    // conservation: every input row lands in exactly one channel
+    assert(main.count() + late.count() == 4L)
+    // the quarantined set is exactly what Spark's native watermark
+    // drops in the twin scenario (id 3: window end 09:00 <= wm 11:50)
+    assert(late.select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(late.select("rejected_by_wm_sec").as[Long].head() ==
+      java.time.Instant.parse("2024-01-01T11:50:00Z").getEpochSecond)
+    assert(main.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
 }
