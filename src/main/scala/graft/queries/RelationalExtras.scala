@@ -102,14 +102,37 @@ object RelationalExtras {
     * predicate would plan. The oracle states the naive range join; the
     * result sets are identical.
     */
+  /** Round 9 scale rewrite: the pair-materializing band SELF-join on
+    * raw events ([[graft.operators.Joins.bandJoin]] stays the operator
+    * for joins that NEED the pairs — as-of, reconciliation) went
+    * superlinear on the sf1 probe (2.2 s at sf0.1 → 52 s at 10×): this
+    * query only COUNTS neighbors, so the pair intermediate is Σ n_b²
+    * while the answer is Σ n_i. The count form collapses to DISTINCT
+    * values first: monetary values are cent-quantized, so events
+    * sharing a value share their entire answer — band-join the
+    * (value, multiplicity) frame (≤ 11 distinct candidates per value
+    * at 2 dp under a 0.05 band), roll up the weighted in-band total
+    * per value, and map it back to events with one broadcast-scale
+    * join. The in-band predicate is the SAME `abs(v − u) <= band` on
+    * the same doubles the naive oracle evaluates, so the result is
+    * row-identical; every value's own multiplicity is in its total,
+    * and the −1 removes the event itself (events with no true
+    * neighbor drop, like the oracle's inner join). On a truly
+    * continuous value domain distinct ≈ n and this degrades to the
+    * pair join — quantized/low-cardinality domains are what a 100 TB
+    * events table actually carries.
+    */
   private def valueBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.05
     val ev = Tables.events(spark, dir)
-    val a = ev.select(col("event_id").as("id_a"), col("value").as("va"))
-    val b = ev.select(col("event_id").as("id_b"), col("value").as("vb"))
-    graft.operators.Joins.bandJoin(a, b, col("va"), col("vb"), 0.05)
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"))
-      .agg(count(lit(1)).as("n_neighbors"))
+      .select(col("event_id").as("id_a"), col("value").as("va"))
+    val dv = ev.groupBy(col("va").as("v")).agg(count(lit(1)).as("m"))
+    val other = dv.select(col("v").as("u"), col("m").as("mu"))
+    val totals = graft.operators.Joins.bandJoin(dv, other, col("v"), col("u"), eps)
+      .groupBy(col("v")).agg(sum(col("mu")).as("t"))
+    ev.join(totals, ev("va") === totals("v"))
+      .select(col("id_a"), (col("t") - 1L).as("n_neighbors"))
+      .filter(col("n_neighbors") >= 1)
   }
 
   private val valueBandJoinOracle =
