@@ -144,7 +144,20 @@ object DedupQueries {
     * all-pairs `dedup_minhash_lsh` and the batch-vs-corpus
     * `dedup_incremental` probe.
     */
+  /** Memoized per (session, dir) like the pair graph: SIX registered
+    * queries (lsh, containment, incremental, ngram-jaccard, verdicts,
+    * band-stats) consume this index, and a pipeline materializes it
+    * once per corpus — at the sf1 probe each rebuild costs ~10 s.
+    */
+  private val minhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
   private def minhashIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    minhashCache.computeIfAbsent((spark, dir),
+      _ => minhashIndexFresh(spark, dir))
+
+  private def minhashIndexFresh(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     // eager checkpoints, not cache(): sh and sigs are each read by
     // multiple downstream joins, and a checkpoint is a LEAF plan — the
@@ -528,13 +541,18 @@ object DedupQueries {
     * <=3 confirm filter can accept — the candidate set is exact for
     * this radius (a <=6 radius would need 7 bands).
     */
+  /** Memoized checkpointed signature table: the banded self-join
+    * otherwise recomputes the whole 32-vote aggregation for BOTH sides
+    * (the two subtrees do not canonicalize to a reused exchange), and
+    * `dedup_band_stats` re-reads the same signatures.
+    */
+  private val simhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Byte-banded SimHash table: (doc_id, simhash, b, bk). */
   private def simhashBanded(spark: SparkSession, dir: String): DataFrame =
-    // materialize the signatures once: the banded self-join otherwise
-    // recomputes the whole 32-vote aggregation for BOTH sides (the two
-    // subtrees do not canonicalize to a reused exchange), doubling the
-    // most expensive stage of the pipeline
-    simhashDf(spark, dir).localCheckpoint()
+    simhashCache.computeIfAbsent((spark, dir),
+        _ => simhashDf(spark, dir).localCheckpoint())
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bk", expr("shiftright(simhash, 8 * b) & 255"))
 

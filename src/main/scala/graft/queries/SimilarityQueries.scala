@@ -636,10 +636,27 @@ object SimilarityQueries {
       .select(col("probe_id"), col("vec_id"), col("d2r"), col("rn"))
   }
 
+  /** Memoized PQ model per (session, dir) — the same persist-once
+    * contract as the dedup tier's pair graph: ann_pq, ann_ivf_pq and
+    * the index build all train the SAME codebooks, and a pipeline
+    * trains once per corpus (the persisted-table form of the same idea
+    * is `ann_index_build`). Returns (v, bv, c1, codes) with the
+    * checkpoints the consumers re-read as leaf scans.
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+
+  private def pqTrained(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    pqCache.computeIfAbsent((spark, dir), _ => {
+      val v = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
+      val (bv, c1, codes) = pqTrain(v)
+      (v, bv, c1, codes.localCheckpoint())
+    })
+
   private def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
-    val (bv, c1, codes) = pqTrain(v)
+    val (v, bv, c1, codes) = pqTrained(spark, dir)
     pqSearch(v, bv, c1, codes, None)
   }
 
@@ -691,8 +708,7 @@ object SimilarityQueries {
   private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-    val v = vecs.select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
-    val (bv, c1, codes) = pqTrain(v)
+    val (v, bv, c1, codes) = pqTrained(spark, dir)
     ivfPqSearch(vecs, v, bv, c1, codes, coarseCentroids(vecs))
   }
 
@@ -716,8 +732,7 @@ object SimilarityQueries {
   private def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-    val v = vecs.select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
-    val (_, c1, codes) = pqTrain(v)
+    val (_, _, c1, codes) = pqTrained(spark, dir)
     val (tCodes, tCb, tCent) = annIndexTables(dir)
     graft.operators.Storage.writeBucketed(codes, tCodes, 8, "vec_id")
     graft.operators.Storage.writeTable(c1, tCb)
