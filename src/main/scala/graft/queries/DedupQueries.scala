@@ -1096,7 +1096,19 @@ object DedupQueries {
     * the span REMOVAL (`substring_scrub`). Steps 1-3 of the ExactSubstr
     * shape: positional grams → repeated-gram rollup → semi-join.
     */
-  private def coveredStarts(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized per (session, dir) like the pair graph and the MinHash
+    * index: the span REPORT and the span REMOVAL both consume the same
+    * covered-position table, and a pipeline materializes it once per
+    * corpus (at the sf1 probe each rebuild costs ~15 s of gram hashing).
+    */
+  private val coveredStartsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def coveredStarts(spark: SparkSession, dir: String): DataFrame =
+    coveredStartsCache.computeIfAbsent((spark, dir),
+      _ => coveredStartsFresh(spark, dir).localCheckpoint())
+
+  private def coveredStartsFresh(spark: SparkSession, dir: String): DataFrame = {
     val k = SpanK
     // positional grams: NOT distinct (every occurrence covers tokens)
     val pg = Tables.documents(spark, dir)
@@ -1105,11 +1117,16 @@ object DedupQueries {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         md5(col("col")).as("gh"))
       .localCheckpoint() // read twice: repeated-gram rollup + cover join
+    // "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+    // same cross-doc predicate as countDistinct >= 2 but partial-aggs
+    // as two plain min/max columns instead of a distinct expansion
     val rep = pg.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("gh"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select(col("gh"))
+    // (doc_id, pos) is already unique in pg — posexplode emits each
+    // position once — and the semi-join only drops rows, so no distinct
     pg.join(rep, Seq("gh"), "left_semi")
-      .select(col("doc_id"), col("pos")).distinct()
+      .select(col("doc_id"), col("pos"))
   }
 
   private def substringSpans(spark: SparkSession, dir: String): DataFrame = {
@@ -1165,9 +1182,11 @@ object DedupQueries {
     */
   private def substringScrub(spark: SparkSession, dir: String): DataFrame = {
     val k = SpanK
+    // no distinct: left_anti ignores duplicate probe-side rows, so the
+    // overlapping-span duplication costs nothing beyond join input size
+    // and dropping the dedup saves a full shuffle+agg of the 5x rows
     val covered = coveredStarts(spark, dir)
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
-      .distinct()
     val docs = Tables.documents(spark, dir)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .select(col("doc_id"), col("toks"))

@@ -146,7 +146,7 @@ object StreamingJobs {
   def hotItemCountsFrom(events: DataFrame): DataFrame =
     events
       .filter(col("event_type") === "click")
-      .withColumn("item_id", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("item_id", graft.sources.Tables.itemIdFromProps(col("props")))
       .groupBy(window(col("ts"), "1 hour", "5 minutes"), col("item_id"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").cast("long").as("window_start"), col("item_id"), col("cnt"))
@@ -254,7 +254,7 @@ object StreamingJobs {
     eventsStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item_id"), col("ts"))
+        graft.sources.Tables.itemIdFromProps(col("props")).as("item_id"), col("ts"))
       .as[ClickRow]
       .groupByKey(r => (r.user_id, r.item_id))
       .flatMapGroupsWithState[StateMachines.ClickState, TaggedClick](
@@ -830,7 +830,7 @@ object StreamingJobs {
   def hotPagesTopN(spark: SparkSession, dir: String, k: Int, outPath: String): DataFrame = {
     val counts = eventsStream(spark, dir)
       .filter(!col("event_type").rlike("(error|signup)$"))
-      .withColumn("item_id", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("item_id", graft.sources.Tables.itemIdFromProps(col("props")))
       .groupBy(window(col("ts"), "30 minutes", "5 minutes"), col("item_id"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").cast("long").as("window_start"), col("item_id"), col("cnt"))

@@ -123,7 +123,7 @@ object ScaleProbe {
   }
 
   /** Symlink the TPC-H star tables from the sf0.1 bench corpus. */
-  private def linkRelational(dir: String): Unit = {
+  def linkRelational(dir: String): Unit = {
     val src = "/root/testdata/sf0.1"
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
