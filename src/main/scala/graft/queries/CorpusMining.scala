@@ -170,10 +170,7 @@ object CorpusMining {
     * vector, as the same sequential fold both engines run.
     */
   private def dist2Col(centCol: String, vecCol: String): Column =
-    aggregate(
-      zip_with(col(centCol), col(vecCol),
-        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
-      lit(0.0), (a, v) => a + v)
+    graft.plans.VectorExpressions.l2Dist2(col(centCol), col(vecCol))
 
   private def duckDist2(centCol: String, vecCol: String): String =
     s"""list_aggregate(list_transform(range(1, len($centCol) + 1),

@@ -37,12 +37,6 @@ object DedupQueries {
 
   // ---------------------------------------------------- shared shingles
   /** Distinct word-3-shingles per doc: (doc_id, sh). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      .withColumn("shs", array_distinct(TextFunctions.wordShingles("toks", 3)))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-  }
 
   private val duckShingles =
     """sh AS (
@@ -159,12 +153,20 @@ object DedupQueries {
 
   private def minhashIndexFresh(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    // eager checkpoints, not cache(): sh and sigs are each read by
+    // eager checkpoints, not cache(): sets and sigs are each read by
     // multiple downstream joins, and a checkpoint is a LEAF plan — the
     // candidate/intersection joins re-plan against a scan instead of
     // re-analyzing the whole shingle pipeline (same lesson as the
-    // SimHash signature table)
-    val sh = shingles(spark, dir).localCheckpoint()
+    // SimHash signature table). The checkpointed form is the GROUPED
+    // per-doc shingle-set array (what the verify stages intersect);
+    // the exploded (doc_id, sh) stream the signature rollup needs is
+    // derived from it with one cheap explode.
+    val sets = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.wordShingles("toks", 3)).as("shs"))
+      .localCheckpoint()
+    val sh = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
     val hashed = sh.withColumn("hv",
       expr(s"CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS LONG) % $P"))
     // signatures AND shingle-set sizes in one aggregation pass
@@ -180,8 +182,27 @@ object DedupQueries {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
-    (sh, sigs, bands)
+    (sets, sigs, bands)
   }
+
+  /** |A ∩ B| per candidate pair, computed as ONE `array_intersect`
+    * over the grouped gram-set arrays instead of the exploded
+    * gram-equi-join + count rollup: shuffle drops from ∝ (pairs ×
+    * grams-per-doc) rows to ∝ (pairs + docs), and the set
+    * intersection runs inside the join projection as codegen'd column
+    * work. Pairs with an empty intersection now survive to the score
+    * filter with i = 0 (the old inner gram join dropped them); every
+    * consumer thresholds on a score that is 0 there, so outputs are
+    * identical — and the DuckDB oracles keep the exploded-join form,
+    * which the hash gate proves equivalent.
+    */
+  private def pairIntersections(cand: DataFrame, sets: DataFrame,
+      aKey: String, bKey: String): DataFrame =
+    cand
+      .join(sets.as("gx"), col(aKey) === col("gx.doc_id"))
+      .join(sets.as("gy"), col(bKey) === col("gy.doc_id"))
+      .select(col(aKey), col(bKey),
+        size(array_intersect(col("gx.shs"), col("gy.shs"))).cast("long").as("i"))
 
   /** Band-exploded MinHash frame from a (doc_id, text) frame — pure
     * COLUMN work (an array fold per row: min of each universal-hash
@@ -237,13 +258,10 @@ object DedupQueries {
   }
 
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val (sh, sigs, bands) = minhashIndex(spark, dir)
+    val (sets, sigs, bands) = minhashIndex(spark, dir)
     val cand = bandCandidates(bands)
     val cnt = sigs.select(col("doc_id"), col("c"))
-    val inter = cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.sh") === col("y.sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val inter = pairIntersections(cand, sets, "doc_a", "doc_b")
     inter
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
@@ -301,13 +319,10 @@ object DedupQueries {
     * reuses the set sizes already carried on the signature table.
     */
   private def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
-    val (sh, sigs, bands) = minhashIndex(spark, dir)
+    val (sets, sigs, bands) = minhashIndex(spark, dir)
     val cand = bandCandidates(bands)
     val cnt = sigs.select(col("doc_id"), col("c"))
-    val inter = cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.sh") === col("y.sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val inter = pairIntersections(cand, sets, "doc_a", "doc_b")
     inter
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
@@ -450,7 +465,7 @@ object DedupQueries {
     * Jaccard (rank-1, jaccard desc + min corpus id).
     */
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val (sh, sigs, bands) = minhashIndex(spark, dir)
+    val (sets, sigs, bands) = minhashIndex(spark, dir)
     val batchBands = bands.filter(col("doc_id") % 10 === 0)
     val corpusBands = bands.filter(col("doc_id") % 10 =!= 0)
     val cand = batchBands.as("a")
@@ -459,10 +474,7 @@ object DedupQueries {
       .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
     val cnt = sigs.select(col("doc_id"), col("c"))
-    val inter = cand
-      .join(sh.as("x"), col("batch_id") === col("x.doc_id"))
-      .join(sh.as("y"), col("corpus_id") === col("y.doc_id") && col("x.sh") === col("y.sh"))
-      .groupBy(col("batch_id"), col("corpus_id")).agg(count(lit(1)).as("i"))
+    val inter = pairIntersections(cand, sets, "batch_id", "corpus_id")
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("batch_id")).orderBy(col("jaccard").desc, col("corpus_id"))
     inter
@@ -980,16 +992,14 @@ object DedupQueries {
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val (_, _, bands) = minhashIndex(spark, dir)
     val cand = bandCandidates(bands)
-    // char-gram table read by the rollup and both verify joins
+    // grouped char-gram sets: never exploded — set sizes come from
+    // size(), the per-pair intersection from array_intersect
     val g = Tables.documents(spark, dir)
-      .withColumn("gs", array_distinct(TextFunctions.charNgrams("text", 3)))
-      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.charNgrams("text", 3)).as("shs"))
       .localCheckpoint()
-    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = cand
-      .join(g.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(g.as("y"), col("doc_b") === col("y.doc_id") && col("x.g") === col("y.g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val cnt = g.select(col("doc_id"), size(col("shs")).cast("long").as("c"))
+    val inter = pairIntersections(cand, g, "doc_a", "doc_b")
     inter
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))

@@ -130,7 +130,20 @@ object SimilarityQueries {
 
   // ------------------------------------------------------ near-dup pairs
   private val NdBands = 4
-  private val NdBandPlanes = 8 // 4 bands x 8 planes = 32 hyperplanes
+  /** Planes (= signature bits) per band. LSH sizing: random-pair
+    * collision probability per band is ~2^-planes at the corpus's
+    * typical pair angle, so bits per band should track log2(n) — 8 bits
+    * saturated at the 20k-vector sf1 probe (clustered corpora pile into
+    * few buckets and the banded join's candidate volume, not the
+    * signature cost, dominates). 12 bits cuts random collisions 16×
+    * while planted near-identical pairs (cos >= 0.999, theta <= 0.045)
+    * keep per-band recall (1-theta/pi)^12 ~ 0.84 and any-of-4-bands
+    * recall ~0.9994 (asserted in ScalePostureSpec). At larger corpus
+    * decades, raise this with log2(n) rather than capping the dense
+    * buckets — near-dup search wants the dense area, unlike the
+    * SimHash pair REPORT where the cap is the right tool.
+    */
+  private val NdBandPlanes = 12 // 4 bands x 12 planes = 48 hyperplanes
 
   private lazy val ndPlanes: Seq[Seq[Double]] = mdPlanes(NdBands * NdBandPlanes)
 
@@ -139,13 +152,8 @@ object SimilarityQueries {
     * literals as [[lshBucketCol]], so DuckDB reproduces them exactly.
     */
   private def ndSigCol(vecCol: String, band: Int): Column =
-    (0 until NdBandPlanes).map { j =>
-      val dot = aggregate(
-        zip_with(typedLit(ndPlanes(band * NdBandPlanes + j)), col(vecCol),
-          (h, x) => h * x.cast("double")),
-        lit(0.0), (a, v) => a + v)
-      when(dot > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
+    VectorExpressions.planeSig(col(vecCol),
+      ndPlanes.slice(band * NdBandPlanes, (band + 1) * NdBandPlanes))
 
   /** Banded-LSH near-dup candidate pairs over a (vec_id, embedding)
     * frame: pairs whose band signature matches in >= 1 of the 4 bands,
@@ -254,14 +262,8 @@ object SimilarityQueries {
 
   private lazy val planes: Seq[Seq[Double]] = mdPlanes(LshPlanes)
 
-  private def lshBucketCol(vecCol: String): Column = {
-    (0 until LshPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(typedLit(planes(p)), col(vecCol), (h, x) => h * x.cast("double")),
-        lit(0.0), (a, v) => a + v)
-      when(dot > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  private def lshBucketCol(vecCol: String): Column =
+    VectorExpressions.planeSig(col(vecCol), planes)
 
   private def duckLshBucket(vecCol: String): String =
     s"""CAST(list_aggregate(list_transform(range(0, $LshPlanes), p ->
@@ -506,10 +508,7 @@ object SimilarityQueries {
   private val PqShortlist = 50
 
   private def pqDist2(centCol: String, vecCol: String): Column =
-    aggregate(
-      zip_with(col(centCol), col(vecCol),
-        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
-      lit(0.0), (a, v) => a + v)
+    VectorExpressions.l2Dist2(col(centCol), col(vecCol))
 
   private def duckPqDist2(centCol: String, vecCol: String): String =
     s"""list_aggregate(list_transform(range(1, len($centCol) + 1),
@@ -531,8 +530,9 @@ object SimilarityQueries {
     * Search is the real PQ shape: a per-probe lookup table (probe-block
     * -> distance to each of the 16 block centroids; probes x 256 rows,
     * broadcast) joined to the code table on (block, cid), summed per
-    * (probe, vec). Each block contribution quantizes to DECIMAL(28,9)
-    * (the BM25 trick) so the 16-way addition is order-independent. Per
+    * (probe, vec). Each block contribution quantizes to micro-unit
+    * longs (round(d,6)·1e6 — exact integers, so the 16-way addition is
+    * order-independent AND a primitive long sum in the hot agg). Per
     * vector that is 16 lookup-adds instead of 64 float multiplies — and
     * only the 50-vector ADC shortlist per probe ever touches full
     * floats again (exact L2 re-rank -> top-5). On isotropic Gaussian
@@ -605,10 +605,15 @@ object SimilarityQueries {
       codes: DataFrame, candidates: Option[DataFrame]): DataFrame = {
     val probeBlocks = bv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("blk"), col("be").as("pbe"))
+    // block distances quantize to MICRO-UNIT LONGS, not DECIMAL(28,9):
+    // round(d, 6) carries at most 6 decimals, so bd*1e6 is an exact
+    // integer and the 16-way long sum is order-independent AND exact —
+    // same cross-engine guarantee as the decimal, but precision 28
+    // exceeds Spark's compact-long decimal range, so every one of the
+    // probes × codes ADC rows was paying a boxed BigDecimal add
     val lut = probeBlocks.join(broadcast(c1), Seq("blk"))
       .select(col("probe_id"), col("blk"), col("cid"),
-        round(pqDist2("cv", "pbe"), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("bd"))
+        round(round(pqDist2("cv", "pbe"), 6) * 1e6).cast("long").as("bd"))
     val scored = candidates match {
       case None => codes.join(broadcast(lut), Seq("blk", "cid"))
       case Some(cand) => cand.join(codes, "vec_id")
@@ -620,7 +625,7 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("bd")).as("sbd"))
-      .withColumn("adc_d2r", round(col("sbd").cast("double"), 6))
+      .withColumn("adc_d2r", round(col("sbd") / 1e6, 6))
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= PqShortlist)
       .select(col("probe_id"), col("vec_id"))
@@ -772,10 +777,7 @@ object SimilarityQueries {
     * per-element double-promoted fold the index's cell choice uses).
     */
   def l2Dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    VectorExpressions.l2Dist2(a, b)
 
   private val annIndexCodesOracle =
     s"""WITH $pqOracleCtes
@@ -785,10 +787,7 @@ object SimilarityQueries {
     * double per element — the same fold both engines run).
     */
   private def pqDist2FloatPair(a: String, b: String): Column =
-    aggregate(
-      zip_with(col(a), col(b),
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    VectorExpressions.l2Dist2(col(a), col(b))
 
   /** Shared oracle CTE chain: PQ training (v .. codes) + probe LUT. */
   private def pqOracleCtes = {
@@ -833,7 +832,7 @@ object SimilarityQueries {
        |pb AS (SELECT vec_id AS probe_id, blk, be AS pbe FROM bv WHERE vec_id % 100 = 0),
        |lut AS (
        |  SELECT pb.probe_id, pb.blk, c1.cid,
-       |         CAST(round($d2cp, 6) AS DECIMAL(28,9)) AS bd
+       |         CAST(round(round($d2cp, 6) * 1000000) AS BIGINT) AS bd
        |  FROM pb JOIN c1 ON pb.blk = c1.blk)""".stripMargin
   }
 
@@ -859,7 +858,7 @@ object SimilarityQueries {
     s"""WITH $pqOracleCtes,
        |adc AS (
        |  SELECT lut.probe_id, codes.vec_id,
-       |         round(CAST(sum(bd) AS DOUBLE), 6) AS adc_d2r
+       |         round(CAST(sum(bd) AS DOUBLE) / 1000000, 6) AS adc_d2r
        |  FROM codes JOIN lut ON codes.blk = lut.blk AND codes.cid = lut.cid
        |  WHERE codes.vec_id <> lut.probe_id
        |  GROUP BY 1, 2),
@@ -889,7 +888,7 @@ object SimilarityQueries {
        |  WHERE vl.vec_id <> cells.probe_id),
        |adc AS (
        |  SELECT cand.probe_id, cand.vec_id,
-       |         round(CAST(sum(bd) AS DOUBLE), 6) AS adc_d2r
+       |         round(CAST(sum(bd) AS DOUBLE) / 1000000, 6) AS adc_d2r
        |  FROM cand
        |  JOIN codes ON cand.vec_id = codes.vec_id
        |  JOIN lut ON lut.probe_id = cand.probe_id
