@@ -382,17 +382,20 @@ object DedupQueries {
   private def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // per-doc gram count comes from size(toks) BEFORE the explode —
+    // the old count(*) over an unordered doc partition was a second
+    // whole-frame window pass over every gram row just to recompute
+    // a number already known at the source
     val grams = Tables.documents(spark, dir)
       .withColumn("toks", TextFunctions.tokens(col("text")))
-      .select(col("doc_id"),
+      .withColumn("n", greatest(size(col("toks")) - (WinK - 1), lit(0)).cast("long"))
+      .select(col("doc_id"), col("n"),
         posexplode(TextFunctions.wordShingles("toks", WinK)).as(Seq("pos0", "g")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
+      .select(col("doc_id"), col("n"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
       .withColumn("key",
         conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") * WinPosPack + col("pos"))
     val fp = grams
       .withColumn("minkey", min(col("key")).over(wDoc.rowsBetween(0, WinW - 1)))
-      .withColumn("n", count(lit(1)).over(wCnt))
       .filter(col("pos") <= greatest(col("n") - (WinW - 1), lit(1)))
       .select(col("doc_id"), expr(s"minkey div $WinPosPack").as("fhv"))
       .distinct()

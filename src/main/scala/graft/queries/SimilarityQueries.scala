@@ -758,7 +758,11 @@ object SimilarityQueries {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
     val v = vecs.select(col("vec_id"), col("embedding").as("e")).localCheckpoint()
-    val bv = blockSlices(v)
+    // pqSearch reads the slice frame only for its PROBE rows — slice
+    // just the probe set (corpus-side block work lives in the
+    // persisted code table; re-slicing all n vectors per query was the
+    // probe path's main per-call cost)
+    val bv = blockSlices(v.filter(col("vec_id") % 100 === 0))
     ivfPqSearch(vecs, v, bv,
       spark.table(tCb), spark.table(tCodes), spark.table(tCent))
   }

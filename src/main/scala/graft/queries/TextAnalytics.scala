@@ -441,8 +441,8 @@ object TextAnalytics {
     *    twice (model + scoring) off one checkpoint;
     *  - model / context tables are vocabulary-sized rollups of that
     *    frame; V and N are broadcast scalars;
-    *  - per-gram -c·ln(p) contributions quantize to DECIMAL(38,12)
-    *    before the per-doc sum (order-independent fold);
+    *  - per-gram -c·ln(p) contributions quantize to pico-unit longs
+    *    before the per-doc sum (order-independent, primitive agg);
     *  - the tercile rank never global-sorts docs: ranks = (docs with
     *    strictly smaller rounded xent — a value-histogram cumsum,
     *    bounded by the 6-decimal VALUE SPACE, not the corpus) + a
@@ -464,12 +464,17 @@ object TextAnalytics {
       .join(model, "g")
       .join(ctx, substring(col("g"), 1, 1) === col("c1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("t", round(-col("c") *
-          log((col("cg") + LmAddK) / (col("cc") + col("v") * LmAddK)), 12)
-        .cast(DecimalType(38, 12)))
+      // pico-unit longs, not DECIMAL(38,12): round(x,12)·1e12 is an
+      // exact integer (≤ ~1e15 per gram term, doc sums < 2^62), the
+      // long sum is order-independent, and the hot per-gram agg stays
+      // primitive instead of boxing a BigDecimal per row; both engines
+      // convert the identical integer sum to double the same way
+      .withColumn("t", round(round(-col("c") *
+          log((col("cg") + LmAddK) / (col("cc") + col("v") * LmAddK)), 12) * 1e12)
+        .cast("long"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"),
-        round(sum(col("t")).cast("double") / sum(col("c")), 6).as("cross_entropy"))
+        round(sum(col("t")).cast("double") / 1e12 / sum(col("c")), 6).as("cross_entropy"))
       // one row per doc, read by the histogram, the total, and the
       // final decorate — materialize instead of re-scoring three times
       .localCheckpoint()
@@ -502,8 +507,8 @@ object TextAnalytics {
        |vv AS (SELECT count(DISTINCT substr(g, 2, 1)) AS v FROM model),
        |doc AS (
        |  SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
-       |         round(CAST(sum(CAST(round(-dg.c * ln((model.cg + $LmAddK) / (ctx.cc + $LmAddK * vv.v)), 12)
-       |                            AS DECIMAL(38,12))) AS DOUBLE) / sum(dg.c), 6) AS cross_entropy
+       |         round(CAST(sum(CAST(round(round(-dg.c * ln((model.cg + $LmAddK) / (ctx.cc + $LmAddK * vv.v)), 12) * 1e12)
+       |                            AS BIGINT)) AS DOUBLE) / 1e12 / sum(dg.c), 6) AS cross_entropy
        |  FROM dg JOIN model USING (g)
        |  JOIN ctx ON substr(dg.g, 1, 1) = ctx.c1
        |  CROSS JOIN vv
