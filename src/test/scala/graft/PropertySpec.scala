@@ -100,4 +100,74 @@ class PropertySpec extends AnyFunSuite {
       v >= 0 && v < 1000000007L && v == fp(hs)
     })
   }
+
+  // ---- fused vector expression kernels vs the sequential-fold spec --
+  // The fused codegen expressions replaced interpreted HOF folds; these
+  // properties pin BIT-IDENTICAL results against the reference fold the
+  // DuckDB oracles also run (left-to-right, elements promoted to
+  // double), so swapping them in can never perturb an oracle.
+
+  private val floatVec: Gen[Array[Float]] =
+    Gen.choose(1, 96).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-8.0f, 8.0f)).map(_.toArray))
+
+  private def arr(fs: Array[Float]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      fs.map(f => f: Any))
+
+  test("HyperplaneSig kernel == per-plane sequential-fold sign bits") {
+    val planesGen: Gen[Array[Array[Double]]] =
+      Gen.choose(1, 12).flatMap(p => Gen.listOfN(p,
+        Gen.listOfN(96, Gen.choose(-1.0, 1.0)).map(_.toArray)).map(_.toArray))
+    holds(Prop.forAll(floatVec, planesGen) { (v, planes) =>
+      val got = graft.plans.HyperplaneSig.sig(arr(v), planes)
+      val want = planes.zipWithIndex.map { case (p, j) =>
+        val dot = (0 until math.min(p.length, v.length))
+          .foldLeft(0.0)((acc, i) => acc + p(i) * v(i).toDouble)
+        if (dot > 0) 1L << j else 0L
+      }.sum
+      got == want
+    })
+  }
+
+  test("VecL2Dist2 eval == sequential (a-b)^2 fold (float and double inputs)") {
+    holds(Prop.forAll(floatVec, floatVec) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      val want = (0 until n).foldLeft(0.0) { (acc, i) =>
+        val d = a(i).toDouble - b(i).toDouble; acc + d * d
+      }
+      val ff = graft.plans.VecL2Dist2(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)))
+        .eval(null).asInstanceOf[Double]
+      val df = graft.plans.VecL2Dist2(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a.map(_.toDouble),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, false)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)))
+        .eval(null).asInstanceOf[Double]
+      // float/float is exact vs the spec; double/float promotes the
+      // left side losslessly, so both must be bit-equal to the fold
+      ff == want && df == want
+    })
+  }
+
+  test("FloatVecDot eval == sequential product fold") {
+    holds(Prop.forAll(floatVec, floatVec) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      val want = (0 until n).foldLeft(0.0)((acc, i) =>
+        acc + a(i).toDouble * b(i).toDouble)
+      val got = graft.plans.FloatVecDot(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)))
+        .eval(null).asInstanceOf[Double]
+      got == want
+    })
+  }
 }
