@@ -469,8 +469,14 @@ object DedupQueries {
     */
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val (sets, sigs, bands) = minhashIndex(spark, dir)
-    val batchBands = bands.filter(col("doc_id") % 10 === 0)
-    val corpusBands = bands.filter(col("doc_id") % 10 =!= 0)
+    // the probe join honors the same per-(band, bucket) cap as the
+    // all-pairs form: an uncapped stop-signature band would make the
+    // batch x corpus candidate join quadratic in the bucket's df at
+    // scale (mirrored in the oracle — keptmb — so correctness holds
+    // whether or not the cap engages)
+    val kept = capBuckets(bands, MinhashBandCap, Seq("band", "bh"))
+    val batchBands = kept.filter(col("doc_id") % 10 === 0)
+    val corpusBands = kept.filter(col("doc_id") % 10 =!= 0)
     val cand = batchBands.as("a")
       .join(corpusBands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
@@ -495,7 +501,7 @@ object DedupQueries {
     s"""WITH $duckMinhashIndex,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  FROM keptmb a JOIN keptmb b ON a.band = b.band AND a.bh = b.bh
        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
        |inter AS (
