@@ -44,8 +44,47 @@ object TimeWindows {
       df.groupBy((window(col(tsCol), size, slide) +: keys): _*)
         .agg(aggs.head, aggs.tail: _*))
 
-  def slidingCount(df: DataFrame, tsCol: String, size: String, slide: String, keys: Column*): DataFrame =
-    slidingAgg(df, tsCol, size, slide, keys, Seq(count(lit(1)).as("cnt")))
+  /** Parse the interval strings this engine's windows use ("1 hour",
+    * "30 minutes", "15 seconds") to whole seconds.
+    */
+  private def secondsOf(s: String): Long = {
+    val Array(n, unit) = s.trim.split("\\s+")
+    val mult = unit.toLowerCase match {
+      case "second" | "seconds" => 1L
+      case "minute" | "minutes" => 60L
+      case "hour" | "hours" => 3600L
+      case "day" | "days" => 86400L
+      case other => throw new IllegalArgumentException(s"unsupported interval unit: $other")
+    }
+    n.toLong * mult
+  }
+
+  /** Sliding COUNT via panes (Flink's sliding-window pane optimization):
+    * rows first aggregate into non-overlapping slide-sized panes — one
+    * row per (pane, key) — and each pane row then fans out to the
+    * size/slide windows containing it. The expand runs over PANE rows
+    * instead of event rows, cutting map-side volume by the overlap
+    * factor (12× for 1h/5m) before any shuffle; counts are associative
+    * integers, so pane-sum == window-sum exactly and the plain
+    * `window()` oracles stay hash-exact. Window starts are slide
+    * multiples (epoch-aligned), identical to `window(ts, size, slide)`
+    * with the default start time: an event in pane p belongs to
+    * exactly the windows starting at p-(size-slide) .. p step slide.
+    */
+  def slidingCount(df: DataFrame, tsCol: String, size: String, slide: String, keys: Column*): DataFrame = {
+    val sz = secondsOf(size)
+    val sl = secondsOf(slide)
+    require(sz % sl == 0, s"window size $size must be a multiple of slide $slide")
+    val pane = ((col(tsCol).cast("long") / sl).cast("long") * sl).as("__pane")
+    df.groupBy((pane +: keys): _*)
+      .agg(count(lit(1)).as("__pcnt"))
+      .select((keys :+ col("__pcnt") :+
+        explode(sequence(col("__pane") - (sz - sl), col("__pane"), lit(sl)))
+          .as("window_start")): _*)
+      .groupBy((col("window_start") +: keys): _*)
+      .agg(sum(col("__pcnt")).as("cnt"))
+      .withColumn("window_end", col("window_start") + sz)
+  }
 
   def tumblingCount(df: DataFrame, tsCol: String, size: String, keys: Column*): DataFrame =
     tumblingAgg(df, tsCol, size, keys, Seq(count(lit(1)).as("cnt")))
