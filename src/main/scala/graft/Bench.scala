@@ -56,8 +56,17 @@ object Bench {
     // multi-second I/O-stall windows that cluster in time — consecutive
     // sampling lets one window poison every sample of one query, while
     // pass-interleaving spreads a window across different queries and
-    // the per-query minimum stays a clean steady-state estimate
-    val samples = Seq.fill(3)(selected.map(q => q.name -> once(q.name))).flatten
+    // the per-query minimum stays a clean steady-state estimate.
+    // The memo registry (shared pair graph / MinHash index / PQ model /
+    // quality gate) resets at every pass boundary so each pass pays
+    // each build exactly once, inside its registered *_build /
+    // first-consumer entry — without the reset the one sample that paid
+    // a build was discarded by min() and the build cost appeared in NO
+    // pinned number (VERDICT r9 finding 1)
+    val samples = Seq.fill(3) {
+      graft.queries.Memo.reset()
+      selected.map(q => q.name -> once(q.name))
+    }.flatten
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val results = selected.map { q =>
       val runs = samples(q.name)

@@ -114,15 +114,11 @@ object DedupQueries {
     * cluster_representatives through components). Re-deriving the
     * banded self-join per query is pure waste: a pipeline materializes
     * the pair table once per corpus and every graph consumer reads it.
-    * Memoized per (session, input dir) as an eagerly-computed
-    * localCheckpoint — a leaf plan, so each consumer re-plans against a
-    * scan. Dir contents are immutable for a session's lifetime (the
-    * same contract the ANN index tables already rely on).
+    * Memoized per (session, input dir) in [[Memo]] as an
+    * eagerly-computed localCheckpoint — a leaf plan, so each consumer
+    * re-plans against a scan; evictable, so a corpus-cycling session's
+    * footprint stays bounded.
     */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val componentsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** MinHash signatures via universal hashing — ONE md5 per distinct
     * shingle, then each of the 8 permutations is `(a_p*h + b_p) mod P`
@@ -141,15 +137,15 @@ object DedupQueries {
   /** Memoized per (session, dir) like the pair graph: SIX registered
     * queries (lsh, containment, incremental, ngram-jaccard, verdicts,
     * band-stats) consume this index, and a pipeline materializes it
-    * once per corpus — at the sf1 probe each rebuild costs ~10 s.
+    * once per corpus — at the sf1 probe each rebuild costs ~10 s. The
+    * bench-visible build entry is `minhash_index_build`.
     */
-  private val minhashCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
-
   private def minhashIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) =
-    minhashCache.computeIfAbsent((spark, dir),
-      _ => minhashIndexFresh(spark, dir))
+    Memo.cached(spark, dir, "minhash_index") {
+      val t @ (sets, sigs, _) = minhashIndexFresh(spark, dir)
+      (t, Seq(sets, sigs))
+    }
 
   private def minhashIndexFresh(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -379,42 +375,57 @@ object DedupQueries {
     * fingerprints at the containment knee shared/min(|fp|) ≥ 0.25 —
     * the plagiarism/boilerplate-overlap signal.
     */
+  /** Per-doc winnowing state, memoized per corpus: the position-order
+    * SELECTION sequence `sel` (one chosen fingerprint per window
+    * start), its distinct set `fhvs`, and the set size `c`. Built as
+    * PURE ARRAY work — gram keys, window minima, and the distinct set
+    * are `transform`/`array_min(slice)`/`array_distinct` over each
+    * row's own token array, all inside whole-stage codegen — where the
+    * round-9 form exploded 4.5M gram rows (at sf1) through a per-doc
+    * sort window plus a global DISTINCT shuffle just to rebuild
+    * per-doc state the source row already held. Profiled at sf1: the
+    * fingerprint build drops 7.0 → 4.5 s and two shuffles disappear;
+    * outputs are bit-identical (same md5 keys, same truncated-window
+    * minima, same tie order).
+    */
+  private def winnowFpSets(spark: SparkSession, dir: String): DataFrame =
+    Memo.frame(spark, dir, "winnow_fp") {
+      Tables.documents(spark, dir)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("grams", TextFunctions.wordShingles("toks", WinK))
+        .withColumn("keys", expr(
+          s"transform(grams, (g, i) -> CAST(conv(substr(md5(g), 1, 8), 16, 10) AS LONG) * $WinPosPack + i + 1)"))
+        .withColumn("sel", expr(
+          s"""CASE WHEN size(keys) = 0 THEN array()
+             |ELSE transform(sequence(1, greatest(size(keys) - ${WinW - 1}, 1)),
+             |               p -> array_min(slice(keys, p, $WinW)) div $WinPosPack)
+             |END""".stripMargin))
+        .withColumn("fhvs", array_distinct(col("sel")))
+        .select(col("doc_id"), col("sel"), col("fhvs"),
+          size(col("fhvs")).cast("long").as("c"))
+    }
+
   private def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    // per-doc gram count comes from size(toks) BEFORE the explode —
-    // the old count(*) over an unordered doc partition was a second
-    // whole-frame window pass over every gram row just to recompute
-    // a number already known at the source
-    val grams = Tables.documents(spark, dir)
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      .withColumn("n", greatest(size(col("toks")) - (WinK - 1), lit(0)).cast("long"))
-      .select(col("doc_id"), col("n"),
-        posexplode(TextFunctions.wordShingles("toks", WinK)).as(Seq("pos0", "g")))
-      .select(col("doc_id"), col("n"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
-      .withColumn("key",
-        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") * WinPosPack + col("pos"))
-    val fp = grams
-      .withColumn("minkey", min(col("key")).over(wDoc.rowsBetween(0, WinW - 1)))
-      .filter(col("pos") <= greatest(col("n") - (WinW - 1), lit(1)))
-      .select(col("doc_id"), expr(s"minkey div $WinPosPack").as("fhv"))
-      .distinct()
-      .localCheckpoint() // three readers: rare rollup, pair join, counts
+    val fps = winnowFpSets(spark, dir)
+    val fp = fps.select(col("doc_id"), explode(col("fhvs")).as("fhv"))
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
-    val rare = fp.groupBy(col("fhv")).agg(count(lit(1)).as("df"))
+    // stop-fingerprint filter as a broadcast ANTI join: the OVERSIZED
+    // list (df > ndocs/10) is a heavy-hitter rollup — tiny by
+    // construction — where the round-9 form materialized a checkpoint
+    // of the KEPT side (≈ the whole fingerprint table when no
+    // fingerprint is oversized, 1.7 s of no-op join at sf1)
+    val stop = fp.groupBy(col("fhv")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
-      .filter(col("df") <= expr(s"ndocs div $WinDfFrac"))
-    // checkpoint: both sides of the pair self-join read fpr — without
-    // this the rare rollup and its ndocs broadcast run twice
-    val fpr = fp.join(rare.select(col("fhv")), "fhv").localCheckpoint()
-    val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("df") > expr(s"ndocs div $WinDfFrac"))
+      .select(col("fhv"))
+    val fpr = fp.join(broadcast(stop), Seq("fhv"), "left_anti")
     fpr.as("a")
       .join(fpr.as("b"), col("a.fhv") === col("b.fhv") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
-      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .join(fps.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
       .withColumn("containment",
         round(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
       // MOSS-style score cutoff: the report keeps the sharp knee
@@ -423,8 +434,64 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
   }
 
-  private val winnowingOracle =
-    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+  /** The SCALE path of [[winnowingPairs]] — run-blocked candidates +
+    * exact verify. The exact all-pairs form is intrinsically
+    * ∝ Σ df²: at sf1 this corpus yields 32M candidate rows of which
+    * 31.5M share exactly ONE fingerprint — pure waste the stop cutoff
+    * cannot shed (max df 122 ≪ both the relative cutoff 5,000 and the
+    * 400 bucket cap; measured: tightening the df cutoff to where it
+    * bites — 60 — collapses the TRUE near-dup yield 2,379 → 5, so the
+    * mid-df mass IS the signal and may not be dropped). Instead,
+    * candidates come from shared consecutive fingerprint BIGRAMS of
+    * the per-doc selection sequence: two docs become a candidate iff
+    * their (consecutive-deduped) selections contain the same adjacent
+    * fingerprint pair, which any shared run of ≥ 2w+k−1 = 10 tokens
+    * guarantees (vs w+k−1 = 6 for sharing a single fingerprint);
+    * verification is then EXACT — `array_intersect` over the full
+    * distinct fingerprint sets, same n_shared ≥ 3 and containment ≥
+    * 0.25 knee as the exact form. Measured at sf1: candidates 31.5M →
+    * 125k (250×), output 2,759 of the exact 2,922 — every strong pair
+    * (containment ≥ 0.9) retained; the 163 forgone pairs share only
+    * scattered single fingerprints from separate short runs.
+    */
+  private def winnowingPairsBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFpSets(spark, dir)
+    val bg = fps
+      // consecutive-dedup of the selection sequence, then the distinct
+      // set of adjacent (f1, f2) transitions — all per-row array work
+      .withColumn("seqd",
+        expr("filter(sel, (x, i) -> i = 0 OR x != element_at(sel, i))"))
+      .withColumn("bgs", expr(
+        """CASE WHEN size(seqd) < 2 THEN array()
+          |ELSE array_distinct(transform(sequence(1, size(seqd) - 1),
+          |       j -> named_struct('f1', element_at(seqd, j), 'f2', element_at(seqd, j + 1))))
+          |END""".stripMargin))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .select(col("doc_id"), col("bg.f1").as("f1"), col("bg.f2").as("f2"))
+    val cand = bg.as("a")
+      .join(bg.as("b"),
+        col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fps.select(col("doc_id").as("doc_a"), col("fhvs").as("fa"), col("c").as("ca")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("fhvs").as("fb"), col("c").as("cb")), "doc_b")
+      .withColumn("n_shared", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+      .filter(col("n_shared") >= 3)
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
+      .filter(col("containment") >= 0.25)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
+  }
+
+  /** Shared oracle prefix: the per-doc winnowing SELECTION (position,
+    * fingerprint) rows — consumed by the exact pair oracle (distinct
+    * per doc) and the blocked oracle (position order feeds the
+    * consecutive-bigram candidates).
+    */
+  private val duckWinnowSel =
+    s"""t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
        |g AS (
        |  SELECT doc_id, u.pos AS pos,
        |         CAST(CAST('0x' || substr(md5(u.g), 1, 8) AS UBIGINT) AS BIGINT)
@@ -440,9 +507,13 @@ object DedupQueries {
        |                        ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS minkey,
        |         count(*) OVER (PARTITION BY doc_id) AS n
        |  FROM g),
-       |fp AS (
-       |  SELECT DISTINCT doc_id, minkey // $WinPosPack AS fhv
-       |  FROM win WHERE pos <= greatest(n - ${WinW - 1}, 1)),
+       |wsel AS (
+       |  SELECT doc_id, pos, minkey // $WinPosPack AS fhv
+       |  FROM win WHERE pos <= greatest(n - ${WinW - 1}, 1))""".stripMargin
+
+  private val winnowingOracle =
+    s"""WITH $duckWinnowSel,
+       |fp AS (SELECT DISTINCT doc_id, fhv FROM wsel),
        |nd AS (SELECT count(*) AS ndocs FROM documents),
        |rare AS (SELECT fhv FROM fp GROUP BY 1
        |         HAVING count(*) <= (SELECT ndocs FROM nd) // $WinDfFrac),
@@ -456,6 +527,34 @@ object DedupQueries {
        |       round(CAST(n_shared AS DOUBLE) / least(ca.c, cb.c), 6) AS containment
        |FROM p JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
        |WHERE round(CAST(n_shared AS DOUBLE) / least(ca.c, cb.c), 6) >= 0.25""".stripMargin
+
+  private val winnowingBlockedOracle =
+    s"""WITH $duckWinnowSel,
+       |fpl AS (SELECT doc_id, list(DISTINCT fhv) AS fhvs,
+       |               count(DISTINCT fhv) AS c FROM wsel GROUP BY 1),
+       |seq AS (
+       |  SELECT doc_id, pos, fhv,
+       |         lag(fhv) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM wsel),
+       |seqd AS (SELECT doc_id, pos, fhv FROM seq WHERE prev IS NULL OR prev != fhv),
+       |bgr AS (
+       |  SELECT doc_id, fhv AS f1,
+       |         lead(fhv) OVER (PARTITION BY doc_id ORDER BY pos) AS f2
+       |  FROM seqd),
+       |bg AS (SELECT DISTINCT doc_id, f1, f2 FROM bgr WHERE f2 IS NOT NULL),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bg a JOIN bg b
+       |    ON a.f1 = b.f1 AND a.f2 = b.f2 AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(x.fhvs, y.fhvs)) AS BIGINT) AS n_shared,
+       |         least(x.c, y.c) AS mn
+       |  FROM cand JOIN fpl x ON doc_a = x.doc_id JOIN fpl y ON doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, n_shared,
+       |       round(CAST(n_shared AS DOUBLE) / mn, 6) AS containment
+       |FROM v WHERE n_shared >= 3
+       |  AND round(CAST(n_shared AS DOUBLE) / mn, 6) >= 0.25""".stripMargin
   /** Incremental dedup: an incoming batch (doc_id % 10 == 0) probed
     * against the standing corpus's MinHash index — the shape a
     * continuously-ingesting pipeline actually runs, where the corpus
@@ -567,13 +666,9 @@ object DedupQueries {
     * (the two subtrees do not canonicalize to a reused exchange), and
     * `dedup_band_stats` re-reads the same signatures.
     */
-  private val simhashCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   /** Byte-banded SimHash table: (doc_id, simhash, b, bk). */
   private def simhashBanded(spark: SparkSession, dir: String): DataFrame =
-    simhashCache.computeIfAbsent((spark, dir),
-        _ => simhashDf(spark, dir).localCheckpoint())
+    Memo.frame(spark, dir, "simhash_sigs")(simhashDf(spark, dir))
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bk", expr("shiftright(simhash, 8 * b) & 255"))
 
@@ -591,10 +686,11 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Memoized, materialized pair graph — see [[pairsCache]]. */
+  /** Memoized, materialized pair graph — built (and bench-accounted)
+    * by `neardup_graph_build`, read by every graph consumer.
+    */
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((spark, dir),
-      _ => simhashPairsFresh(spark, dir).localCheckpoint())
+    Memo.frame(spark, dir, "simhash_pairs")(simhashPairsFresh(spark, dir))
 
   /** Shared oracle snippet: banded SimHash table with the bucket cap
     * applied — the `keptb` CTE every pair-graph oracle joins.
@@ -632,7 +728,7 @@ object DedupQueries {
     // memoized like the pair graph itself: cluster_representatives and
     // any later canonical-selection pass re-read the SAME component
     // labels a pipeline would have materialized once
-    componentsCache.computeIfAbsent((spark, dir), _ => {
+    Memo.cached(spark, dir, "components") {
       // both edge directions in ONE pass over the (already
       // checkpointed) shared pair graph
       // eager localCheckpoint, not cache(): the rounds below re-plan
@@ -647,8 +743,13 @@ object DedupQueries {
           struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
         .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
         .localCheckpoint()
-      componentsOverEdges(Tables.documents(spark, dir).select(col("doc_id")), edges)
-    })
+      val labels =
+        componentsOverEdges(Tables.documents(spark, dir).select(col("doc_id")), edges)
+      // the edge table served only the iteration — labels are leaf-
+      // checkpointed, so its blocks can go now; the entry owns labels
+      Memo.unpersistCheckpoint(edges)
+      (labels, Seq(labels))
+    }
 
   /** Min-label propagation over an ALREADY MATERIALIZED bidirectional
     * edge table — the persist-once/consume-many form: a pipeline at
@@ -708,6 +809,11 @@ object DedupQueries {
       val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
+      // `next` is eagerly materialized, so the PREVIOUS round's
+      // checkpoint blocks can go now — without this every round leaks
+      // one generation of labels for the session's lifetime (plain
+      // df.unpersist is a cache-manager no-op for checkpoints)
+      Memo.unpersistCheckpoint(labels)
       labels = next
       iter += 1
     }
@@ -715,9 +821,6 @@ object DedupQueries {
     // (2^50 diameter) — but never return silently-wrong labels
     require(converged,
       s"dedup_components did not converge after $iter rounds")
-    // labels are checkpointed (independent of edges) — don't leave the
-    // edge cache pinned in the session for the caller's lifetime
-    edges.unpersist(false)
     labels
   }
 
@@ -1120,14 +1223,18 @@ object DedupQueries {
     * covered-position table, and a pipeline materializes it once per
     * corpus (at the sf1 probe each rebuild costs ~15 s of gram hashing).
     */
-  private val coveredStartsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def coveredStarts(spark: SparkSession, dir: String): DataFrame =
-    coveredStartsCache.computeIfAbsent((spark, dir),
-      _ => coveredStartsFresh(spark, dir).localCheckpoint())
+    Memo.cached(spark, dir, "covered_starts") {
+      val (covRaw, pg) = coveredStartsFresh(spark, dir)
+      val cov = covRaw.localCheckpoint()
+      // cov is a leaf now — the positional-gram working table served
+      // only the build, so free its blocks instead of leaking them for
+      // the session's lifetime
+      Memo.unpersistCheckpoint(pg)
+      (cov, Seq(cov))
+    }
 
-  private def coveredStartsFresh(spark: SparkSession, dir: String): DataFrame = {
+  private def coveredStartsFresh(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val k = SpanK
     // positional grams: NOT distinct (every occurrence covers tokens)
     val pg = Tables.documents(spark, dir)
@@ -1144,8 +1251,9 @@ object DedupQueries {
       .filter(col("d0") =!= col("d1")).select(col("gh"))
     // (doc_id, pos) is already unique in pg — posexplode emits each
     // position once — and the semi-join only drops rows, so no distinct
-    pg.join(rep, Seq("gh"), "left_semi")
+    val cov = pg.join(rep, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos"))
+    (cov, pg)
   }
 
   private def substringSpans(spark: SparkSession, dir: String): DataFrame = {
@@ -1415,7 +1523,77 @@ object DedupQueries {
        |UNION ALL
        |${duckBandStat("mbuck", "minhash", MinhashBandCap)}""".stripMargin
 
+  // --------------------------------------- build-cost accounting entries
+  /** Materializes the shared SimHash pair graph AND its connected
+    * components — the two checkpoints seven registered consumers read —
+    * and reports the graph's shape. This entry exists so the build cost
+    * is a VISIBLE, oracle-gated bench line (VERDICT r9 finding 1): the
+    * bench resets the memo registry between passes, every pass pays the
+    * build exactly once HERE, and the per-query pins of the consumers
+    * measure steady state. Output is the one-row summary a pipeline
+    * logs after materializing its graph (edge count, total hamming
+    * mass, component count, clustered-doc count, largest cluster).
+    */
+  private def neardupGraphBuild(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairs(spark, dir)
+    val comp = dedupComponents(spark, dir)
+    val ps = pairs.agg(
+      count(lit(1)).cast("long").as("n_edges"),
+      coalesce(sum(col("hamming")), lit(0L)).cast("long").as("sum_hamming"))
+    val cs = comp.groupBy(col("component")).agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).cast("long").as("n_components"),
+        coalesce(sum(when(col("m") >= 2, col("m")).otherwise(0L)), lit(0L))
+          .cast("long").as("n_clustered_docs"),
+        max(col("m")).cast("long").as("max_component"))
+    // 1-row x 1-row: the broadcast-scalar product the plan audit allows
+    ps.crossJoin(cs)
+  }
+
+  private val neardupGraphBuildOracle =
+    s"""WITH pairs AS ($simhashPairsOracle),
+       |comp AS ($componentsOracle),
+       |cs AS (SELECT component, count(*) AS m FROM comp GROUP BY 1)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       |  (SELECT CAST(coalesce(sum(hamming), 0) AS BIGINT) FROM pairs) AS sum_hamming,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cs) AS n_components,
+       |  (SELECT CAST(coalesce(sum(CASE WHEN m >= 2 THEN m ELSE 0 END), 0) AS BIGINT) FROM cs) AS n_clustered_docs,
+       |  (SELECT CAST(max(m) AS BIGINT) FROM cs) AS max_component""".stripMargin
+
+  /** Materializes the shared MinHash index (shingle sets, signatures,
+    * band table) — same visible-build contract as
+    * [[neardupGraphBuild]] for the six index consumers — and reports
+    * the index shape a pipeline logs after a build: docs indexed,
+    * distinct shingles hashed, bucket count/occupancy.
+    */
+  private def minhashIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sigs, bands) = minhashIndex(spark, dir)
+    val s = sigs.agg(count(lit(1)).cast("long").as("n_docs_indexed"),
+      coalesce(sum(col("c")), lit(0L)).cast("long").as("n_shingles"))
+    val b = bands.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("n_band_rows"),
+        max(col("n")).cast("long").as("max_bucket"))
+    s.crossJoin(b)
+  }
+
+  private val minhashIndexBuildOracle =
+    s"""WITH $duckMinhashIndex,
+       |scnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |bb AS (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_docs_indexed,
+       |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM scnt) AS n_shingles,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM bb) AS n_buckets,
+       |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM bb) AS n_band_rows,
+       |  (SELECT CAST(max(n) AS BIGINT) FROM bb) AS max_bucket""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    // builds FIRST: each bench pass (memo registry reset at pass
+    // boundaries) pays the shared materializations in these named
+    // entries, so every later consumer's pin is steady-state
+    GraftQuery("minhash_index_build", Some(minhashIndexBuildOracle), minhashIndexBuild),
+    GraftQuery("neardup_graph_build", Some(neardupGraphBuildOracle), neardupGraphBuild),
     GraftQuery("dedup_band_stats", Some(dedupBandStatsOracle), dedupBandStats),
     GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
     GraftQuery("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
@@ -1426,6 +1604,7 @@ object DedupQueries {
     GraftQuery("dedup_containment", Some(containmentOracle), containmentDedup),
     GraftQuery("dedup_incremental", Some(dedupIncrementalOracle), dedupIncremental),
     GraftQuery("winnowing_pairs", Some(winnowingOracle), winnowingPairs),
+    GraftQuery("winnowing_pairs_blocked", Some(winnowingBlockedOracle), winnowingPairsBlocked),
     GraftQuery("dedup_simhash", Some(simhashOracle), dedupSimhash),
     GraftQuery("dedup_simhash_pairs", Some(simhashPairsOracle), simhashPairs),
     GraftQuery("dedup_ngram_jaccard", Some(ngramOracle), ngramJaccard),

@@ -210,8 +210,19 @@ object TextAnalytics {
     * driver-side, and at 100 TB the explode feeds the same hash
     * aggregation the dedup tier already scales on.
     */
+  /** Memoized per (session, dir) like the dedup tier's pair graph: the
+    * gate is consumed by FOUR registered queries (text_quality_filter,
+    * pipeline_funnel, dedup_verdicts, cluster_representatives) and a
+    * pipeline computes the per-doc verdict frame once per corpus —
+    * re-deriving the token explode + repetition rollup per consumer was
+    * the dominant standalone cost left in the sf1 graph tier
+    * (VERDICT r9 finding 4). `text_quality_filter` is registered ahead
+    * of the other consumers, so the bench's per-pass build cost lands
+    * in that named entry.
+    */
   private[queries] def qualityFilter(spark: SparkSession, dir: String): DataFrame =
-    qualityFilterOf(Tables.documents(spark, dir))
+    Memo.frame(spark, dir, "quality_gate")(
+      qualityFilterOf(Tables.documents(spark, dir)))
 
   /** [[qualityFilter]] over a caller-supplied (doc_id, text) frame —
     * every signal is within-document, so the gate applies unchanged to
@@ -575,6 +586,11 @@ object TextAnalytics {
        |FROM f GROUP BY 1""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
+    // quality gate FIRST: it is the memoized frame three later
+    // consumers (pipeline_funnel here, dedup_verdicts and
+    // cluster_representatives in the dedup tier) read, so its named
+    // entry is where each bench pass pays the build
+    GraftQuery("text_quality_filter", Some(qualityFilterOracle), qualityFilter),
     GraftQuery("pipeline_funnel", Some(pipelineFunnelOracle), pipelineFunnel),
     GraftQuery("ngram_lm_perplexity", Some(ngramLmOracle), ngramLmPerplexity),
     GraftQuery("doc_repetition", Some(docRepetitionOracle), docRepetition),
@@ -584,7 +600,6 @@ object TextAnalytics {
     GraftQuery("text_tokenize", Some(tokenizeOracle), tokenize),
     GraftQuery("dataset_split", Some(datasetSplitOracle), datasetSplit),
     GraftQuery("cap_per_group", Some(capPerGroupOracle), capPerGroup),
-    GraftQuery("text_quality_filter", Some(qualityFilterOracle), qualityFilter),
     GraftQuery("doc_pii_scrub", Some(piiScrubOracle), piiScrub),
     GraftQuery("stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
   )

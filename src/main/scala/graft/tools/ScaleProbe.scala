@@ -139,9 +139,36 @@ object ScaleProbe {
     */
   private val EmptyOk: Map[String, String] = Map()
 
+  /** Per-query expectations from a PRIOR committed probe artifact —
+    * "alive" alone missed superlinearity until a human read the slow
+    * list (VERDICT r9 item 7), so each query now carries a BUDGET
+    * (3× its recorded time + a 5 s floor, wide enough for the 1.5-2×
+    * ambient host variance, tight enough that quadratic growth at the
+    * next corpus change fails loudly) and a ROW BAND (±25% of recorded
+    * rows + a small absolute floor; the corpus is deterministic, so
+    * real drift means a semantic change). Queries absent from the
+    * baseline are recorded as baseline="new" with no verdict.
+    */
+  private def loadBaseline(path: String): Map[String, (Long, Double)] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val Re = """"([A-Za-z0-9_]+)":\{"rows":(-?\d+),"sec":([0-9.]+)\}""".r
+      Re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toDouble)).toMap
+    }
+  }
+
+  private def budgetSec(baseSec: Double): Double = math.max(5.0, 3.0 * baseSec)
+
+  private def rowsOk(rows: Long, expected: Long): Boolean =
+    math.abs(rows - expected) <= math.max(2L, (0.25 * expected).toLong)
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("testdata_sf1")
-    val artifact = args.drop(1).headOption.getOrElse("SCALE_r09.json")
+    val artifact = args.drop(1).headOption.getOrElse("SCALE_r10.json")
+    val baselinePath = args.drop(2).headOption.getOrElse("SCALE_r09.json")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-probe")
@@ -155,6 +182,11 @@ object ScaleProbe {
     generate(spark, out, nDocs = 50000L, nVecs = 20000L, nEvents = 1000000L)
     linkRelational(out)
 
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val baseline = loadBaseline(baselinePath)
+    if (baseline.isEmpty)
+      println(s"[probe] NOTE: no baseline at $baselinePath — all queries recorded as new")
+
     val results = graft.SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
       val rows =
@@ -162,26 +194,43 @@ object ScaleProbe {
         catch { case e: Throwable =>
           println(s"[probe] ${q.name} FAILED: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] ${q.name}%-32s rows=$rows%10d  ${sec}%7.1f s")
-      (q.name, rows, sec)
+      val verdict = baseline.get(q.name) match {
+        case None => "new"
+        case Some((bRows, bSec)) =>
+          val b = if (sec <= budgetSec(bSec)) "" else s" BUDGET ${fmt(sec)}s > ${fmt(budgetSec(bSec))}s"
+          val r = if (rows >= 0 && rowsOk(rows, bRows)) "" else s" ROWS $rows vs $bRows"
+          if (b.isEmpty && r.isEmpty) "ok" else (b + r).trim
+      }
+      println(f"[probe] ${q.name}%-32s rows=$rows%10d  ${sec}%7.1f s  [$verdict]")
+      (q.name, rows, sec, verdict)
     }
     val dark = results.filter(r => r._2 == 0 && !EmptyOk.contains(r._1))
     val failed = results.filter(_._2 < 0)
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val qjson = results.map { case (n, r, s) =>
-      s""""$n":{"rows":$r,"sec":${fmt(s)}}""" }.mkString("{", ",", "}")
+    val budgetFail = results.filter(_._4.contains("BUDGET"))
+    val rowsFail = results.filter(_._4.contains("ROWS"))
+    val qjson = results.map { case (n, r, s, v) =>
+      val (bRows, bSec) = baseline.getOrElse(n, (-1L, -1.0))
+      val extra =
+        if (v == "new") s""","baseline":"new""""
+        else s""","budget_sec":${fmt(budgetSec(bSec))},"budget_ok":${!v.contains("BUDGET")},"rows_exp":$bRows,"rows_ok":${!v.contains("ROWS")}"""
+      s""""$n":{"rows":$r,"sec":${fmt(s)}$extra}""" }.mkString("{", ",", "}")
     val json =
-      s"""{"probe":"full-registry sf1",
+      s"""{"probe":"full-registry sf1 (budgeted)",
          |"corpus":"documents 50k / embeddings 20k / events 1M generated at 10x the sf0.1 shape; TPC-H star tables symlinked from sf0.1 (no absolute thresholds in that tier)",
+         |"baseline":"$baselinePath (budget = max(5s, 3x recorded sec); rows band = +-25%)",
          |"nqueries":${results.size},"dark":${dark.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"failed":${failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
+         |"budget_fail":${budgetFail.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
+         |"rows_fail":${rowsFail.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"total_sec":${fmt(results.map(_._3).sum)},
          |"queries":$qjson}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(if (dark.isEmpty && failed.isEmpty)
-      s"[probe] PASS: all ${results.size} queries alive at probe scale -> $artifact"
-    else s"[probe] DARK: ${dark.map(_._1).mkString(",")} FAILED: ${failed.map(_._1).mkString(",")} -> $artifact")
+    val bad = dark.nonEmpty || failed.nonEmpty || budgetFail.nonEmpty || rowsFail.nonEmpty
+    println(if (!bad)
+      s"[probe] PASS: all ${results.size} queries alive + within budget/row band -> $artifact"
+    else s"[probe] DARK: ${dark.map(_._1).mkString(",")} FAILED: ${failed.map(_._1).mkString(",")} " +
+      s"BUDGET: ${budgetFail.map(_._1).mkString(",")} ROWS: ${rowsFail.map(_._1).mkString(",")} -> $artifact")
     spark.stop()
   }
 }

@@ -657,4 +657,45 @@ class StreamingSpec extends AnyFunSuite {
       java.time.Instant.parse("2024-01-01T11:50:00Z").getEpochSecond)
     assert(main.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
   }
+
+  test("late-data quarantine evaluates each micro-batch row ONCE (persisted split, not 3 scans)") {
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    // same two-batch scenario, with a row-counting UDF planted in the
+    // stream: the split runs three actions per batch (main write, late
+    // write, max-ts agg) — un-persisted, every row was evaluated 3x
+    // (VERDICT r9 finding 3); the persisted split must touch each once
+    val src = Files.createTempDirectory("graft-q1-src")
+    Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 12:00:00"))
+      .toDF("id", "t").withColumn("ts", col("t").cast("timestamp")).drop("t")
+      .coalesce(1).write.parquet(src.resolve("f1").toString)
+    Seq((3L, "2024-01-01 08:00:00"), (4L, "2024-01-01 12:30:00"))
+      .toDF("id", "t").withColumn("ts", col("t").cast("timestamp")).drop("t")
+      .coalesce(1).write.parquet(src.resolve("f2").toString)
+    val stage = Files.createTempDirectory("graft-q1-in")
+    val outP = Files.createTempDirectory("graft-q1-out").toString + "/main"
+    val quarP = Files.createTempDirectory("graft-q1-quar").toString + "/late"
+    def arrive(sub: String, pre: String): Unit =
+      Files.list(src.resolve(sub)).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => Files.copy(p, stage.resolve(pre + p.getFileName)))
+    val acc = spark.sparkContext.longAccumulator("quarantine-row-evals")
+    val tick = udf { (id: Long) => acc.add(1L); id }
+    arrive("f1", "a_")
+    val q = graft.streaming.LateData.hourlyQuarantinedQuery(
+      spark.readStream.schema("id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        .withColumn("id", tick(col("id"))),
+      "ts", delaySec = 600L, outP, quarP)
+    try {
+      q.processAllAvailable()
+      arrive("f2", "b_")
+      q.processAllAvailable()
+    } finally q.stop()
+    // outputs unchanged...
+    assert(spark.read.parquet(outP).count() + spark.read.parquet(quarP).count() == 4L)
+    // ...and 4 input rows -> exactly 4 evaluations across all batches
+    assert(acc.value == 4L,
+      s"split re-scanned the micro-batch: ${acc.value} row evaluations for 4 rows")
+  }
 }
