@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the `noop` sink (all
   * output columns computed, nothing collected to the driver — unlike
   * count(), which would let Catalyst prune expensive output
-  * expressions). Each query runs twice and reports the faster run, so
-  * the numbers reflect steady-state plan execution rather than JIT /
-  * first-scan warmup.
+  * expressions). Queries run in three round-robin passes (memo
+  * registry reset at each pass boundary) and each reports its fastest
+  * sample, so the numbers reflect steady-state plan execution rather
+  * than JIT / first-scan warmup — with each pass paying every
+  * memoized build exactly once inside its registered *_build /
+  * first-consumer entry.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

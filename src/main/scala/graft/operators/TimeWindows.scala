@@ -75,7 +75,11 @@ object TimeWindows {
     val sz = secondsOf(size)
     val sl = secondsOf(slide)
     require(sz % sl == 0, s"window size $size must be a multiple of slide $slide")
-    val pane = ((col(tsCol).cast("long") / sl).cast("long") * sl).as("__pane")
+    // ts - pmod(ts, sl) is floor alignment for ALL timestamps (pmod is
+    // non-negative), matching window()'s pre-epoch behavior where a
+    // double-divide + cast("long") would truncate toward zero instead.
+    val tsLong = col(tsCol).cast("long")
+    val pane = (tsLong - pmod(tsLong, lit(sl))).as("__pane")
     df.groupBy((pane +: keys): _*)
       .agg(count(lit(1)).as("__pcnt"))
       .select((keys :+ col("__pcnt") :+

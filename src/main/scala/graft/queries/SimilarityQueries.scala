@@ -147,9 +147,10 @@ object SimilarityQueries {
 
   private lazy val ndPlanes: Seq[Seq[Double]] = mdPlanes(NdBands * NdBandPlanes)
 
-  /** 8-bit signature of one LSH band: bit j = sign of plane (band*8+j)
-    * dotted with the vector. Plane constants are the same md5-derived
-    * literals as [[lshBucketCol]], so DuckDB reproduces them exactly.
+  /** NdBandPlanes-bit (12-bit) signature of one LSH band: bit j = sign
+    * of plane (band*NdBandPlanes+j) dotted with the vector. Plane
+    * constants are the same md5-derived literals as [[lshBucketCol]],
+    * so DuckDB reproduces them exactly.
     */
   private def ndSigCol(vecCol: String, band: Int): Column =
     VectorExpressions.planeSig(col(vecCol),

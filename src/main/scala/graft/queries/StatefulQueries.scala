@@ -136,7 +136,8 @@ object StatefulQueries {
   private def txMatchFsm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-      .withColumn("day_start", (col("ts").cast("long") / 86400).cast("long") * 86400)
+      .withColumn("day_start",
+        col("ts").cast("long") - pmod(col("ts").cast("long"), lit(86400L)))
     val left = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("day_start"), lit(true).as("isLeft")).distinct()
     val right = ev.filter(col("event_type") === "purchase")

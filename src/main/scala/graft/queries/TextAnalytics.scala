@@ -476,16 +476,34 @@ object TextAnalytics {
       .join(ctx, substring(col("g"), 1, 1) === col("c1"))
       .crossJoin(broadcast(vocab))
       // pico-unit longs, not DECIMAL(38,12): round(x,12)·1e12 is an
-      // exact integer (≤ ~1e15 per gram term, doc sums < 2^62), the
-      // long sum is order-independent, and the hot per-gram agg stays
-      // primitive instead of boxing a BigDecimal per row; both engines
-      // convert the identical integer sum to double the same way
-      .withColumn("t", round(round(-col("c") *
+      // exact integer while |x| <= 2^53/1e12 ~ 9007 per gram term
+      // (t = c·(-ln p); -ln p <= ln((cc+vk)/k) ~ 40, so c must stay
+      // under ~225 per (doc, bigram) — true for natural text, NOT for
+      // adversarial repetition), the long sum is order-independent,
+      // and the hot per-gram agg stays primitive instead of boxing a
+      // BigDecimal per row; both engines convert the identical integer
+      // sum to double the same way. Outside those bounds a silent long
+      // wrap in Spark would diverge from DuckDB's overflow error, so
+      // BOTH invariants are enforced per row / per doc via
+      // raise_error — a mismatch fails loudly, never silently.
+      .withColumn("t", {
+        val tPico = round(round(-col("c") *
           log((col("cg") + LmAddK) / (col("cc") + col("v") * LmAddK)), 12) * 1e12)
-        .cast("long"))
+        when(abs(tPico) <= lit(9.0e15), tPico.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("lm_perplexity: per-gram pico term exceeds exact-long range: "),
+            tPico.cast("string"))))
+      })
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"),
-        round(sum(col("t")).cast("double") / 1e12 / sum(col("c")), 6).as("cross_entropy"))
+        round(sum(col("t")).cast("double") / 1e12 / sum(col("c")), 6).as("cross_entropy"),
+        sum(abs(col("t"))).as("__abs_sum"))
+      // |sum| <= sum|t|, so one guarded magnitude per doc proves the
+      // signed pico sum never wrapped 2^62
+      .withColumn("cross_entropy",
+        when(col("__abs_sum") < lit(4.6e18), col("cross_entropy"))
+          .otherwise(raise_error(lit("lm_perplexity: per-doc pico sum overflow"))))
+      .drop("__abs_sum")
       // one row per doc, read by the histogram, the total, and the
       // final decorate — materialize instead of re-scoring three times
       .localCheckpoint()

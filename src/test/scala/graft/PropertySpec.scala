@@ -155,6 +155,55 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // The interpreted nullSafeEval above and the hand-written doGenCode
+  // Java loops are separate code paths; production runs the latter
+  // under whole-stage codegen. This test pushes the same vectors
+  // through a DataFrame projection with CODEGEN_ONLY forced, so a
+  // divergence in the generated Java (not just the Scala eval) fails.
+  test("fused vector kernels through CODEGEN path == fold reference") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 64).map { i =>
+      val n = 1 + rnd.nextInt(96)
+      (i,
+       Array.fill(n)(rnd.nextFloat() * 16f - 8f),
+       Array.fill(n)(rnd.nextFloat() * 16f - 8f))
+    }
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(12)(Seq.fill(96)(rnd.nextDouble() * 2 - 1))
+    val planesArr = planes.map(_.toArray).toArray
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = rows.toDF("id", "a", "b")
+        .select(col("id"),
+          graft.plans.VectorExpressions.dotF32(col("a"), col("b")).as("dot"),
+          graft.plans.VectorExpressions.l2Dist2(col("a"), col("b")).as("d2"),
+          graft.plans.VectorExpressions.planeSig(col("a"), planes).as("sig"))
+        .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+      rows.foreach { case (id, a, b) =>
+        val n = math.min(a.length, b.length)
+        val dot = (0 until n).foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+        val d2 = (0 until n).foldLeft(0.0) { (acc, i) =>
+          val d = a(i).toDouble - b(i).toDouble; acc + d * d
+        }
+        val sig = planesArr.zipWithIndex.map { case (p, j) =>
+          val s = (0 until math.min(p.length, a.length))
+            .foldLeft(0.0)((acc, i) => acc + p(i) * a(i).toDouble)
+          if (s > 0) 1L << j else 0L
+        }.sum
+        assert(got(id) === ((dot, d2, sig)), s"row $id diverged under codegen")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("FloatVecDot eval == sequential product fold") {
     holds(Prop.forAll(floatVec, floatVec) { (a0, b0) =>
       val n = math.min(a0.length, b0.length)

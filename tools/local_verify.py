@@ -38,9 +38,14 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver corpora are single parquet FILES; the ScaleProbe sf1
+        # corpus writes Spark parquet DIRECTORIES — glob those
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     npass = nfail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
