@@ -197,6 +197,67 @@ case class VecL2Dist2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd PQ asymmetric-distance (ADC) sum: codes is one vector's
+  * per-block centroid ids (array<long>, index = block), lut one
+  * probe's flattened block-distance table (array<long>, index =
+  * block*cells + cid, cells = lut.length / codes.length); the result
+  * is sum_b lut[b*cells + codes[b]].
+  *
+  * This replaces the exploded form — a (blk, cid) equi-join of
+  * per-block code ROWS against the broadcast LUT followed by a
+  * probes×vectors×blocks hash-aggregate — with one array lookup loop
+  * per (probe, vector) pair: 16× fewer rows through the join for
+  * 16-block codes, no aggregate at all. Long addition over the same
+  * quantized micro-unit entries is order-independent, so the sum is
+  * bit-identical to the grouped sum(bd) it replaces and the DuckDB
+  * oracle's grouped form.
+  */
+case class PqAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"PqAdcSum requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdcSum.sum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.PqAdcSum.sum($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcSum {
+  /** Shared eval/codegen kernel. */
+  def sum(codes: ArrayData, lut: ArrayData): Long = {
+    val nb = codes.numElements()
+    require(nb > 0 && lut.numElements() % nb == 0,
+      s"LUT length ${lut.numElements()} is not a multiple of block count $nb")
+    val cells = lut.numElements() / nb
+    var acc = 0L
+    var b = 0
+    while (b < nb) {
+      val cid = codes.getLong(b).toInt
+      require(cid >= 0 && cid < cells, s"code $cid out of range [0, $cells)")
+      acc += lut.getLong(b * cells + cid)
+      b += 1
+    }
+    acc
+  }
+}
+
 object VectorExpressions {
   /** Column API: fused float-vector dot product. */
   def dotF32(a: Column, b: Column): Column =
@@ -212,4 +273,10 @@ object VectorExpressions {
   def planeSig(v: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(v),
       planes.map(_.toArray).toArray))
+
+  /** Column API: fused PQ ADC sum over (per-block codes, flattened
+    * per-probe LUT), both array<bigint>.
+    */
+  def adcSum(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqAdcSum(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 }

@@ -456,18 +456,26 @@ object DedupQueries {
     */
   private def winnowingPairsBlocked(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowFpSets(spark, dir)
-    val bg = fps
-      // consecutive-dedup of the selection sequence, then the distinct
-      // set of adjacent (f1, f2) transitions — all per-row array work
-      .withColumn("seqd",
-        expr("filter(sel, (x, i) -> i = 0 OR x != element_at(sel, i))"))
-      .withColumn("bgs", expr(
-        """CASE WHEN size(seqd) < 2 THEN array()
-          |ELSE array_distinct(transform(sequence(1, size(seqd) - 1),
-          |       j -> named_struct('f1', element_at(seqd, j), 'f2', element_at(seqd, j + 1))))
-          |END""".stripMargin))
-      .select(col("doc_id"), explode(col("bgs")).as("bg"))
-      .select(col("doc_id"), col("bg.f1").as("f1"), col("bg.f2").as("f2"))
+    // consecutive-dedup of the selection sequence, then its adjacent
+    // (f1, f2) transitions — all per-row array work. Memoized: array
+    // HOFs run INTERPRETED, and without the checkpoint BOTH sides of
+    // the candidate self-join re-derive the frame (2× the lambda cost;
+    // the round-9 form also paid an O(n²) interpreted array_distinct
+    // over per-doc STRUCT arrays — per-doc duplicate bigrams are now
+    // left in, since the candidate-level distinct() dedups pairs
+    // anyway and max bigram df is single-digit on real corpora).
+    val bg = Memo.frame(spark, dir, "winnow_bg") {
+      fps
+        .withColumn("seqd",
+          expr("filter(sel, (x, i) -> i = 0 OR x != element_at(sel, i))"))
+        .withColumn("bgs", expr(
+          """CASE WHEN size(seqd) < 2 THEN array()
+            |ELSE transform(sequence(1, size(seqd) - 1),
+            |       j -> named_struct('f1', element_at(seqd, j), 'f2', element_at(seqd, j + 1)))
+            |END""".stripMargin))
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))
+        .select(col("doc_id"), col("bg.f1").as("f1"), col("bg.f2").as("f2"))
+    }
     val cand = bg.as("a")
       .join(bg.as("b"),
         col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") &&

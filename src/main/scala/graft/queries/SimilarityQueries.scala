@@ -617,17 +617,35 @@ object SimilarityQueries {
     val lut = probeBlocks.join(broadcast(c1), Seq("blk"))
       .select(col("probe_id"), col("blk"), col("cid"),
         round(round(pqDist2("cv", "pbe"), 6) * 1e6).cast("long").as("bd"))
-    val scored = candidates match {
-      case None => codes.join(broadcast(lut), Seq("blk", "cid"))
-      case Some(cand) => cand.join(codes, "vec_id")
-        .join(broadcast(lut), Seq("probe_id", "blk", "cid"))
+    // LUT and codes each collapse to ONE ARRAY ROW per probe / per
+    // vector (sorted by (blk, cid), so flat index = blk*cells + cid),
+    // and the ADC sum fuses into a single codegen'd lookup loop per
+    // (probe, vector) pair — versus the exploded form's (blk, cid)
+    // equi-join emitting blocks× as many rows into a probes×vectors×
+    // blocks hash-aggregate. Long addition over identical micro-unit
+    // entries keeps the sum bit-identical to the grouped form the
+    // DuckDB oracle still runs.
+    val lutArr = lut
+      .groupBy(col("probe_id"))
+      .agg(array_sort(collect_list(struct(col("blk"), col("cid"), col("bd")))).as("ls"))
+      .select(col("probe_id"), transform(col("ls"), s => s.getField("bd")).as("luts"))
+    val codesArr = codes
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("blk"), col("cid")))).as("cs"))
+      .select(col("vec_id"), transform(col("cs"), s => s.getField("cid")).as("cids"))
+    val paired = candidates match {
+      // the full-scan probes×vectors product IS ann_pq's semantics
+      // (brute ADC baseline, like ann_bruteforce's exact scan); the
+      // pruned paths below join on candidate pairs instead
+      case None => codesArr.crossJoin(broadcast(lutArr))
+      case Some(cand) => cand.join(codesArr, "vec_id")
+        .join(broadcast(lutArr), "probe_id")
     }
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("adc_d2r"), col("vec_id"))
-    val shortlist = scored
+    val shortlist = paired
       .filter(col("vec_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("vec_id"))
-      .agg(sum(col("bd")).as("sbd"))
+      .withColumn("sbd", graft.plans.VectorExpressions.adcSum(col("cids"), col("luts")))
       .withColumn("adc_d2r", round(col("sbd") / 1e6, 6))
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= PqShortlist)

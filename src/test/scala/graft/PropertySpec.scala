@@ -204,6 +204,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PqAdcSum kernel == grouped per-block LUT sum") {
+    val gen = for {
+      nb <- Gen.choose(1, 16)
+      cells <- Gen.choose(1, 16)
+      codes <- Gen.listOfN(nb, Gen.choose(0L, cells - 1L))
+      lut <- Gen.listOfN(nb * cells, Gen.choose(-1000000L, 1000000L))
+    } yield (codes.toArray, lut.toArray, cells)
+    holds(Prop.forAll(gen) { case (codes, lut, cells) =>
+      val got = graft.plans.PqAdcSum.sum(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(codes.map(c => c: Any)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(lut.map(l => l: Any)))
+      // the grouped form this kernel replaced: one (blk, cid) row per
+      // block joined to the LUT, summed per pair
+      val want = codes.zipWithIndex.map { case (cid, b) => lut(b * cells + cid.toInt) }.sum
+      got == want
+    })
+  }
+
   test("FloatVecDot eval == sequential product fold") {
     holds(Prop.forAll(floatVec, floatVec) { (a0, b0) =>
       val n = math.min(a0.length, b0.length)

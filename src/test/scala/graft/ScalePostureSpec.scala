@@ -555,6 +555,7 @@ class ScalePostureSpec extends AnyFunSuite {
     // sets). Everything else must plan product-free.
     val intentionalTinyBroadcast = Set(
       "ann_bruteforce", "ann_ivf", "ann_ivf_pq", "kmeans_embeddings", // probe/centroid k-rows
+      "ann_pq", // brute ADC baseline: probe-set LUT broadcast product, like ann_bruteforce
       "ann_index_probe", // same centroid-table broadcast as ann_ivf_pq
       "semdedup", // same k-row centroid broadcast as kmeans_embeddings
       "tfidf_top_terms", "bm25_search", "pmi_bigrams", // corpus totals (1 row)
