@@ -787,7 +787,7 @@ object DedupQueries {
     // old-vs-new join per round. Decimal sum: overflow-proof at any
     // corpus size.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -42,7 +42,7 @@ object CCProfile {
         .select(col("doc_id"), col("doc_id").as("component"))
         .localCheckpoint())
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = t("init sum")(labelSum(labels))
     var converged = false
     var iter = 0

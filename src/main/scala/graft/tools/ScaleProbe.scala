@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   *    generation belongs to the driver, not this probe) — the artifact
   *    records the split.
   *
-  * Every query runs to a full count with wall time; rows == 0 where a
-  * query is expected to produce output means an absolute threshold is
-  * hiding in it. Results land in SCALE_r09.json at the repo root.
+  * Every query materializes its FULL output rows (toRdd.count — a
+  * plain count() would let Catalyst prune expensive final projections)
+  * with wall time, checked against a prior artifact's per-query budget
+  * and row band; rows == 0 where a query is expected to produce output
+  * means an absolute threshold is hiding in it.
   *
-  * Usage: runMain graft.tools.ScaleProbe [outDir] [artifact.json]
+  * Usage: runMain graft.tools.ScaleProbe [outDir] [artifact.json] [baseline.json]
   */
 object ScaleProbe {
 
@@ -154,7 +156,9 @@ object ScaleProbe {
     if (!f.exists()) Map.empty
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val Re = """"([A-Za-z0-9_]+)":\{"rows":(-?\d+),"sec":([0-9.]+)\}""".r
+      // entries may carry trailing fields (budget_sec/rows_exp/... in
+      // budgeted artifacts) — match the (rows, sec) prefix only
+      val Re = """"([A-Za-z0-9_]+)":\{"rows":(-?\d+),"sec":([0-9.]+)[,}]""".r
       Re.findAllMatchIn(txt)
         .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toDouble)).toMap
     }
@@ -187,13 +191,29 @@ object ScaleProbe {
     if (baseline.isEmpty)
       println(s"[probe] NOTE: no baseline at $baselinePath — all queries recorded as new")
 
-    val results = graft.SparkEntry.all.map { q =>
+    // toRdd.count(), NOT Dataset.count(): count() lets Catalyst prune
+    // every output column, so a query ending in an expensive projection
+    // (regex scrub, array math) times only its grouping skeleton;
+    // toRdd materializes the full output rows — what a real consumer
+    // pays — and still returns the row count for the band check.
+    def timedRun(q: graft.queries.GraftQuery): (Long, Double) = {
       val t0 = System.nanoTime()
       val rows =
-        try q.run(spark, out).count()
+        try q.run(spark, out).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           println(s"[probe] ${q.name} FAILED: ${e.getMessage}"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    val results = graft.SparkEntry.all.map { q =>
+      var (rows, sec) = timedRun(q)
+      def budgetBad(s: Double) = baseline.get(q.name).exists(b => s > budgetSec(b._2))
+      // one retry on a budget breach: the host shows multi-second
+      // contention windows that inflate random queries 5-10×; a breach
+      // that reproduces twice is growth, once is weather
+      if (rows >= 0 && budgetBad(sec)) {
+        val (r2, s2) = timedRun(q)
+        if (r2 >= 0 && s2 < sec) { rows = r2; sec = s2 }
+      }
       val verdict = baseline.get(q.name) match {
         case None => "new"
         case Some((bRows, bSec)) =>
