@@ -249,9 +249,12 @@ object PqAdcSum {
     var acc = 0L
     var b = 0
     while (b < nb) {
-      val cid = codes.getLong(b).toInt
-      require(cid >= 0 && cid < cells, s"code $cid out of range [0, $cells)")
-      acc += lut.getLong(b * cells + cid)
+      // range-check the LONG before narrowing: a corrupt cid >= 2^32
+      // would otherwise truncate into the valid range and silently
+      // read the wrong cell
+      val cl = codes.getLong(b)
+      require(cl >= 0 && cl < cells, s"code $cl out of range [0, $cells)")
+      acc += lut.getLong(b * cells + cl.toInt)
       b += 1
     }
     acc

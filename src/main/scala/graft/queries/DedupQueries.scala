@@ -475,6 +475,13 @@ object DedupQueries {
             |END""".stripMargin))
         .select(col("doc_id"), explode(col("bgs")).as("bg"))
         .select(col("doc_id"), col("bg.f1").as("f1"), col("bg.f2").as("f2"))
+        // per-doc (doc_id, f1, f2) dedup as a hash-distinct (NOT the
+        // interpreted per-row array_distinct this replaced): without
+        // it a phrase repeated k times in two docs emits k×k self-join
+        // rows before the candidate distinct() — quadratic in
+        // repetition depth, on exactly the boilerplate content a dedup
+        // tier exists to process
+        .distinct()
     }
     val cand = bg.as("a")
       .join(bg.as("b"),

@@ -499,9 +499,14 @@ object TextAnalytics {
         round(sum(col("t")).cast("double") / 1e12 / sum(col("c")), 6).as("cross_entropy"),
         sum(abs(col("t"))).as("__abs_sum"))
       // |sum| <= sum|t|, so one guarded magnitude per doc proves the
-      // signed pico sum never wrapped 2^62
+      // signed pico sum never wrapped 2^62 — and a guard sum that
+      // itself wraps 2^63 lands NEGATIVE (the >= 0 arm catches it);
+      // wrapping a full 2^64 back to small-positive would take >2000
+      // terms at the per-row gate's 9e15 cap, i.e. a doc of ~10^6
+      // maximal-surprise gram OCCURRENCES packed into maximal-count
+      // repeats — orders beyond the corpus profile either engine runs
       .withColumn("cross_entropy",
-        when(col("__abs_sum") < lit(4.6e18), col("cross_entropy"))
+        when(col("__abs_sum") >= 0 && col("__abs_sum") < lit(4.6e18), col("cross_entropy"))
           .otherwise(raise_error(lit("lm_perplexity: per-doc pico sum overflow"))))
       .drop("__abs_sum")
       // one row per doc, read by the histogram, the total, and the

@@ -151,16 +151,25 @@ object ScaleProbe {
     * real drift means a semantic change). Queries absent from the
     * baseline are recorded as baseline="new" with no verdict.
     */
-  private def loadBaseline(path: String): Map[String, (Long, Double)] = {
+  /** (entries, baseline timed with toRdd?). Budgets HARD-fail only
+    * against a same-methodology baseline: this probe times full output
+    * materialization (toRdd), so against an older count()-timed
+    * artifact — where output-heavy queries timed only their grouping
+    * skeleton — breaches are recorded as "rebase" rather than failing
+    * the run, and this run's artifact (marked "timing":"toRdd")
+    * becomes the first hard-budget baseline.
+    */
+  private def loadBaseline(path: String): (Map[String, (Long, Double)], Boolean) = {
     val f = new java.io.File(path)
-    if (!f.exists()) Map.empty
+    if (!f.exists()) (Map.empty, false)
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       // entries may carry trailing fields (budget_sec/rows_exp/... in
       // budgeted artifacts) — match the (rows, sec) prefix only
       val Re = """"([A-Za-z0-9_]+)":\{"rows":(-?\d+),"sec":([0-9.]+)[,}]""".r
-      Re.findAllMatchIn(txt)
-        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toDouble)).toMap
+      (Re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toDouble)).toMap,
+        txt.contains(""""timing":"toRdd""""))
     }
   }
 
@@ -187,7 +196,10 @@ object ScaleProbe {
     linkRelational(out)
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val baseline = loadBaseline(baselinePath)
+    val (baseline, baselineComparable) = loadBaseline(baselinePath)
+    if (baseline.nonEmpty && !baselineComparable)
+      println(s"[probe] NOTE: $baselinePath predates toRdd timing — budget " +
+        "breaches recorded as 'rebase', not failures; this artifact rebaselines")
     if (baseline.isEmpty)
       println(s"[probe] NOTE: no baseline at $baselinePath — all queries recorded as new")
 
@@ -217,7 +229,11 @@ object ScaleProbe {
       val verdict = baseline.get(q.name) match {
         case None => "new"
         case Some((bRows, bSec)) =>
-          val b = if (sec <= budgetSec(bSec)) "" else s" BUDGET ${fmt(sec)}s > ${fmt(budgetSec(bSec))}s"
+          val over = sec > budgetSec(bSec)
+          val b =
+            if (!over) ""
+            else if (baselineComparable) s" BUDGET ${fmt(sec)}s > ${fmt(budgetSec(bSec))}s"
+            else s" rebase(${fmt(sec)}s > ${fmt(budgetSec(bSec))}s count-timed)"
           val r = if (rows >= 0 && rowsOk(rows, bRows)) "" else s" ROWS $rows vs $bRows"
           if (b.isEmpty && r.isEmpty) "ok" else (b + r).trim
       }
@@ -227,6 +243,7 @@ object ScaleProbe {
     val dark = results.filter(r => r._2 == 0 && !EmptyOk.contains(r._1))
     val failed = results.filter(_._2 < 0)
     val budgetFail = results.filter(_._4.contains("BUDGET"))
+    val rebase = results.filter(_._4.contains("rebase"))
     val rowsFail = results.filter(_._4.contains("ROWS"))
     val qjson = results.map { case (n, r, s, v) =>
       val (bRows, bSec) = baseline.getOrElse(n, (-1L, -1.0))
@@ -235,9 +252,10 @@ object ScaleProbe {
         else s""","budget_sec":${fmt(budgetSec(bSec))},"budget_ok":${!v.contains("BUDGET")},"rows_exp":$bRows,"rows_ok":${!v.contains("ROWS")}"""
       s""""$n":{"rows":$r,"sec":${fmt(s)}$extra}""" }.mkString("{", ",", "}")
     val json =
-      s"""{"probe":"full-registry sf1 (budgeted)",
+      s"""{"probe":"full-registry sf1 (budgeted)","timing":"toRdd",
          |"corpus":"documents 50k / embeddings 20k / events 1M generated at 10x the sf0.1 shape; TPC-H star tables symlinked from sf0.1 (no absolute thresholds in that tier)",
          |"baseline":"$baselinePath (budget = max(5s, 3x recorded sec); rows band = +-25%)",
+         |"rebase":${rebase.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"nqueries":${results.size},"dark":${dark.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"failed":${failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"budget_fail":${budgetFail.map("\"" + _._1 + "\"").mkString("[", ",", "]")},

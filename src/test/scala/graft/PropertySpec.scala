@@ -174,6 +174,13 @@ class PropertySpec extends AnyFunSuite {
     val planes: Seq[Seq[Double]] =
       Seq.fill(12)(Seq.fill(96)(rnd.nextDouble() * 2 - 1))
     val planesArr = planes.map(_.toArray).toArray
+    val adcRows = (1 to 64).map { i =>
+      val nb = 1 + rnd.nextInt(16)
+      val cells = 1 + rnd.nextInt(16)
+      (i,
+       Array.fill(nb)(rnd.nextInt(cells).toLong),
+       Array.fill(nb * cells)(rnd.nextLong() % 1000000L))
+    }
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
@@ -195,6 +202,15 @@ class PropertySpec extends AnyFunSuite {
           if (s > 0) 1L << j else 0L
         }.sum
         assert(got(id) === ((dot, d2, sig)), s"row $id diverged under codegen")
+      }
+      val gotAdc = adcRows.toDF("id", "cids", "luts")
+        .select(col("id"),
+          graft.plans.VectorExpressions.adcSum(col("cids"), col("luts")).as("adc"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      adcRows.foreach { case (id, cids, lut) =>
+        val cells = lut.length / cids.length
+        val want = cids.zipWithIndex.map { case (c, b) => lut(b * cells + c.toInt) }.sum
+        assert(gotAdc(id) === want, s"adc row $id diverged under codegen")
       }
     } finally {
       prev match {
