@@ -290,9 +290,12 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM keptmb a JOIN keptmb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |xa AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, x.sh AS sh
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a),
        |inter AS (
        |  SELECT doc_a, doc_b, count(*) AS i
-       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b AND y.sh = x.sh
+       |  FROM xa JOIN sh y ON y.doc_id = doc_b AND y.sh = xa.sh
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
@@ -336,9 +339,12 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM keptmb a JOIN keptmb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |xa AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, x.sh AS sh
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a),
        |inter AS (
        |  SELECT doc_a, doc_b, count(*) AS i
-       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b AND y.sh = x.sh
+       |  FROM xa JOIN sh y ON y.doc_id = doc_b AND y.sh = xa.sh
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |       round(CAST(i AS DOUBLE) / ca.c, 6) AS cont_a_in_b,
@@ -1146,9 +1152,12 @@ object DedupQueries {
       |    ELSE [] END) AS g
       |  FROM documents),
       |cnt AS (SELECT doc_id, count(*) AS c FROM g GROUP BY 1),
+      |xa AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, x.g AS g
+      |  FROM cand JOIN g x ON x.doc_id = doc_a),
       |inter AS (
       |  SELECT doc_a, doc_b, count(*) AS i
-      |  FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b AND y.g = x.g
+      |  FROM xa JOIN g y ON y.doc_id = doc_b AND y.g = xa.g
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
       |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
