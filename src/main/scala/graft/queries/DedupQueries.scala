@@ -845,21 +845,55 @@ object DedupQueries {
     labels
   }
 
-  private val componentsOracle =
-    s"""WITH RECURSIVE $duckSimhash,
+  /** Min-label propagation rounds the CC oracle unrolls to. Sound for
+    * ANY graph: a final convergence check errors the oracle loudly if
+    * some neighbor still carries a smaller label after this many
+    * rounds, so an insufficient bound can never silently mis-compare.
+    */
+  private val CcOracleRounds = 20
+
+  /** CC oracle as UNROLLED min-label propagation, not a recursive
+    * transitive closure: `reach(a, b)` (the previous form) enumerates
+    * every (node, reachable-node) pair — Σ component² rows, >30 min in
+    * DuckDB at the sf1 probe scale — where K propagation rounds cost
+    * K × (edges + nodes) and converge to the identical min-reachable-id
+    * labels once K ≥ graph diameter (checked in-query, see
+    * [[CcOracleRounds]]). Each step is AS MATERIALIZED: steps are
+    * referenced twice (self + neighbor join), and DuckDB's default CTE
+    * inlining would otherwise duplicate the whole prefix 2^K times.
+    */
+  private val componentsOracle = {
+    val steps = (1 to CcOracleRounds).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT n, min(l) AS l FROM (
+         |    SELECT n, l FROM c${k - 1}
+         |    UNION ALL
+         |    SELECT u.b AS n, c${k - 1}.l AS l
+         |    FROM c${k - 1} JOIN und u ON c${k - 1}.n = u.a)
+         |  GROUP BY n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckSimhash,
        |$duckSimhashBanded,
        |p AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM keptb a JOIN keptb b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-       |und AS (SELECT doc_a AS a, doc_b AS b FROM p
-       |        UNION SELECT doc_b, doc_a FROM p),
-       |reach(a, b) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
-       |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin
+       |und AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM p
+       |  UNION SELECT doc_b, doc_a FROM p),
+       |c0 AS MATERIALIZED (SELECT doc_id AS n, doc_id AS l FROM documents),
+       |$steps,
+       |unconv AS (
+       |  SELECT count(*) AS k FROM c$CcOracleRounds x
+       |  JOIN und u ON x.n = u.a
+       |  JOIN c$CcOracleRounds y ON y.n = u.b AND y.l < x.l)
+       |SELECT n AS doc_id,
+       |       CASE WHEN (SELECT k FROM unconv) > 0
+       |            THEN CAST(error('cc oracle not converged in $CcOracleRounds rounds') AS BIGINT)
+       |            ELSE l END AS component
+       |FROM c$CcOracleRounds""".stripMargin
+  }
 
   // ---------------------------------------------- edit-distance verify
   /** Verification-grade edit distance over the SimHash candidate
