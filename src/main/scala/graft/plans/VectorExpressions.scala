@@ -249,12 +249,18 @@ object PqAdcSum {
     var acc = 0L
     var b = 0
     while (b < nb) {
+      // null elements fail loudly: getLong on a null UnsafeArrayData
+      // slot returns 0, which is a VALID code/LUT value — a silent
+      // wrong sum, unlike every other guard in this kernel
+      require(!codes.isNullAt(b), s"null code at block $b")
       // range-check the LONG before narrowing: a corrupt cid >= 2^32
       // would otherwise truncate into the valid range and silently
       // read the wrong cell
       val cl = codes.getLong(b)
       require(cl >= 0 && cl < cells, s"code $cl out of range [0, $cells)")
-      acc += lut.getLong(b * cells + cl.toInt)
+      val slot = b * cells + cl.toInt
+      require(!lut.isNullAt(slot), s"null LUT entry at slot $slot")
+      acc += lut.getLong(slot)
       b += 1
     }
     acc

@@ -1332,8 +1332,12 @@ object DedupQueries {
         col("span_end"), col("span_tokens"))
   }
 
-  private val substringSpansOracle =
-    s"""WITH pg AS (
+  /** Shared DuckDB twin of [[coveredStarts]] (steps 1-3 of ExactSubstr):
+    * positional grams → cross-doc-repeated rollup → covered starts.
+    * Consumed by the span report, the scrub, and the build entry.
+    */
+  private val duckCoveredStarts =
+    s"""pg AS (
        |  SELECT doc_id, u.pos AS pos, md5(u.g) AS gh FROM (
        |    SELECT doc_id, unnest(CASE WHEN len(w) >= $SpanK
        |      THEN list_transform(range(1, len(w) - ${SpanK - 2}),
@@ -1341,7 +1345,10 @@ object DedupQueries {
        |      ELSE [] END) AS u
        |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)) t),
        |rep AS (SELECT gh FROM pg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-       |cov AS (SELECT DISTINCT doc_id, pos FROM pg JOIN rep USING (gh)),
+       |cov AS (SELECT DISTINCT doc_id, pos FROM pg JOIN rep USING (gh))""".stripMargin
+
+  private val substringSpansOracle =
+    s"""WITH $duckCoveredStarts,
        |isl AS (SELECT doc_id, pos,
        |  SUM(CASE WHEN prev IS NULL OR pos > prev + $SpanK THEN 1 ELSE 0 END)
        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
@@ -1393,18 +1400,10 @@ object DedupQueries {
   }
 
   private val substringScrubOracle =
-    s"""WITH pg AS (
-       |  SELECT doc_id, u.pos AS pos, md5(u.g) AS gh FROM (
-       |    SELECT doc_id, unnest(CASE WHEN len(w) >= $SpanK
-       |      THEN list_transform(range(1, len(w) - ${SpanK - 2}),
-       |        i -> struct_pack(pos := i, g := w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
-       |      ELSE [] END) AS u
-       |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)) t),
-       |rep AS (SELECT gh FROM pg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    s"""WITH $duckCoveredStarts,
        |covp AS (
        |  SELECT DISTINCT doc_id, pos + d AS p
-       |  FROM (SELECT DISTINCT doc_id, pos FROM pg JOIN rep USING (gh))
-       |       CROSS JOIN generate_series(0, ${SpanK - 1}) g(d)),
+       |  FROM cov CROSS JOIN generate_series(0, ${SpanK - 1}) g(d)),
        |tok AS (
        |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
@@ -1646,12 +1645,37 @@ object DedupQueries {
        |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM bb) AS n_band_rows,
        |  (SELECT CAST(max(n) AS BIGINT) FROM bb) AS max_bucket""".stripMargin
 
+  /** Materializes the shared ExactSubstr covered-position table — the
+    * memoized frame [[substringSpans]] and [[substringScrub]] both
+    * consume — under the same visible-build contract as
+    * [[neardupGraphBuild]]: the bench resets the memo registry between
+    * passes, the ~gram-hashing build cost lands in THIS oracle-gated
+    * entry, and the two consumers' pins measure steady state (VERDICT
+    * r10 finding 2). Output is the summary a pipeline logs after the
+    * build: docs with repeated spans, covered-start count, and a
+    * position checksum that pins the exact table contents.
+    */
+  private def substringCoveredBuild(spark: SparkSession, dir: String): DataFrame = {
+    coveredStarts(spark, dir).agg(
+      countDistinct(col("doc_id")).cast("long").as("n_docs_covered"),
+      count(lit(1)).cast("long").as("n_covered_starts"),
+      coalesce(sum(col("pos")), lit(0L)).cast("long").as("sum_pos"))
+  }
+
+  private val substringCoveredBuildOracle =
+    s"""WITH $duckCoveredStarts
+       |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_covered,
+       |       CAST(count(*) AS BIGINT) AS n_covered_starts,
+       |       CAST(coalesce(sum(pos), 0) AS BIGINT) AS sum_pos
+       |FROM cov""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     // builds FIRST: each bench pass (memo registry reset at pass
     // boundaries) pays the shared materializations in these named
     // entries, so every later consumer's pin is steady-state
     GraftQuery("minhash_index_build", Some(minhashIndexBuildOracle), minhashIndexBuild),
     GraftQuery("neardup_graph_build", Some(neardupGraphBuildOracle), neardupGraphBuild),
+    GraftQuery("substring_covered_build", Some(substringCoveredBuildOracle), substringCoveredBuild),
     GraftQuery("dedup_band_stats", Some(dedupBandStatsOracle), dedupBandStats),
     GraftQuery("dedup_exact", Some(dedupExactOracle), dedupExact),
     GraftQuery("dedup_substring_spans", Some(substringSpansOracle), substringSpans),

@@ -166,9 +166,17 @@ object StreamingJobs {
     * fail that old can never pair with a future one, so per-user state
     * stays bounded at scale.
     */
-  def loginFailStream(spark: SparkSession, dir: String, maxGapSec: Long = 3600): Dataset[LoginWarning] = {
+  def loginFailStream(spark: SparkSession, dir: String, maxGapSec: Long = 3600): Dataset[LoginWarning] =
+    loginFailOf(eventsStream(spark, dir), maxGapSec)
+
+  /** [[loginFailStream]] over any watermarked event frame — split out so
+    * the chaos-restart drill can drive it from a multi-file staged
+    * source and kill/resume it mid-run (ChaosRestartSpec).
+    */
+  def loginFailOf(events: DataFrame, maxGapSec: Long = 3600): Dataset[LoginWarning] = {
+    val spark = events.sparkSession
     import spark.implicits._
-    eventsStream(spark, dir)
+    events
       .filter(col("event_type") === "error")
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[FailRow]
@@ -249,9 +257,16 @@ object StreamingJobs {
     * `Sinks.splitStreamByTag` fans out to the main/side sinks (the
     * reference's OutputTag pair).
     */
-  def blacklistStream(spark: SparkSession, dir: String, threshold: Long): Dataset[TaggedClick] = {
+  def blacklistStream(spark: SparkSession, dir: String, threshold: Long): Dataset[TaggedClick] =
+    blacklistOf(eventsStream(spark, dir), threshold)
+
+  /** [[blacklistStream]] over any watermarked event frame (chaos-restart
+    * drill entry point).
+    */
+  def blacklistOf(events: DataFrame, threshold: Long): Dataset[TaggedClick] = {
+    val spark = events.sparkSession
     import spark.implicits._
-    eventsStream(spark, dir)
+    events
       .filter(col("event_type") === "click")
       .select(col("user_id"),
         graft.sources.Tables.itemIdFromProps(col("props")).as("item_id"), col("ts"))
@@ -273,6 +288,55 @@ object StreamingJobs {
           outs.iterator
       }
   }
+
+  // --------------------------------------------- two-stream match FSM
+  final case class TxRow(user_id: Long, day_start: Long, is_left: Boolean,
+      ts: java.sql.Timestamp)
+  final case class TxSnapshot(user_id: Long, day_start: Long, tag: String)
+
+  /** Streaming twin of the batch `tx_match_fsm` (J1, the reference's
+    * CoProcess reconciliation): clicks and purchases of the same
+    * (user, day) cell fold through the SAME [[StateMachines.txStep]] the
+    * batch query uses, carried in GroupState across micro-batches. A
+    * snapshot row is emitted whenever a batch CHANGES the cell's tag
+    * (first sighting creates it, the opposite side upgrades it to
+    * "matched"), so the output is a progression stream whose
+    * final-per-key snapshot — "matched" wins over either one-sided
+    * tag — equals the batch full-outer-join verdict. `txStep` is
+    * idempotent in each side's flag, so the batch form's per-side
+    * `.distinct()` is unnecessary here, and at most two snapshots exist
+    * per key no matter how many events hit it. State never times out:
+    * the batch twin reconciles over all time; a production deployment
+    * bounds it with an event-time horizon exactly like the funnel.
+    */
+  def txMatchOf(events: DataFrame): Dataset[TxSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(86400L)))
+          .as("day_start"),
+        (col("event_type") === "click").as("is_left"),
+        col("ts"))
+      .as[TxRow]
+      .groupByKey(r => (r.user_id, r.day_start))
+      .flatMapGroupsWithState[StateMachines.TxState, TxSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[TxRow], state: GroupState[StateMachines.TxState]) =>
+          val st0 = state.getOption.getOrElse(
+            StateMachines.TxState(leftSeen = false, rightSeen = false))
+          val st = it.foldLeft(st0) { (s, r) => StateMachines.txStep(s, r.is_left) }
+          state.update(st)
+          if (st == st0) Iterator.empty
+          else Iterator.single(
+            TxSnapshot(key._1, key._2, StateMachines.txOutcome(st).tag))
+      }
+  }
+
+  /** [[txMatchOf]] over the file-replayed events table. */
+  def txMatchStream(spark: SparkSession, dir: String): Dataset[TxSnapshot] =
+    txMatchOf(eventsStream(spark, dir))
 
   // ------------------------------------------------------- funnel FSM
   final case class FunnelRow(user_id: Long, ts: java.sql.Timestamp,

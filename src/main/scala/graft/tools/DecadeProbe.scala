@@ -1,0 +1,151 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** sf0.1 → sf1 → sf10 growth probe — the first measurement that can
+  * catch superlinearity the single-scale sf1 probe structurally cannot
+  * (VERDICT r10 item 3). A query that is quadratic in a capped quantity
+  * looks flat at one scale and only bends across a decade; this main
+  * measures every selected query at THREE scales a decade apart and
+  * fits the growth exponent per decade.
+  *
+  * Corpus: sf10 = 500k docs / 200k embeddings / 10M events, generated
+  * with the exact [[ScaleProbe.generate]] profile (deterministic MD5
+  * draws, ~5% planted near-dups, Gaussian label clusters, exponential
+  * event values) so all three scales are the same distribution and only
+  * n moves. The TPC-H star tables are symlinked from sf0.1 at every
+  * scale — their tier is driver-owned and carries no absolute
+  * thresholds — so relational-only queries are excluded here.
+  *
+  * Metric: executor CPU seconds ([[CpuMeter]]), wall recorded alongside.
+  * The host's ambient co-tenancy inflates wall 1.5-10× in windows;
+  * a growth EXPONENT fitted on wall across three runs taken minutes
+  * apart would be weather, not shape. Timing is toRdd (full output
+  * materialization), matching the sf1 probe's methodology.
+  *
+  * Budget: expected sf10 cpu = cpu_sf1 × (the measured sf0.1→sf1
+  * growth ratio, floored at linear = 10×/decade is NOT assumed — a
+  * sublinear query earns a flat budget). Verdict "SUPER" when
+  * cpu_sf10 > 3 × expected + 10 s — wide enough for cache-hierarchy
+  * effects, tight enough that a quadratic term (100× per decade)
+  * cannot hide.
+  *
+  * Usage: runMain graft.tools.DecadeProbe [sf10Dir] [artifact.json]
+  */
+object DecadeProbe {
+
+  /** Probe set: the heaviest sf1 queries whose inputs live in the
+    * GENERATED corpus (documents/embeddings/events — the tables that
+    * actually grow a decade here), in registry order so the memoized
+    * tiers' visible build entries run before their consumers at each
+    * scale, exactly like the bench. Relational-tier heavies
+    * (tpch_q18_large_orders, column_stats_exact, ...) read symlinked
+    * sf0.1 data at every scale and would only fit noise.
+    */
+  private val Selected: Seq[String] = Seq(
+    // dedup tier (documents) — builds first, then consumers
+    "minhash_index_build", "neardup_graph_build", "substring_covered_build",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_substring_spans",
+    "winnowing_pairs", "winnowing_pairs_blocked", "dedup_components",
+    "label_propagation", "cluster_representatives",
+    // embeddings tier
+    "ann_index_build", "ann_ivf", "ann_pq", "ann_ivf_pq",
+    "kmeans_embeddings", "semdedup_cell_stats", "semdedup",
+    "embedding_neardup",
+    // text-analysis / selection tier (documents)
+    "tfidf_top_terms", "bm25_search", "hybrid_search_rrf",
+    "ngram_lm_perplexity", "nb_lang_classifier", "dsir_selection",
+    "split_contamination", "doc_repetition", "boilerplate_spans",
+    "content_defined_chunks", "pipeline_funnel",
+    // event tier
+    "q1_hot_items", "q2_hot_pages", "active_user_windows")
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val sf10Dir = args.headOption.getOrElse("testdata_sf10")
+    val artifact = args.drop(1).headOption.getOrElse("SCALE_sf10_r11.json")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-decade-probe")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // sf10: one decade above the sf1 probe corpus, same generator
+    ScaleProbe.generate(spark, sf10Dir,
+      nDocs = 500000L, nVecs = 200000L, nEvents = 10000000L)
+    ScaleProbe.linkRelational(sf10Dir)
+
+    val scales = Seq("/root/testdata/sf0.1", "testdata_sf1", sf10Dir)
+    val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
+    val missing = Selected.filterNot(byName.contains)
+    require(missing.isEmpty, s"unknown probe queries: $missing")
+    val meter = new CpuMeter(spark)
+
+    // scale-major order: each scale pays its memoized builds exactly
+    // once, inside the visible *_build entries that run first
+    val measured = scales.map { dir =>
+      graft.queries.Memo.reset()
+      spark.catalog.clearCache()
+      dir -> Selected.map { name =>
+        val q = byName(name)
+        val cpu0 = meter.snapshot()
+        val t0 = System.nanoTime()
+        val rows =
+          try q.run(spark, dir).queryExecution.toRdd.count()
+          catch { case e: Throwable =>
+            println(s"[decade] $name@$dir FAILED: ${e.getMessage}"); -1L }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = meter.snapshot() - cpu0
+        println(f"[decade] $name%-28s @$dir%-22s rows=$rows%10d wall=${wall}%8.1f s cpu=${cpu}%8.1f s")
+        (name, rows, wall, cpu)
+      }.map(r => r._1 -> r).toMap
+    }.toMap
+
+    val Seq(d01, d1, d10) = scales
+    val rows = Selected.map { name =>
+      val (_, r01, w01, c01) = measured(d01)(name)
+      val (_, r1, w1, c1) = measured(d1)(name)
+      val (_, r10, w10, c10) = measured(d10)(name)
+      val failed = r01 < 0 || r1 < 0 || r10 < 0
+      // growth ratio per decade on cpu, floored so near-zero sf0.1
+      // samples (sub-100ms) can't fabricate a huge or tiny exponent
+      val floor = 0.05
+      val g01 = math.max(c1, floor) / math.max(c01, floor)
+      val g1 = math.max(c10, floor) / math.max(c1, floor)
+      val expected = c1 * math.max(g01, 1.0)
+      val budget = 3.0 * expected + 10.0
+      val verdict =
+        if (failed) "FAILED"
+        else if (c10 > budget) "SUPER"
+        else "ok"
+      val dark = !failed && r10 == 0
+      (name, verdict, dark,
+        s""""$name":{"rows":[$r01,$r1,$r10],""" +
+          s""""wall":[${fmt(w01)},${fmt(w1)},${fmt(w10)}],""" +
+          s""""cpu":[${fmt(c01)},${fmt(c1)},${fmt(c10)}],""" +
+          s""""growth_01_1":${fmt(g01)},"growth_1_10":${fmt(g1)},""" +
+          s""""budget_cpu_sf10":${fmt(budget)},"verdict":"$verdict"}""")
+    }
+    val supers = rows.filter(_._2 == "SUPER").map(_._1)
+    val fails = rows.filter(_._2 == "FAILED").map(_._1)
+    val dark = rows.filter(_._3).map(_._1)
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"probe":"three-scale decade growth (sf0.1 -> sf1 -> sf10)","timing":"toRdd","metric":"executor-cpu",
+         |"corpus_sf10":"documents 500k / embeddings 200k / events 10M, ScaleProbe.generate profile; TPC-H tables symlinked from sf0.1 (relational tier excluded from the probe set)",
+         |"budget":"cpu_sf10 <= 3 x cpu_sf1 x max(growth_01_1, 1) + 10s — a quadratic term is 100x/decade and cannot hide; wall recorded but not gated (ambient co-tenancy)",
+         |"nqueries":${rows.size},"superlinear":${arr(supers)},"failed":${arr(fails)},"dark":${arr(dark)},
+         |"total_cpu_sf10":${fmt(Selected.map(measured(d10)(_)._4).sum)},"total_wall_sf10":${fmt(Selected.map(measured(d10)(_)._3).sum)},
+         |"queries":${rows.map(_._4).mkString("{", ",", "}")}}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[decade] superlinear=${supers.size} failed=${fails.size} dark=${dark.size} -> $artifact")
+    spark.stop()
+  }
+}

@@ -159,16 +159,20 @@ object ScaleProbe {
     * the run, and this run's artifact (marked "timing":"toRdd")
     * becomes the first hard-budget baseline.
     */
-  private def loadBaseline(path: String): (Map[String, (Long, Double)], Boolean) = {
+  /** (rows, wallSec, cpuSec — NaN when the baseline predates cpu
+    * recording).
+    */
+  private def loadBaseline(path: String): (Map[String, (Long, Double, Double)], Boolean) = {
     val f = new java.io.File(path)
     if (!f.exists()) (Map.empty, false)
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       // entries may carry trailing fields (budget_sec/rows_exp/... in
-      // budgeted artifacts) — match the (rows, sec) prefix only
-      val Re = """"([A-Za-z0-9_]+)":\{"rows":(-?\d+),"sec":([0-9.]+)[,}]""".r
+      // budgeted artifacts) — match the (rows, sec[, cpu_sec]) prefix only
+      val Re = """"([A-Za-z0-9_]+)":\{"rows":(-?\d+),"sec":([0-9.]+)(,"cpu_sec":([0-9.]+))?[,}]""".r
       (Re.findAllMatchIn(txt)
-        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toDouble)).toMap,
+        .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toDouble,
+          Option(m.group(5)).map(_.toDouble).getOrElse(Double.NaN)))).toMap,
         txt.contains(""""timing":"toRdd""""))
     }
   }
@@ -180,8 +184,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("testdata_sf1")
-    val artifact = args.drop(1).headOption.getOrElse("SCALE_r10.json")
-    val baselinePath = args.drop(2).headOption.getOrElse("SCALE_r09.json")
+    val artifact = args.drop(1).headOption.getOrElse("SCALE_r11.json")
+    val baselinePath = args.drop(2).headOption.getOrElse("SCALE_r10.json")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-probe")
@@ -208,59 +212,82 @@ object ScaleProbe {
     // (regex scrub, array math) times only its grouping skeleton;
     // toRdd materializes the full output rows — what a real consumer
     // pays — and still returns the row count for the band check.
-    def timedRun(q: graft.queries.GraftQuery): (Long, Double) = {
+    // Each run also brackets executor CPU time: wall carries the
+    // host's 1.5-10x ambient co-tenancy error bar, cpu does not, so
+    // once a baseline carries cpu_sec the budget verdict runs on cpu.
+    val meter = new CpuMeter(spark)
+    def timedRun(q: graft.queries.GraftQuery): (Long, Double, Double) = {
+      val cpu0 = meter.snapshot()
       val t0 = System.nanoTime()
       val rows =
         try q.run(spark, out).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           println(s"[probe] ${q.name} FAILED: ${e.getMessage}"); -1L }
-      (rows, (System.nanoTime() - t0) / 1e9)
+      (rows, (System.nanoTime() - t0) / 1e9, meter.snapshot() - cpu0)
     }
     val results = graft.SparkEntry.all.map { q =>
-      var (rows, sec) = timedRun(q)
-      def budgetBad(s: Double) = baseline.get(q.name).exists(b => s > budgetSec(b._2))
+      var (rows, sec, cpu) = timedRun(q)
+      // cpu-first budget check: against a cpu-carrying baseline the
+      // budget is on executor CPU (ambient contention cannot false-
+      // fail it); against an older wall-only baseline it stays on wall
+      def budgetBad(w: Double, c: Double) = baseline.get(q.name).exists {
+        case (_, bSec, bCpu) =>
+          if (!bCpu.isNaN) c > budgetSec(bCpu) else w > budgetSec(bSec)
+      }
       // one retry on a budget breach: the host shows multi-second
       // contention windows that inflate random queries 5-10×; a breach
-      // that reproduces twice is growth, once is weather
-      if (rows >= 0 && budgetBad(sec)) {
-        val (r2, s2) = timedRun(q)
-        if (r2 >= 0 && s2 < sec) { rows = r2; sec = s2 }
+      // that reproduces twice is growth, once is weather. BOTH samples
+      // are recorded (sec + sec_first) so the asymmetric best-of-2
+      // can't silently ratchet rebased budgets tighter.
+      var secFirst = Double.NaN
+      if (rows >= 0 && budgetBad(sec, cpu)) {
+        val (r2, s2, c2) = timedRun(q)
+        if (r2 >= 0 && s2 < sec) { secFirst = sec; rows = r2; sec = s2; cpu = c2 }
       }
       val verdict = baseline.get(q.name) match {
         case None => "new"
-        case Some((bRows, bSec)) =>
-          val over = sec > budgetSec(bSec)
+        case Some((bRows, bSec, bCpu)) =>
+          val onCpu = !bCpu.isNaN
+          val (got, bud) =
+            if (onCpu) (cpu, budgetSec(bCpu)) else (sec, budgetSec(bSec))
+          val metric = if (onCpu) "cpu" else "wall"
           val b =
-            if (!over) ""
-            else if (baselineComparable) s" BUDGET ${fmt(sec)}s > ${fmt(budgetSec(bSec))}s"
-            else s" rebase(${fmt(sec)}s > ${fmt(budgetSec(bSec))}s count-timed)"
+            if (got <= bud) ""
+            else if (baselineComparable) s" BUDGET $metric ${fmt(got)}s > ${fmt(bud)}s"
+            else s" rebase($metric ${fmt(got)}s > ${fmt(bud)}s count-timed)"
           val r = if (rows >= 0 && rowsOk(rows, bRows)) "" else s" ROWS $rows vs $bRows"
           if (b.isEmpty && r.isEmpty) "ok" else (b + r).trim
       }
-      println(f"[probe] ${q.name}%-32s rows=$rows%10d  ${sec}%7.1f s  [$verdict]")
-      (q.name, rows, sec, verdict)
+      println(f"[probe] ${q.name}%-32s rows=$rows%10d  ${sec}%7.1f s  cpu=${cpu}%7.1f s  [$verdict]")
+      (q.name, rows, sec, verdict, cpu, secFirst)
     }
     val dark = results.filter(r => r._2 == 0 && !EmptyOk.contains(r._1))
     val failed = results.filter(_._2 < 0)
     val budgetFail = results.filter(_._4.contains("BUDGET"))
     val rebase = results.filter(_._4.contains("rebase"))
     val rowsFail = results.filter(_._4.contains("ROWS"))
-    val qjson = results.map { case (n, r, s, v) =>
-      val (bRows, bSec) = baseline.getOrElse(n, (-1L, -1.0))
+    val qjson = results.map { case (n, r, s, v, c, sFirst) =>
+      val (bRows, bSec, bCpu) = baseline.getOrElse(n, (-1L, -1.0, Double.NaN))
+      val retried = if (sFirst.isNaN) "" else s""","sec_first":${fmt(sFirst)}"""
       val extra =
         if (v == "new") s""","baseline":"new""""
-        else s""","budget_sec":${fmt(budgetSec(bSec))},"budget_ok":${!v.contains("BUDGET")},"rows_exp":$bRows,"rows_ok":${!v.contains("ROWS")}"""
-      s""""$n":{"rows":$r,"sec":${fmt(s)}$extra}""" }.mkString("{", ",", "}")
+        else {
+          val bud = if (!bCpu.isNaN) budgetSec(bCpu) else budgetSec(bSec)
+          val metric = if (!bCpu.isNaN) "cpu" else "wall"
+          s""","budget_sec":${fmt(bud)},"budget_metric":"$metric","budget_ok":${!v.contains("BUDGET")},"rows_exp":$bRows,"rows_ok":${!v.contains("ROWS")}"""
+        }
+      s""""$n":{"rows":$r,"sec":${fmt(s)},"cpu_sec":${fmt(c)}$retried$extra}""" }.mkString("{", ",", "}")
+    val mode = if (baselineComparable) "hard" else "rebase-allowed"
     val json =
-      s"""{"probe":"full-registry sf1 (budgeted)","timing":"toRdd",
+      s"""{"probe":"full-registry sf1 (budgeted)","timing":"toRdd","mode":"$mode",
          |"corpus":"documents 50k / embeddings 20k / events 1M generated at 10x the sf0.1 shape; TPC-H star tables symlinked from sf0.1 (no absolute thresholds in that tier)",
-         |"baseline":"$baselinePath (budget = max(5s, 3x recorded sec); rows band = +-25%)",
+         |"baseline":"$baselinePath (budget = max(5s, 3x recorded sec) on cpu_sec where the baseline has it, wall otherwise; rows band = +-25%; sec_first discloses the pre-retry sample on budget-breach retries)",
          |"rebase":${rebase.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"nqueries":${results.size},"dark":${dark.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"failed":${failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"budget_fail":${budgetFail.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"rows_fail":${rowsFail.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
-         |"total_sec":${fmt(results.map(_._3).sum)},
+         |"total_sec":${fmt(results.map(_._3).sum)},"total_cpu_sec":${fmt(results.map(_._5).sum)},
          |"queries":$qjson}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -661,6 +661,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     sd.unpersist()
   }
 
+  test("semdedup cell chunking: a planted mega-cell is split at the cap and the pair bound engages") {
+    val s = spark
+    import s.implicits._
+    // one degenerate cell of 10 members (all cid=0), priority order
+    // d DESC then vec_id — cap 3 must chunk it 3/3/3/1
+    val a = (0L until 10L).map(id => (id, 0L, (10 - id) / 10.0))
+      .toDF("vec_id", "cid", "d")
+    val chunked = graft.queries.CorpusMining.semCellChunks(a, 3).cache()
+    val bySub = chunked.groupBy("sub").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySub == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 1L),
+      s"expected 3/3/3/1 chunks, got $bySub")
+    // rank follows the priority order exactly: highest d -> rn 1
+    val rnOf = chunked.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rnOf(0L) == 1L && rnOf(9L) == 10L, s"rank must follow d DESC: $rnOf")
+    // the sweep bound: pairs within chunks = 3+3+3+0 = 9, not the
+    // 45 an uncapped 10-member cell would sweep
+    val u = chunked.select(col("vec_id").as("uid"), col("cid"), col("sub"),
+      col("rn").as("urn"))
+    val pairs = u.join(chunked, Seq("cid", "sub"))
+      .filter(col("urn") < col("rn")).count()
+    assert(pairs == 9L, s"chunked sweep must see 9 pairs, saw $pairs")
+    chunked.unpersist()
+    // and with the cap NOT engaged (cap >= cell size) the sweep is the
+    // full cell — chunking is inert exactly when cells are small
+    val whole = graft.queries.CorpusMining.semCellChunks(a, 10)
+    val uw = whole.select(col("vec_id").as("uid"), col("cid"), col("sub"),
+      col("rn").as("urn"))
+    assert(uw.join(whole, Seq("cid", "sub")).filter(col("urn") < col("rn")).count() == 45L)
+  }
+
   test("ann_ivf_pq: every probe answered, answers drawn from the pruned cells, ranks well-formed") {
     val ivfpq = SparkEntry.queries("ann_ivf_pq")(spark, sf)
     val probes = graft.sources.Tables.embeddings(spark, sf)

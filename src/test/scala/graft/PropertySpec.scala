@@ -238,6 +238,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PqAdcSum fails loudly on null elements (no silent 0-valued read)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // a null code slot would otherwise read as code 0 — a VALID cell —
+    // and produce a silently wrong sum
+    val nullCode = new GenericArrayData(Array[Any](1L, null))
+    val lut = new GenericArrayData((0L until 8L).map(l => l: Any).toArray)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.PqAdcSum.sum(nullCode, lut)
+    }
+    assert(e1.getMessage.contains("null code"))
+    val codes = new GenericArrayData(Array[Any](1L, 2L))
+    val nullLut = new GenericArrayData(
+      Array[Any](0L, 1L, 2L, 3L, 4L, 5L, null, 7L))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.PqAdcSum.sum(codes, nullLut)
+    }
+    assert(e2.getMessage.contains("null LUT"))
+  }
+
   test("FloatVecDot eval == sequential product fold") {
     holds(Prop.forAll(floatVec, floatVec) { (a0, b0) =>
       val n = math.min(a0.length, b0.length)

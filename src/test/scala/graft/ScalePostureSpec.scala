@@ -558,6 +558,7 @@ class ScalePostureSpec extends AnyFunSuite {
       "ann_pq", // brute ADC baseline: probe-set LUT broadcast product, like ann_bruteforce
       "ann_index_probe", // same centroid-table broadcast as ann_ivf_pq
       "semdedup", // same k-row centroid broadcast as kmeans_embeddings
+      "semdedup_cell_stats", // composes kmeansAssign: same k-row centroid broadcast
       "tfidf_top_terms", "bm25_search", "pmi_bigrams", // corpus totals (1 row)
       "source_divergence", // 1-row corpus token total
       "zorder_layout", "gapfill_hourly", "active_user_windows", // min/max bounds

@@ -10,25 +10,36 @@ survives in the tail plus the parsed compact map (15 slowest). For each
 query present in both runs the script reports the ratio new/old and
 flags anything past the 30% honesty gate, so a BASELINE.md claim of
 "no >30% regressions" is a mechanical check, not an eyeball.
+
+Gate metric: executor CPU first, wall second. Wall timings on this
+host carry a documented 1.5-10x ambient co-tenancy error bar; CPU does
+not. When both files carry a `queries_cpu` map (bench_out.json and
+BENCH_PIN artifacts from round 11 on), a query only FAILS the gate on
+cpu_ratio > 1.30 — wall-only drift is reported as informational.
+Against an older wall-only reference the gate falls back to wall.
 """
 import json
 import re
 import sys
 
 
-def ref_map(path):
+def ref_maps(path):
+    """(wall map, cpu map) — cpu empty for pre-r11 artifacts."""
     with open(path) as f:
         d = json.load(f)
-    out = {}
+    wall, cpu = {}, {}
+    # BENCH_PIN files may be a raw bench_out payload, not driver-wrapped
+    payload = d if "queries" in d else (d.get("parsed") or {})
     tail = d.get("tail") or ""
     for name, val in re.findall(r'"([a-z0-9_]+)":(-?\d+\.\d+)', tail):
-        if name not in ("value",):
-            out[name] = float(val)
-    parsed = d.get("parsed") or {}
-    for name, val in (parsed.get("queries") or {}).items():
-        out[name] = float(val)
-    out.pop("sf", None)
-    return out
+        if name not in ("value", "cpu_total"):
+            wall[name] = float(val)
+    for name, val in (payload.get("queries") or {}).items():
+        wall[name] = float(val)
+    for name, val in (payload.get("queries_cpu") or {}).items():
+        cpu[name] = float(val)
+    wall.pop("sf", None)
+    return wall, cpu
 
 
 def main():
@@ -36,28 +47,47 @@ def main():
     new_path = args[0] if args else "bench_out.json"
     ref_paths = args[1:] or ["BENCH_r07.json"]
     with open(new_path) as f:
-        new = json.load(f)["queries"]
-    ref = {}
+        d = json.load(f)
+    new = d["queries"]
+    new_cpu = d.get("queries_cpu") or {}
+    ref, ref_cpu = {}, {}
     for p in ref_paths:
-        ref.update(ref_map(p))
+        w, c = ref_maps(p)
+        ref.update(w)
+        ref_cpu.update(c)
 
     both = sorted(set(new) & set(ref))
-    slower, faster = [], []
+    gated = sorted(set(new_cpu) & set(ref_cpu) & set(both))
+    slower, faster, wall_drift = [], [], []
     for q in both:
         if ref[q] <= 0 or new[q] <= 0:
             continue
-        r = new[q] / ref[q]
-        if r > 1.30:
-            slower.append((q, ref[q], new[q], r))
-        elif r < 0.70:
-            faster.append((q, ref[q], new[q], r))
-    print(f"compared {len(both)} queries (new={len(new)}, ref={len(ref)})")
-    print(f"total new: {sum(v for v in new.values() if v > 0):.1f}s  "
-          f"ref(partial): {sum(ref[q] for q in both):.1f}s over shared set")
-    for tag, rows in (("SLOWER >30%", slower), ("faster >30%", faster)):
+        wr = new[q] / ref[q]
+        if q in gated and ref_cpu[q] > 0 and new_cpu[q] > 0:
+            cr = new_cpu[q] / ref_cpu[q]
+            if cr > 1.30:
+                slower.append((q, ref_cpu[q], new_cpu[q], cr, "cpu"))
+            elif wr > 1.30:
+                wall_drift.append((q, ref[q], new[q], wr, "wall"))
+            elif cr < 0.70:
+                faster.append((q, ref_cpu[q], new_cpu[q], cr, "cpu"))
+        else:
+            if wr > 1.30:
+                slower.append((q, ref[q], new[q], wr, "wall"))
+            elif wr < 0.70:
+                faster.append((q, ref[q], new[q], wr, "wall"))
+    print(f"compared {len(both)} queries (new={len(new)}, ref={len(ref)}, "
+          f"cpu-gated={len(gated)})")
+    print(f"total new: {sum(v for v in new.values() if v > 0):.1f}s wall"
+          + (f" / {sum(v for v in new_cpu.values() if v > 0):.1f}s cpu"
+             if new_cpu else "")
+          + f"  ref(partial): {sum(ref[q] for q in both):.1f}s wall over shared set")
+    for tag, rows in (("SLOWER >30% (gate)", slower),
+                      ("wall-only drift >30% (info, cpu within gate)", wall_drift),
+                      ("faster >30%", faster)):
         print(f"-- {tag}: {len(rows)}")
-        for q, a, b, r in sorted(rows, key=lambda x: -x[3]):
-            print(f"   {q:32s} {a:7.3f}s -> {b:7.3f}s  x{r:.2f}")
+        for q, a, b, r, m in sorted(rows, key=lambda x: -x[3]):
+            print(f"   {q:32s} {a:7.3f}s -> {b:7.3f}s  x{r:.2f} ({m})")
     missing = sorted(set(ref) - set(new))
     if missing:
         print(f"-- in ref but not new: {missing}")
