@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,13 +62,30 @@ object DedupQueries {
       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents))""".stripMargin
 
   // ------------------------------------------------------ MinHash + LSH
-  private val NumPerms = 8
-  private val NumBands = 4 // 2 rows per band
+  /** 16 bands × 4 rows (64 permutations). Round 11's decade probe
+    * caught the original 4 bands × 2 rows superlinear (dedup_minhash_lsh
+    * CPU grew 213× across the sf1→sf10 decade): with r = 2, two
+    * UNRELATED docs of Jaccard J collide in a band with probability J²
+    * — on a bounded-vocabulary corpus that keeps every bucket's
+    * occupancy growing ∝ n UNDER the 400-row cap, so candidate volume
+    * (Σ|bucket|²) grows ∝ n² until buckets saturate. r = 4 drops the
+    * background collision rate to J⁴ (25× fewer false candidates at
+    * J = 0.1) and makes the band key 4 signatures wide, so bucket
+    * granularity grows exponentially with r and occupancy tracks TRUE
+    * near-dup clusters (fixed size in any real corpus), not n. The
+    * S-curve midpoint (1/b)^(1/r) = (1/16)^(1/4) = 0.5 still sits
+    * exactly at the verify threshold; recall for a true pair at
+    * J = 0.7 is 1−(1−0.7⁴)^16 ≈ 0.99. Permutations are universal
+    * hashes (a·h+b mod P) with a, b derived from two fixed LCG seeds —
+    * the oracle SQL interpolates the SAME Seq values, so both engines
+    * agree exactly.
+    */
+  private val NumBands = 16
+  private val RowsPerBand = 4
+  private val NumPerms = NumBands * RowsPerBand
   private val P = 2147483647L // 2^31 - 1: a*h + b stays under 2^62
-  private val PermA = Seq(1103515245L, 1299709L, 15485863L, 32452843L,
-    49979687L, 67867967L, 86028121L, 104395301L)
-  private val PermB = Seq(12345L, 67891L, 104729L, 217645199L,
-    413158511L, 613651349L, 817504243L, 1031750401L)
+  private val PermA = (1 to NumPerms).map(i => (15485863L * i + 32452843L) % P)
+  private val PermB = (1 to NumPerms).map(i => (86028121L * i + 104395301L) % P)
 
   // -------------------------------------------- band-bucket cap (scale)
   /** Per-(band, bucket) candidate caps. A bucket of n docs yields
@@ -121,10 +138,10 @@ object DedupQueries {
     */
 
   /** MinHash signatures via universal hashing — ONE md5 per distinct
-    * shingle, then each of the 8 permutations is `(a_p*h + b_p) mod P`
-    * (arithmetic only, exact in both engines). Hashing cost is 1/8 of
+    * shingle, then each of the 64 permutations is `(a_p*h + b_p) mod P`
+    * (arithmetic only, exact in both engines). Hashing cost is 1/64 of
     * the naive seeded-md5-per-permutation form and the permutation math
-    * stays inside whole-stage codegen. Banded into 4 LSH buckets of 2
+    * stays inside whole-stage codegen. Banded into 16 LSH buckets of 4
     * rows; docs sharing any band bucket become candidate pairs, then
     * exact shingle-Jaccard >= 0.5 confirms. The band self-join is an
     * equi-join on (band, band_key) — candidate volume scales with true
@@ -146,6 +163,24 @@ object DedupQueries {
       val t @ (sets, sigs, _) = minhashIndexFresh(spark, dir)
       (t, Seq(sets, sigs))
     }
+
+  /** Packed key of band `b` from the 64 signature columns s0..s63:
+    * md5 over the band's `RowsPerBand` signatures joined with '_',
+    * truncated to a BIGINT. Shared by the static index build and the
+    * streaming-compatible [[minhashBandKeyed]] so their keys are
+    * bit-identical.
+    */
+  private def bandKeyCol(b: Int): Column = {
+    val sigs = (0 until RowsPerBand).map(r => col(s"s${RowsPerBand * b + r}"))
+    conv(substring(md5(concat_ws("_", sigs: _*)), 1, 15), 16, 10).cast("long")
+  }
+
+  /** DuckDB twin of [[bandKeyCol]] for band index `b`. */
+  private def duckBandKey(b: Int): String = {
+    val cat = (0 until RowsPerBand).map(r => s"s${RowsPerBand * b + r}")
+      .mkString(" || '_' || ")
+    s"CAST(CAST('0x' || substr(md5($cat), 1, 15) AS UBIGINT) AS BIGINT)"
+  }
 
   private def minhashIndexFresh(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -170,11 +205,14 @@ object DedupQueries {
       min(expr(s"(${PermA(p)} * hv + ${PermB(p)}) % $P")).as(s"s$p")) :+
       count(lit(1)).as("c")
     val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*).localCheckpoint()
-    // band key packs the two row-signatures into one BIGINT (s < P, so
-    // s0*P + s1 < 2^62) — no hashing needed for the bucket join key
+    // band key: md5 over the band's 4 row-signatures rendered in
+    // decimal, truncated to 15 hex chars (< 2^60 — fits a BIGINT).
+    // Both engines render non-negative BIGINTs identically and share
+    // the md5, so the packed keys agree exactly; a cross-band hash
+    // collision could only ADD a candidate pair, which the exact
+    // Jaccard verify stage then scores like any other candidate.
     val bandCols = (0 until NumBands).map(b =>
-      struct(lit(b).as("band"),
-        (col(s"s${2 * b}") * P + col(s"s${2 * b + 1}")).as("bh")))
+      struct(lit(b).as("band"), bandKeyCol(b).as("bh")))
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
@@ -209,7 +247,7 @@ object DedupQueries {
     * exploded/aggregated form [[minhashIndex]] builds: same
     * md5-derived hash, same permutations, same packed band keys.
     * Output: (idAs, shsAs distinct-shingle array, cAs set size,
-    * bandAs 0-based band, bhAs packed key, bandsAs all 4 keys).
+    * bandAs 0-based band, bhAs packed key, bandsAs all 16 keys).
     */
   def minhashBandKeyed(docs: DataFrame, idAs: String, shsAs: String,
       cAs: String, bandAs: String, bhAs: String, bandsAs: String): DataFrame = {
@@ -219,8 +257,7 @@ object DedupQueries {
       array_min(transform(col("hvs"),
         h => (h * PermA(p) + PermB(p)) % P)).as(s"s$p")
     }
-    val bandKeys = (0 until NumBands).map(b =>
-      col(s"s${2 * b}") * P + col(s"s${2 * b + 1}"))
+    val bandKeys = (0 until NumBands).map(bandKeyCol)
     docs
       .withColumn(shsAs, shs)
       // docs with <3 tokens have an empty shingle set: array_min over it
@@ -271,7 +308,7 @@ object DedupQueries {
     val sigCols = (0 until NumPerms).map(p =>
       s"min((${PermA(p)} * hv + ${PermB(p)}) % $P) AS s$p").mkString(", ")
     val bandCase = (0 until NumBands).map(b =>
-      s"WHEN $b THEN s${2 * b} * $P + s${2 * b + 1}").mkString(" ")
+      s"WHEN $b THEN ${duckBandKey(b)}").mkString(" ")
     s"""$duckShingles,
        |hashed AS (
        |  SELECT doc_id, CAST(CAST('0x' || substr(md5(sh), 1, 8) AS UBIGINT) AS BIGINT) % $P AS hv
@@ -359,6 +396,21 @@ object DedupQueries {
   private val WinW = 4 // winnow window (hashes); guarantee t = w+k-1 = 6 words
   private val WinPosPack = 16777216L // 2^24: hv*pack+pos < 2^56, pos < 16M grams
   private val WinDfFrac = 10 // stop-fingerprint cutoff: df <= ndocs/10
+  /** Absolute per-fingerprint posting-list cap for the EXACT pair
+    * report (MOSS's "ignore fingerprints appearing in more than K
+    * documents"). Round 11's decade probe measured the uncapped form
+    * at 174×/decade CPU growth (30,938 CPU-seconds at sf10): on a
+    * bounded-vocabulary corpus every common phrase's df grows ∝ n, the
+    * RELATIVE cutoff above grows right along with it (ndocs/10), and
+    * the single-fingerprint equi-join enumerates Σ df² pairs — n² in
+    * the mid-df mass. An absolute cap bounds candidates by
+    * max_df × total_postings ∝ n. Dormant through sf1 (max df there is
+    * 122), so every oracle-gate output is unchanged; mirrored verbatim
+    * in the oracle, so correctness holds wherever it engages. The
+    * bigram-blocked variant stays the preferred scale path (its
+    * candidates need a shared ≥ 10-token run, 1.6×/decade measured).
+    */
+  private val WinFpCap = 400
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm) over word 3-grams: per doc, hash every gram in
@@ -411,20 +463,33 @@ object DedupQueries {
           size(col("fhvs")).cast("long").as("c"))
     }
 
-  private def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, fhv) winnowing postings after the RELATIVE stop filter —
+    * the exact pair report's join table before its absolute cap, and
+    * the population `dedup_band_stats` accounts the cap against.
+    * The stop filter is a broadcast ANTI join: the OVERSIZED list
+    * (df > ndocs/10) is a heavy-hitter rollup — tiny by construction —
+    * where the round-9 form materialized a checkpoint of the KEPT side
+    * (≈ the whole fingerprint table when no fingerprint is oversized,
+    * 1.7 s of no-op join at sf1).
+    */
+  private def winnowPostingsKept(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowFpSets(spark, dir)
     val fp = fps.select(col("doc_id"), explode(col("fhvs")).as("fhv"))
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
-    // stop-fingerprint filter as a broadcast ANTI join: the OVERSIZED
-    // list (df > ndocs/10) is a heavy-hitter rollup — tiny by
-    // construction — where the round-9 form materialized a checkpoint
-    // of the KEPT side (≈ the whole fingerprint table when no
-    // fingerprint is oversized, 1.7 s of no-op join at sf1)
     val stop = fp.groupBy(col("fhv")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
       .filter(col("df") > expr(s"ndocs div $WinDfFrac"))
       .select(col("fhv"))
-    val fpr = fp.join(broadcast(stop), Seq("fhv"), "left_anti")
+    fp.join(broadcast(stop), Seq("fhv"), "left_anti")
+  }
+
+  private def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFpSets(spark, dir)
+    // absolute posting-list cap on top of the relative cutoff: the
+    // relative cutoff keeps REPORT semantics (drop corpus-wide
+    // boilerplate), the absolute cap keeps the JOIN linear (see
+    // WinFpCap)
+    val fpr = capBuckets(winnowPostingsKept(spark, dir), WinFpCap, Seq("fhv"))
     fpr.as("a")
       .join(fpr.as("b"), col("a.fhv") === col("b.fhv") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -537,7 +602,7 @@ object DedupQueries {
        |fp AS (SELECT DISTINCT doc_id, fhv FROM wsel),
        |nd AS (SELECT count(*) AS ndocs FROM documents),
        |rare AS (SELECT fhv FROM fp GROUP BY 1
-       |         HAVING count(*) <= (SELECT ndocs FROM nd) // $WinDfFrac),
+       |         HAVING count(*) <= least((SELECT ndocs FROM nd) // $WinDfFrac, $WinFpCap)),
        |fpr AS (SELECT fp.doc_id, fp.fhv FROM fp JOIN rare USING (fhv)),
        |cnt AS (SELECT doc_id, count(*) AS c FROM fp GROUP BY 1),
        |p AS (
@@ -1556,8 +1621,13 @@ object DedupQueries {
       .groupBy(col("b").as("band"), col("bk")).agg(count(lit(1)).as("n"))
     val (_, _, bands) = minhashIndex(spark, dir)
     val mbuck = bands.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+    // winnowing has no bands — its "buckets" are the per-fingerprint
+    // posting lists the exact pair report self-joins (band pinned 0)
+    val wbuck = winnowPostingsKept(spark, dir)
+      .groupBy(lit(0L).as("band"), col("fhv")).agg(count(lit(1)).as("n"))
     bandStatsOf(sbuck, "simhash", SimhashBandCap)
       .unionAll(bandStatsOf(mbuck, "minhash", MinhashBandCap))
+      .unionAll(bandStatsOf(wbuck, "winnowing", WinFpCap))
   }
 
   private def duckBandStat(src: String, space: String, cap: Int): String =
@@ -1574,11 +1644,21 @@ object DedupQueries {
     s"""WITH $duckSimhash,
        |$duckSimhashBanded,
        |$duckMinhashIndex,
+       |$duckWinnowSel,
        |sbuck AS (SELECT b AS band, bk, count(*) AS n FROM banded GROUP BY 1, 2),
-       |mbuck AS (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2)
+       |mbuck AS (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2),
+       |wfp AS (SELECT DISTINCT doc_id, fhv FROM wsel),
+       |wkept AS (
+       |  SELECT wfp.doc_id, wfp.fhv FROM wfp
+       |  JOIN (SELECT fhv FROM wfp GROUP BY 1
+       |        HAVING count(*) <= (SELECT count(*) FROM documents) // $WinDfFrac) r
+       |  USING (fhv)),
+       |wbuck AS (SELECT 0 AS band, fhv, count(*) AS n FROM wkept GROUP BY 1, 2)
        |${duckBandStat("sbuck", "simhash", SimhashBandCap)}
        |UNION ALL
-       |${duckBandStat("mbuck", "minhash", MinhashBandCap)}""".stripMargin
+       |${duckBandStat("mbuck", "minhash", MinhashBandCap)}
+       |UNION ALL
+       |${duckBandStat("wbuck", "winnowing", WinFpCap)}""".stripMargin
 
   // --------------------------------------- build-cost accounting entries
   /** Materializes the shared SimHash pair graph AND its connected

@@ -16,15 +16,15 @@ import graft.sources.Tables
   *   arrays); top-k is a rank-limit (WindowGroupLimit), so per-
   *   partition state is k rows per probe.
   * - `embedding_neardup`: top-50 most-similar candidate pairs from a
-  *   banded hyperplane LSH (4 bands x 8 planes). Candidates are pairs
-  *   whose 8-bit band signature matches in at least one band — two
-  *   equi-joins and a distinct, never an all-pairs product, so the
-  *   candidate count scales with collisions (~L/2^k of all pairs for
-  *   unrelated vectors), not n². For genuine near-dups (cos >= 0.99)
-  *   per-band recall is (1-theta/pi)^8 ~ 0.97 and any-of-4-bands
-  *   recall >0.999 — asserted on planted duplicates in
-  *   ScalePostureSpec. Norms are precomputed once per vector, so each
-  *   surviving candidate costs exactly one fused-dot pass.
+  *   banded hyperplane LSH (4 bands, scale-adaptive 12-24 bits per
+  *   band — see [[ndSigBits]]). Candidates are pairs whose band
+  *   signature matches in at least one band — two equi-joins and a
+  *   stateless first-band filter, never an all-pairs product, so the
+  *   candidate count scales with collisions, not n². For genuine
+  *   near-dups (cos >= 0.999) any-of-4-bands recall stays > 0.99 at
+  *   every width — asserted on planted duplicates in ScalePostureSpec.
+  *   Norms are precomputed once per vector, so each surviving
+  *   candidate costs exactly one fused-dot pass.
   * - `ann_ivf`: IVF-style two-stage search — coarse quantize to
   *   per-label centroids, probe only the 2 nearest cells; the fine
   *   search touches ~2/10ths of the corpus and both stages stay as
@@ -45,6 +45,23 @@ object SimilarityQueries {
   private def duckDot(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')"
 
+  /** ANN probe workload: every 100th vec_id, BOUNDED at id < 20000 so
+    * the probe set is a FIXED batch (200 queries) once the corpus
+    * passes 20k vectors instead of a set that grows with the corpus.
+    * Round 11's decade probe caught the unbounded form: with probes
+    * ∝ n, every probes×corpus search stage is quadratic per decade BY
+    * WORKLOAD (ann_pq CPU grew 146× across the sf1→sf10 decade while
+    * its per-probe cost grew 10× — exactly linear). At 100 TB the
+    * query batch is what it is regardless of corpus size; fixing it
+    * makes the measured growth the ENGINE's per-probe corpus scaling
+    * (linear full scan for brute/pq, cell-bounded for ivf). The bound
+    * is dormant at every oracle gate scale (sf ≤ 1 has ≤ 20k vectors)
+    * and mirrored verbatim in every consumer's DuckDB oracle.
+    */
+  private val ProbeIdBound = 20000L
+  private def probeFilter(id: Column): Column =
+    id % 100 === 0 && id < ProbeIdBound
+
   /** Vectors + precomputed L2 norm (one pass per vector, not per pair). */
   private def vecsWithNorm(spark: SparkSession, dir: String, idAs: String, vecAs: String, normAs: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -55,7 +72,7 @@ object SimilarityQueries {
   private def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vecsWithNorm(spark, dir, "vec_id", "e", "vn")
     val probes = vecsWithNorm(spark, dir, "probe_id", "pe", "pn")
-      .filter(col("probe_id") % 100 === 0)
+      .filter(probeFilter(col("probe_id")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("simr").desc, col("vec_id"))
     vecs.crossJoin(broadcast(probes))
@@ -71,7 +88,7 @@ object SimilarityQueries {
        |  SELECT vec_id, embedding AS e,
        |         sqrt(${duckDot("embedding", "embedding")}) AS vn
        |  FROM embeddings),
-       |p AS (SELECT vec_id AS probe_id, e AS pe, vn AS pn FROM v WHERE vec_id % 100 = 0),
+       |p AS (SELECT vec_id AS probe_id, e AS pe, vn AS pn FROM v WHERE vec_id % 100 = 0 AND vec_id < $ProbeIdBound),
        |s AS (
        |  SELECT probe_id, vec_id, round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
        |  FROM v CROSS JOIN p WHERE vec_id <> probe_id)
@@ -97,7 +114,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), col("embedding").as("e"))
       .withColumn("vn", sqrt(dotCol("e", "e")))
     val probes = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 100 === 0)
+      .filter(probeFilter(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
         col("embedding").as("pe"))
       .withColumn("pn", sqrt(dotCol("pe", "pe")))
@@ -118,7 +135,7 @@ object SimilarityQueries {
        |         sqrt(${duckDot("embedding", "embedding")}) AS vn
        |  FROM embeddings),
        |p AS (SELECT vec_id AS probe_id, label AS probe_label, e AS pe, vn AS pn
-       |      FROM v WHERE vec_id % 100 = 0),
+       |      FROM v WHERE vec_id % 100 = 0 AND vec_id < $ProbeIdBound),
        |s AS (
        |  SELECT probe_id, probe_label, vec_id, label,
        |         round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
@@ -130,31 +147,49 @@ object SimilarityQueries {
 
   // ------------------------------------------------------ near-dup pairs
   private val NdBands = 4
-  /** Planes (= signature bits) per band. LSH sizing: random-pair
-    * collision probability per band is ~2^-planes at the corpus's
-    * typical pair angle, so bits per band should track log2(n) — 8 bits
-    * saturated at the 20k-vector sf1 probe (clustered corpora pile into
-    * few buckets and the banded join's candidate volume, not the
-    * signature cost, dominates). 12 bits cuts random collisions 16×
-    * while planted near-identical pairs (cos >= 0.999, theta <= 0.045)
-    * keep per-band recall (1-theta/pi)^12 ~ 0.84 and any-of-4-bands
-    * recall ~0.9994 (asserted in ScalePostureSpec). At larger corpus
-    * decades, raise this with log2(n) rather than capping the dense
-    * buckets — near-dup search wants the dense area, unlike the
-    * SimHash pair REPORT where the cap is the right tool.
+  /** Maximum planes (= signature bits) per band; the EFFECTIVE width is
+    * scale-adaptive (see [[ndSigBits]]). LSH sizing: random-pair
+    * collision probability per band is ~2^-bits at the corpus's
+    * typical pair angle, so bits must track log2(n) — round 10 raised
+    * a fixed 8 to a fixed 12 when the 20k-vector sf1 probe saturated
+    * it, and round 11's decade probe showed the same saturation one
+    * decade later (candidate CPU grew 73× across the sf0.1→sf1 decade:
+    * with FIXED bits and cluster populations ∝ n, per-bucket occupancy
+    * grows ∝ n and the banded join's candidate volume ∝ n²). Instead
+    * of chasing the corpus with a constant, each query derives the
+    * width from the corpus itself: bits = clamp(ceil(log2(n)), 12, 24)
+    * — +log2(growth) bits per decade holds expected bucket occupancy
+    * CONSTANT, so candidates scale with the corpus, not its square.
+    * Each band owns a 24-plane budget and a width-w signature uses its
+    * FIRST w planes (so it equals the low w bits of the full-width
+    * one), which keeps the oracle static: DuckDB derives the same bits
+    * from its own count(*) and iterates the same plane range. At the
+    * oracle gate scales (≤ 2k vectors) the 12-bit floor is binding, so
+    * gate outputs are unchanged from a fixed-12-bit design.
     */
-  private val NdBandPlanes = 12 // 4 bands x 12 planes = 48 hyperplanes
+  private val NdBandPlanes = 24 // 4 bands x 24 planes = 96 hyperplanes
+  private val NdMinBits = 12
+
+  /** Effective per-band signature width for an n-vector corpus:
+    * ceil(log2(n)) clamped to [NdMinBits, NdBandPlanes]. */
+  def ndSigBits(nVecs: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, nVecs) - 1)
+    math.min(NdBandPlanes, math.max(NdMinBits, ceilLog2))
+  }
 
   private lazy val ndPlanes: Seq[Seq[Double]] = mdPlanes(NdBands * NdBandPlanes)
 
-  /** NdBandPlanes-bit (12-bit) signature of one LSH band: bit j = sign
-    * of plane (band*NdBandPlanes+j) dotted with the vector. Plane
-    * constants are the same md5-derived literals as [[lshBucketCol]],
-    * so DuckDB reproduces them exactly.
+  /** `bits`-wide signature of one LSH band: bit j = sign of plane
+    * (band*NdBandPlanes+j) dotted with the vector, j < bits. Only the
+    * EFFECTIVE planes are computed (the band's plane budget is
+    * NdBandPlanes; a narrower width uses its first `bits` planes, so a
+    * width-w signature is exactly the low w bits of the full one).
+    * Plane constants are the same md5-derived literals as
+    * [[lshBucketCol]], so DuckDB reproduces them exactly.
     */
-  private def ndSigCol(vecCol: String, band: Int): Column =
+  private def ndSigCol(vecCol: String, band: Int, bits: Int): Column =
     VectorExpressions.planeSig(col(vecCol),
-      ndPlanes.slice(band * NdBandPlanes, (band + 1) * NdBandPlanes))
+      ndPlanes.slice(band * NdBandPlanes, band * NdBandPlanes + bits))
 
   /** Banded-LSH near-dup candidate pairs over a (vec_id, embedding)
     * frame: pairs whose band signature matches in >= 1 of the 4 bands,
@@ -162,21 +197,22 @@ object SimilarityQueries {
     * the 100 TB shape. Public for the planted-recall spec.
     */
   /** A (vec_id, embedding) frame exploded to one row per LSH band with
-    * its 8-bit signature, plus the precomputed norm — the join-ready
+    * its sigBits-wide signature, plus the precomputed norm — the join-ready
     * shape for banded candidate generation. Works on static AND
     * streaming frames (stateless column work), which is what makes the
     * streaming near-dup lookup a plain stream-static equi-join.
     */
   def bandKeyed(v: DataFrame, idAs: String, vecAs: String,
       normAs: String, bandAs: String, sigAs: String,
-      sigsAs: String = "sigs_all"): DataFrame =
+      sigsAs: String = "sigs_all", sigBits: Int = NdMinBits): DataFrame =
     v.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
       .withColumn(normAs, sqrt(dotCol(vecAs, vecAs)))
       // keep the full per-band signature array alongside the exploded
       // (band, sig) join key: a downstream join can then keep ONLY the
       // first band in which a pair collides (`firstCollidingBand`) —
       // exact pair-dedup as a stateless column filter, no distinct()
-      .withColumn(sigsAs, array((0 until NdBands).map(l => ndSigCol(vecAs, l)): _*))
+      .withColumn(sigsAs, array((0 until NdBands).map(l =>
+        ndSigCol(vecAs, l, sigBits)): _*))
       .select(col(idAs), col(vecAs), col(normAs), col(sigsAs),
         posexplode(col(sigsAs)).as(Seq(bandAs, sigAs)))
 
@@ -195,8 +231,11 @@ object SimilarityQueries {
     round(dotCol(aVec, bVec) / (col(aNorm) * col(bNorm)), 6)
 
   def neardupPairs(v: DataFrame): DataFrame = {
-    val a = bandKeyed(v, "vec_a", "ea", "na", "band_a", "sig_a", "sigs_a")
-    val b = bandKeyed(v, "vec_b", "eb", "nb", "band_b", "sig_b", "sigs_b")
+    // one count to size the signature width from the corpus itself —
+    // the price of holding bucket occupancy constant across decades
+    val bits = ndSigBits(v.count())
+    val a = bandKeyed(v, "vec_a", "ea", "na", "band_a", "sig_a", "sigs_a", bits)
+    val b = bandKeyed(v, "vec_b", "eb", "nb", "band_b", "sig_b", "sigs_b", bits)
     a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
         col("vec_a") < col("vec_b"))
       // a pair can collide in several bands (same simr each time —
@@ -213,9 +252,12 @@ object SimilarityQueries {
       .orderBy(col("simr").desc, col("vec_a"), col("vec_b"))
       .limit(50)
 
-  /** DuckDB twin of [[ndSigCol]] for band index column `bandRef`. */
-  private def duckNdSig(vecCol: String, bandRef: String): String =
-    s"""CAST(list_aggregate(list_transform(range(0, $NdBandPlanes), j ->
+  /** DuckDB twin of [[ndSigCol]]: computes the first `bitsRef` of band
+    * `bandRef`'s NdBandPlanes-plane budget, exactly like the Spark
+    * slice.
+    */
+  private def duckNdSig(vecCol: String, bandRef: String, bitsRef: String): String =
+    s"""CAST(list_aggregate(list_transform(range(0, $bitsRef), j ->
        |  CASE WHEN list_aggregate(list_transform(range(1, len($vecCol) + 1), i ->
        |         (CAST(CAST('0x' || substr(md5(($NdBandPlanes * $bandRef + j) || '_' || i), 1, 8) AS UBIGINT) AS DOUBLE) / 2147483648.0 - 1.0)
        |         * $vecCol[i]::DOUBLE), 'sum') > 0
@@ -226,9 +268,14 @@ object SimilarityQueries {
        |  SELECT vec_id, embedding AS e,
        |         sqrt(${duckDot("embedding", "embedding")}) AS vn
        |  FROM embeddings),
+       |nb AS (
+       |  SELECT greatest($NdMinBits, least($NdBandPlanes,
+       |           CAST(ceil(log2(greatest(2, count(*)))) AS INTEGER))) AS bits
+       |  FROM embeddings),
        |k AS (
-       |  SELECT vec_id, e, vn, g.band AS band, ${duckNdSig("e", "g.band")} AS sig
-       |  FROM v CROSS JOIN generate_series(0, ${NdBands - 1}) g(band)),
+       |  SELECT vec_id, e, vn, g.band AS band,
+       |         ${duckNdSig("e", "g.band", "nb.bits")} AS sig
+       |  FROM v CROSS JOIN nb CROSS JOIN generate_series(0, ${NdBands - 1}) g(band)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         round(${duckDot("a.e", "b.e")} / (a.vn * b.vn), 6) AS simr
@@ -281,7 +328,7 @@ object SimilarityQueries {
     val vecs = vecsWithNorm(spark, dir, "vec_id", "e", "vn")
       .withColumn("bucket", lshBucketCol("e"))
     val probes = vecs
-      .filter(col("vec_id") % 100 === 0)
+      .filter(probeFilter(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("e").as("pe"),
         col("vn").as("pn"), col("bucket").as("pbucket"))
     val w = org.apache.spark.sql.expressions.Window
@@ -301,7 +348,7 @@ object SimilarityQueries {
        |         ${duckLshBucket("embedding")} AS bucket
        |  FROM embeddings),
        |p AS (SELECT vec_id AS probe_id, e AS pe, vn AS pn, bucket AS pbucket
-       |      FROM v WHERE vec_id % 100 = 0),
+       |      FROM v WHERE vec_id % 100 = 0 AND vec_id < $ProbeIdBound),
        |s AS (
        |  SELECT probe_id, vec_id, round(${duckDot("pe", "e")} / (pn * vn), 6) AS simr
        |  FROM v JOIN p ON v.bucket = p.pbucket AND v.vec_id <> p.probe_id)
@@ -338,7 +385,7 @@ object SimilarityQueries {
         array(dims.map(i =>
           (col(s"s$i").cast("double") / col("cnt")).cast("float")): _*).as("cvec"))
     val probes = vecsWithNorm(spark, dir, "probe_id", "pe", "pn")
-      .filter(col("probe_id") % 100 === 0)
+      .filter(probeFilter(col("probe_id")))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("csim").desc, col("c_label"))
     val cells = probes.crossJoin(broadcast(centroids))
@@ -372,7 +419,7 @@ object SimilarityQueries {
        |  SELECT vec_id, label, embedding AS e,
        |         sqrt(${duckDot("embedding", "embedding")}) AS vn
        |  FROM embeddings),
-       |p AS (SELECT vec_id AS probe_id, e AS pe, vn AS pn FROM v WHERE vec_id % 100 = 0),
+       |p AS (SELECT vec_id AS probe_id, e AS pe, vn AS pn FROM v WHERE vec_id % 100 = 0 AND vec_id < $ProbeIdBound),
        |cellsim AS (
        |  SELECT p.probe_id, p.pe, p.pn, c.c_label,
        |         round(${duckDot("pe", "cvec")} / (pn * sqrt(${duckDot("cvec", "cvec")})), 6) AS csim
@@ -606,7 +653,7 @@ object SimilarityQueries {
     */
   private def pqSearch(v: DataFrame, bv: DataFrame, c1: DataFrame,
       codes: DataFrame, candidates: Option[DataFrame]): DataFrame = {
-    val probeBlocks = bv.filter(col("vec_id") % 100 === 0)
+    val probeBlocks = bv.filter(probeFilter(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("blk"), col("be").as("pbe"))
     // block distances quantize to MICRO-UNIT LONGS, not DECIMAL(28,9):
     // round(d, 6) carries at most 6 decimals, so bd*1e6 is an exact
@@ -720,7 +767,7 @@ object SimilarityQueries {
     */
   private def ivfPqSearch(vecs: DataFrame, v: DataFrame, bv: DataFrame,
       c1: DataFrame, codes: DataFrame, centroids: DataFrame): DataFrame = {
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = v.filter(probeFilter(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("e").as("pe"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cd"), col("c_label"))
@@ -789,7 +836,7 @@ object SimilarityQueries {
     // persisted code table; re-slicing all n vectors per query was the
     // probe path's main per-call cost)
     val bv = Memo.frame(spark, dir, "probe_slices")(
-      blockSlices(v.filter(col("vec_id") % 100 === 0)))
+      blockSlices(v.filter(probeFilter(col("vec_id")))))
     ivfPqSearch(vecs, v, bv,
       spark.table(tCb), spark.table(tCodes), spark.table(tCent))
   }
@@ -860,7 +907,7 @@ object SimilarityQueries {
        |             ORDER BY round(${duckPqDist2("cv", "be")}, 6), c1.cid) AS rn
        |    FROM bv JOIN c1 ON bv.blk = c1.blk) s
        |  WHERE rn = 1),
-       |pb AS (SELECT vec_id AS probe_id, blk, be AS pbe FROM bv WHERE vec_id % 100 = 0),
+       |pb AS (SELECT vec_id AS probe_id, blk, be AS pbe FROM bv WHERE vec_id % 100 = 0 AND vec_id < $ProbeIdBound),
        |lut AS (
        |  SELECT pb.probe_id, pb.blk, c1.cid,
        |         CAST(round(round($d2cp, 6) * 1000000) AS BIGINT) AS bd
@@ -905,7 +952,7 @@ object SimilarityQueries {
        |cvecs AS (
        |  SELECT label AS c_label, list_transform(list(m ORDER BY pos), x -> x::FLOAT) AS cvec
        |  FROM cent GROUP BY 1),
-       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0 AND vec_id < $ProbeIdBound),
        |cells AS (
        |  SELECT probe_id, c_label FROM (
        |    SELECT p.probe_id, c.c_label,

@@ -40,14 +40,17 @@ object TimeQueries {
         }
       })
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
+    val meter = new CpuMeter(spark)
     names.foreach { n =>
       val q = byName(n)
       (1 to reps).foreach { r =>
         stages.clear()
+        val cpu0 = meter.snapshot()
         val t0 = System.nanoTime()
         val rows = q.run(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[time] $n%-32s rep$r rows=$rows%10d  $sec%7.2f s")
+        val cpu = meter.snapshot() - cpu0
+        println(f"[time] $n%-32s rep$r rows=$rows%10d  $sec%7.2f s  cpu=$cpu%8.1f s")
         import scala.jdk.CollectionConverters._
         stages.asScala.toSeq.sortBy(-_._3).take(8).foreach { case (id, nm, ms, nt) =>
           println(f"[stage]   #$id%-4d ${ms / 1000.0}%7.2f s  tasks=$nt%-4d $nm")

@@ -570,6 +570,7 @@ class ScalePostureSpec extends AnyFunSuite {
       "hard_negatives", "mixture_alpha_sample", // broadcast probe set / 1-row totals
       "mixture_manifest", // composes mixture_alpha_sample's 1-row total
       "winnowing_pairs", // 1-row ndocs broadcast for the relative stop cutoff
+      "dedup_band_stats", // same 1-row ndocs broadcast via the winnowing postings
       "neardup_graph_build", "minhash_index_build", // 1-row x 1-row summary products
       "kmv_overlap", // 5-row day self-pairing
       "hybrid_search_rrf", // 1-row probe vector + bm25's 1-row corpus stats
