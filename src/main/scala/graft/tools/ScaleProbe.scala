@@ -179,6 +179,27 @@ object ScaleProbe {
 
   private def budgetSec(baseSec: Double): Double = math.max(5.0, 3.0 * baseSec)
 
+  /** Named methodology changes: queries whose output shape or
+    * steady-state cost legitimately moved because their SOURCE changed
+    * this round, declared here BEFORE the run with the change named.
+    * Their budget/row verdicts are reported as "rebaselined(<reason>)"
+    * instead of failing, and this artifact's numbers become their new
+    * baseline. This is the only sanctioned bypass of hard mode — an
+    * UNDECLARED breach still fails the run — so budgets can never
+    * silently absorb drift, and the artifact enumerates exactly what
+    * was reset and why.
+    */
+  private val Rebaselined: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> "r11 LSH rebanding 4x2 -> 16x4 (16 band rows/doc: +constant, -n^2)",
+    "dedup_containment" -> "r11 LSH rebanding (shared band candidates)",
+    "dedup_incremental" -> "r11 LSH rebanding (shared band candidates)",
+    "dedup_ngram_jaccard" -> "r11 LSH rebanding (candidate-limited report narrows: 20152 -> 7464 rows at sf1)",
+    "dedup_verdicts" -> "r11 LSH rebanding (consumes the minhash tier)",
+    "dedup_band_stats" -> "r11 LSH rebanding (16 minhash bands) + new winnowing accounting space: 8 -> 21 rows",
+    "minhash_index_build" -> "r11 LSH rebanding (64 permutations, md5-packed band keys)",
+    "embedding_neardup" -> "r11 scale-adaptive signature width (15 bits at sf1)",
+    "winnowing_pairs" -> "r11 absolute posting cap (dormant at sf1: rows identical)")
+
   private def rowsOk(rows: Long, expected: Long): Boolean =
     math.abs(rows - expected) <= math.max(2L, (0.25 * expected).toLong)
 
@@ -230,10 +251,11 @@ object ScaleProbe {
       // cpu-first budget check: against a cpu-carrying baseline the
       // budget is on executor CPU (ambient contention cannot false-
       // fail it); against an older wall-only baseline it stays on wall
-      def budgetBad(w: Double, c: Double) = baseline.get(q.name).exists {
-        case (_, bSec, bCpu) =>
-          if (!bCpu.isNaN) c > budgetSec(bCpu) else w > budgetSec(bSec)
-      }
+      def budgetBad(w: Double, c: Double) =
+        !Rebaselined.contains(q.name) && baseline.get(q.name).exists {
+          case (_, bSec, bCpu) =>
+            if (!bCpu.isNaN) c > budgetSec(bCpu) else w > budgetSec(bSec)
+        }
       // one retry on a budget breach: the host shows multi-second
       // contention windows that inflate random queries 5-10×; a breach
       // that reproduces twice is growth, once is weather. BOTH samples
@@ -246,6 +268,8 @@ object ScaleProbe {
       }
       val verdict = baseline.get(q.name) match {
         case None => "new"
+        case _ if Rebaselined.contains(q.name) =>
+          s"rebaselined(${Rebaselined(q.name)})"
         case Some((bRows, bSec, bCpu)) =>
           val onCpu = !bCpu.isNaN
           val (got, bud) =
@@ -283,6 +307,7 @@ object ScaleProbe {
          |"corpus":"documents 50k / embeddings 20k / events 1M generated at 10x the sf0.1 shape; TPC-H star tables symlinked from sf0.1 (no absolute thresholds in that tier)",
          |"baseline":"$baselinePath (budget = max(5s, 3x recorded sec) on cpu_sec where the baseline has it, wall otherwise; rows band = +-25%; sec_first discloses the pre-retry sample on budget-breach retries)",
          |"rebase":${rebase.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
+         |"rebaselined":${results.filter(r => Rebaselined.contains(r._1)).map(r => s""""${r._1}":"${Rebaselined(r._1)}"""").mkString("{", ",", "}")},
          |"nqueries":${results.size},"dark":${dark.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"failed":${failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"budget_fail":${budgetFail.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
