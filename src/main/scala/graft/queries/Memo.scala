@@ -51,6 +51,21 @@ private[graft] object Memo {
     * builds are serialized (they checkpoint eagerly — racing two is
     * pure waste, and the dedup/ANN tiers layer memos, so a per-key lock
     * could deadlock on the re-entrant inner lookup).
+    *
+    * MULTI-TENANT NOTE (single-session runs — the driver, the bench,
+    * the probes — never see this): the registry-wide lock means one
+    * session paying a 9 s graph build blocks another session's
+    * unrelated 0.1 s lookup. The re-entrant layering is why a naive
+    * per-key lock is unsafe: tier B's build calls tier A's `cached`
+    * on the SAME thread, so two sessions building B(A) in opposite
+    * key-acquisition order would deadlock. The right concurrent shape,
+    * if this ever fronts concurrent sessions, is a lock per (session,
+    * dir) — layered builds only ever nest WITHIN one (session, dir),
+    * so the nesting re-enters the same lock (use a ReentrantLock, not
+    * `synchronized` on the map) and cross-session/cross-corpus builds
+    * proceed in parallel; the LRU bookkeeping stays under a short
+    * global mutex taken strictly after the build finishes (never while
+    * holding it across `build`).
     */
   def cached[T <: AnyRef](spark: SparkSession, dir: String, key: String)(
       build: => (T, Seq[DataFrame])): T = synchronized {

