@@ -239,11 +239,59 @@ object SimilarityQueries {
   /** TRUE iff `bandCol` (0-based) is the first band in which the two
     * signature arrays agree — keeps exactly one row per colliding pair
     * after a banded self/stream-static join, with no stateful dedup.
+    * Valid only when NEITHER side is bucket-capped (under a cap, use
+    * [[firstLiveCollidingBand]] with a [[bandKeyedCappedIndex]] side).
     */
   def firstCollidingBand(sigsA: String, sigsB: String, bandCol: String): Column =
     !exists(
       zip_with(slice(col(sigsA), lit(1), col(bandCol)),
         slice(col(sigsB), lit(1), col(bandCol)), (a, b) => a === b),
+      x => x)
+
+  /** Capped [[bandKeyed]] for the STATIC index side of a lookup join
+    * (stream-static or batch): each (band, sig) bucket keeps its `cap`
+    * lowest ids — one hot bucket otherwise amplifies EVERY probe row
+    * that hashes to it by the bucket's full size — and every surviving
+    * row carries `liveAs`, an array<boolean> over the NdBands bands,
+    * true where this id survived its bucket. The mask exists because
+    * capping breaks [[firstCollidingBand]]'s dedup invariant: an id can
+    * be capped OUT of an earlier band's bucket yet live in a later one,
+    * and a stateless filter on signature agreement alone would then
+    * drop the pair entirely. [[firstLiveCollidingBand]] restores an
+    * exact, stateless dedup key: first band where the signatures agree
+    * AND the index row is live there.
+    */
+  def bandKeyedCappedIndex(v: DataFrame, idAs: String, vecAs: String,
+      normAs: String, bandAs: String, sigAs: String, sigsAs: String,
+      liveAs: String, sigBits: Int = NdMinBits,
+      cap: Int = NdBucketCap): DataFrame = {
+    val keyed = bandKeyed(v, idAs, vecAs, normAs, bandAs, sigAs, sigsAs, sigBits)
+      .withColumn("nd_rn", row_number().over(
+        Window.partitionBy(col(bandAs), col(sigAs)).orderBy(col(idAs))))
+      .filter(col("nd_rn") <= cap).drop("nd_rn")
+    val bands = keyed.groupBy(col(idAs))
+      .agg(collect_set(col(bandAs)).as("_nd_live_bands"))
+    keyed.join(bands, idAs)
+      .withColumn(liveAs, transform(sequence(lit(0), lit(NdBands - 1)),
+        j => array_contains(col("_nd_live_bands"), j.cast("integer"))))
+      .drop("_nd_live_bands")
+  }
+
+  /** TRUE iff `bandCol` (0-based) is the first band in which the two
+    * signature arrays agree AND the capped index row is live (`liveB`
+    * from [[bandKeyedCappedIndex]]) — exactly one surviving row per
+    * (probe, index) pair, still a stateless column filter (a
+    * `.distinct()` on a stream would compile to unbounded
+    * StreamingDeduplicate state).
+    */
+  def firstLiveCollidingBand(sigsA: String, sigsB: String, liveB: String,
+      bandCol: String): Column =
+    !exists(
+      zip_with(
+        zip_with(slice(col(sigsA), lit(1), col(bandCol)),
+          slice(col(sigsB), lit(1), col(bandCol)), (a, b) => a === b),
+        slice(col(liveB), lit(1), col(bandCol)),
+        (eq, live) => eq && live),
       x => x)
 
   /** Fused-dot cosine between two (vector, norm) column pairs. */

@@ -672,9 +672,12 @@ object StreamingJobs {
     */
   def neardupAlertStream(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     import graft.queries.SimilarityQueries._
-    val index = bandKeyed(
+    // capped static index: one hot (band, sig) bucket would otherwise
+    // amplify every matching stream row by the bucket's full size; the
+    // live mask keeps the multi-band dedup exact under the cap
+    val index = bandKeyedCappedIndex(
       graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      "idx_id", "ei", "ni", "band_i", "sig_i", "sigs_i")
+      "idx_id", "ei", "ni", "band_i", "sig_i", "sigs_i", "live_i")
     val incoming = spark.readStream
       .schema(StructType(Seq(
         StructField("vec_id", LongType),
@@ -687,10 +690,11 @@ object StreamingJobs {
         col("band_v") === col("band_i") && col("sig_v") === col("sig_i") &&
           col("in_id") =!= col("idx_id"))
       // a pair can collide in several bands; keeping only the first
-      // colliding band is an exact dedup as a stateless column filter.
-      // (A .distinct() here would compile to StreamingDeduplicate —
-      // unbounded key state on an unbounded stream.)
-      .filter(firstCollidingBand("sigs_v", "sigs_i", "band_v"))
+      // band where they agree AND the index row is live is an exact
+      // dedup as a stateless column filter. (A .distinct() here would
+      // compile to StreamingDeduplicate — unbounded key state on an
+      // unbounded stream.)
+      .filter(firstLiveCollidingBand("sigs_v", "sigs_i", "live_i", "band_v"))
       .withColumn("simr", cosineCol("ev", "nv", "ei", "ni"))
       .filter(col("simr") >= threshold)
       .select(col("in_id"), col("idx_id"), col("simr"))
@@ -700,12 +704,12 @@ object StreamingJobs {
   def neardupAlertBatch(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     import graft.queries.SimilarityQueries._
     val v = graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val index = bandKeyed(v, "idx_id", "ei", "ni", "band_i", "sig_i", "sigs_i")
+    val index = bandKeyedCappedIndex(v, "idx_id", "ei", "ni", "band_i", "sig_i", "sigs_i", "live_i")
     bandKeyed(v, "in_id", "ev", "nv", "band_v", "sig_v", "sigs_v")
       .join(index,
         col("band_v") === col("band_i") && col("sig_v") === col("sig_i") &&
           col("in_id") =!= col("idx_id"))
-      .filter(firstCollidingBand("sigs_v", "sigs_i", "band_v"))
+      .filter(firstLiveCollidingBand("sigs_v", "sigs_i", "live_i", "band_v"))
       .withColumn("simr", cosineCol("ev", "nv", "ei", "ni"))
       .filter(col("simr") >= threshold)
       .select(col("in_id"), col("idx_id"), col("simr"))

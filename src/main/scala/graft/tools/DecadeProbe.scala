@@ -56,7 +56,7 @@ object DecadeProbe {
     // embeddings tier
     "ann_index_build", "ann_ivf", "ann_pq", "ann_ivf_pq",
     "kmeans_embeddings", "semdedup_cell_stats", "semdedup",
-    "embedding_neardup",
+    "embedding_band_stats", "embedding_neardup",
     // text-analysis / selection tier (documents)
     "tfidf_top_terms", "bm25_search", "hybrid_search_rrf",
     "ngram_lm_perplexity", "nb_lang_classifier", "dsir_selection",

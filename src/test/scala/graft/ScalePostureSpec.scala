@@ -217,6 +217,52 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(uncapped.length == 30 * 29 / 2, s"uncapped mega-bucket should sweep all pairs, got ${uncapped.length}")
   }
 
+  test("capped static near-dup index bounds per-probe amplification; live-mask dedup exact") {
+    val s = spark
+    import s.implicits._
+    import graft.queries.SimilarityQueries._
+    val rnd = new scala.util.Random(13)
+    // 30 near-identical vectors: every band's bucket holds all 30, so an
+    // uncapped index would amplify every probe row 29x; cap = 10
+    val center = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val df = (0 until 30).map { i =>
+      (i.toLong, center.map(x => x + 1e-4f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val index = bandKeyedCappedIndex(df, "idx_id", "ei", "ni", "band_i",
+      "sig_i", "sigs_i", "live_i", cap = 10)
+    val probes = bandKeyed(df, "in_id", "ev", "nv", "band_v", "sig_v", "sigs_v")
+    val alerts = probes.join(index,
+        col("band_v") === col("band_i") && col("sig_v") === col("sig_i") &&
+          col("in_id") =!= col("idx_id"))
+      .filter(firstLiveCollidingBand("sigs_v", "sigs_i", "live_i", "band_v"))
+      .select("in_id", "idx_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(alerts.length == alerts.toSet.size,
+      "live-mask dedup must emit each (probe, index) pair exactly once")
+    assert(alerts.forall(_._2 < 10), "only the 10 lowest ids may survive the capped index")
+    val expected = (0 until 30).flatMap(v =>
+      (0 until 10).filter(_ != v).map(i => (v.toLong, i.toLong))).toSet
+    assert(alerts.toSet == expected,
+      s"expected every probe x live-index pair once, got ${alerts.length} of ${expected.size}")
+  }
+
+  test("firstLiveCollidingBand keeps a pair capped out of an earlier band, drops true duplicates") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // sigs agree at bands 0 and 2; index row capped OUT of band 0 →
+      // the band-2 join row is the pair's ONLY appearance: keep it
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 9L), Seq(false, true, true, true), 2),
+      // same agreement but live at band 0 → the band-2 row is a
+      // duplicate of the band-0 appearance: drop it
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 9L), Seq(true, true, true, true), 2),
+      // band 0 itself: empty earlier-band slice, always kept
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 9L), Seq(true, true, true, true), 0)
+    ).toDF("sigs_v", "sigs_i", "live_i", "band_v")
+    val kept = df.filter(graft.queries.SimilarityQueries
+      .firstLiveCollidingBand("sigs_v", "sigs_i", "live_i", "band_v")).count()
+    assert(kept == 2, s"expected the capped-out pair and the band-0 row, got $kept")
+  }
+
   test("new relational shapes plan as intended: semi-join, single-join disjunction, no cartesians") {
     // Q4: EXISTS compiles to a semi-join, not an aggregate-and-join
     val q4 = SparkEntry.queries("tpch_q4_priority_check")(spark, sf)
