@@ -275,6 +275,32 @@ object DedupQueries {
         posexplode(col(bandsAs)).as(Seq(bandAs, bhAs)))
   }
 
+  /** Capped static-index form of [[minhashBandKeyed]] for stream-static
+    * probes: oversized (band, bucket) buckets are SKIPPED (the
+    * [[capBuckets]] policy the batch candidate path applies), and each
+    * surviving row carries `liveAs` — array<boolean> over the NumBands
+    * bands, true where this doc's bucket survived — so multi-band
+    * collisions still dedup statelessly via
+    * [[SimilarityQueries.firstLiveCollidingBand]] even when a doc was
+    * capped out of an earlier band (a filter on band-key agreement
+    * alone would drop such a pair entirely). Without the cap, one hot
+    * stop-signature bucket amplifies EVERY probe row that hashes to it
+    * by the bucket's full size; the batch twins cap their self-join the
+    * same way, so stream/batch equality holds at any scale.
+    */
+  def minhashBandKeyedCappedIndex(docs: DataFrame, idAs: String,
+      shsAs: String, cAs: String, bandAs: String, bhAs: String,
+      bandsAs: String, liveAs: String,
+      cap: Int = MinhashBandCap): DataFrame = {
+    val keyed = minhashBandKeyed(docs, idAs, shsAs, cAs, bandAs, bhAs, bandsAs)
+    val kept = capBuckets(keyed, cap, Seq(bandAs, bhAs))
+    val live = kept.groupBy(col(idAs)).agg(collect_set(col(bandAs)).as("_mh_live"))
+    kept.join(live, idAs)
+      .withColumn(liveAs, transform(sequence(lit(0), lit(NumBands - 1)),
+        j => array_contains(col("_mh_live"), j.cast("integer"))))
+      .drop("_mh_live")
+  }
+
   /** Candidate pairs from the LSH band equi-join — the scale-safe
     * candidate generator shared by `dedup_minhash_lsh` (which verifies
     * with shingle-Jaccard) and `dedup_ngram_jaccard` (which verifies

@@ -722,20 +722,22 @@ object StreamingJobs {
     * COLUMN work ([[graft.queries.DedupQueries.minhashBandKeyed]]: an
     * array fold over the shingle set, min per universal-hash
     * permutation), so the stream side carries NO state; candidates
-    * come from a stream-static equi-join on the packed band key;
-    * multi-band collisions collapse via the same stateless
-    * first-colliding-band filter as the ANN lookup (a .distinct()
-    * would compile to StreamingDeduplicate — unbounded key state);
+    * come from a stream-static equi-join on the packed band key
+    * against the CAPPED index (oversized buckets skipped, the batch
+    * tier's policy); multi-band collisions collapse via the same
+    * stateless first-live-colliding-band filter as the ANN lookup (a
+    * .distinct() would compile to StreamingDeduplicate — unbounded key
+    * state);
     * and the exact-Jaccard verify is per-pair array intersection on
     * collided rows only. Emits every corpus match ≥ 0.5 — the rank-1
     * "best match" decoration is a per-batch window downstream
     * (foreachBatch), exactly as the batch query applies it.
     */
   def dedupProbeStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.queries.DedupQueries.minhashBandKeyed
+    import graft.queries.DedupQueries.{minhashBandKeyed, minhashBandKeyedCappedIndex}
     val docsBatch = graft.sources.Tables.documents(spark, dir)
-    val index = minhashBandKeyed(docsBatch.filter(col("doc_id") % 10 =!= 0),
-      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i")
+    val index = minhashBandKeyedCappedIndex(docsBatch.filter(col("doc_id") % 10 =!= 0),
+      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i", "live_i")
     val incoming = spark.readStream.schema(docsBatch.schema)
       .parquet(stagedPath(dir, "documents"))
       .filter(col("doc_id") % 10 === 0)
@@ -746,10 +748,10 @@ object StreamingJobs {
 
   /** Batch twin of [[dedupProbeStream]] on the same frames. */
   def dedupProbeBatch(spark: SparkSession, dir: String): DataFrame = {
-    import graft.queries.DedupQueries.minhashBandKeyed
+    import graft.queries.DedupQueries.{minhashBandKeyed, minhashBandKeyedCappedIndex}
     val docsBatch = graft.sources.Tables.documents(spark, dir)
-    val index = minhashBandKeyed(docsBatch.filter(col("doc_id") % 10 =!= 0),
-      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i")
+    val index = minhashBandKeyedCappedIndex(docsBatch.filter(col("doc_id") % 10 =!= 0),
+      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i", "live_i")
     dedupProbeJoin(
       minhashBandKeyed(docsBatch.filter(col("doc_id") % 10 === 0),
         "in_id", "shs_v", "c_v", "band_v", "bh_v", "bands_v"),
@@ -759,8 +761,10 @@ object StreamingJobs {
   private def dedupProbeJoin(probe: DataFrame, index: DataFrame): DataFrame =
     probe.join(index,
         col("band_v") === col("band_i") && col("bh_v") === col("bh_i"))
-      .filter(graft.queries.SimilarityQueries.firstCollidingBand(
-        "bands_v", "bands_i", "band_v"))
+      // first band where the keys agree AND the index doc's bucket
+      // survived the cap — exact multi-band dedup, stateless
+      .filter(graft.queries.SimilarityQueries.firstLiveCollidingBand(
+        "bands_v", "bands_i", "live_i", "band_v"))
       .withColumn("inter",
         size(array_intersect(col("shs_v"), col("shs_i"))).cast("long"))
       .withColumn("jaccard", round(
@@ -788,12 +792,14 @@ object StreamingJobs {
     * prefix (StreamingSpec, 18th twin).
     */
   def dedupVerdictsStream(spark: SparkSession, dir: String, outPath: String): DataFrame = {
-    import graft.queries.DedupQueries.minhashBandKeyed
+    import graft.queries.DedupQueries.{minhashBandKeyed, minhashBandKeyedCappedIndex}
     val docsBatch = graft.sources.Tables.documents(spark, dir)
     val canon = docsBatch.select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("canon")).localCheckpoint()
-    val index = minhashBandKeyed(docsBatch,
-      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i").localCheckpoint()
+    // capped index, same skip policy as the batch minhash tier — one
+    // hot stop-signature bucket must not amplify every micro-batch
+    val index = minhashBandKeyedCappedIndex(docsBatch,
+      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i", "live_i").localCheckpoint()
     val incoming = spark.readStream.schema(docsBatch.schema)
       .parquet(stagedPath(dir, "documents"))
     val q = incoming.writeStream
@@ -803,8 +809,8 @@ object StreamingJobs {
           .join(index,
             col("band_v") === col("band_i") && col("bh_v") === col("bh_i") &&
               col("idx_id") < col("in_id"))
-          .filter(graft.queries.SimilarityQueries.firstCollidingBand(
-            "bands_v", "bands_i", "band_v"))
+          .filter(graft.queries.SimilarityQueries.firstLiveCollidingBand(
+            "bands_v", "bands_i", "live_i", "band_v"))
           .withColumn("inter",
             size(array_intersect(col("shs_v"), col("shs_i"))).cast("long"))
           // unrounded, exactly minhashLsh's confirm filter

@@ -245,6 +245,33 @@ class ScalePostureSpec extends AnyFunSuite {
       s"expected every probe x live-index pair once, got ${alerts.length} of ${expected.size}")
   }
 
+  test("capped MinHash probe index skips oversized buckets; survivors still match") {
+    val s = spark
+    import s.implicits._
+    import graft.queries.DedupQueries.{minhashBandKeyed, minhashBandKeyedCappedIndex}
+    // index: ids 1-3 share text A (bucket of 3 per band — SKIPPED at
+    // cap 2), ids 10-11 share text B (bucket of 2 — kept)
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "one two three four five six seven"
+    val indexDocs = Seq((1L, textA), (2L, textA), (3L, textA),
+      (10L, textB), (11L, textB)).toDF("doc_id", "text")
+    // probes: 100 carries text A (its buckets were capped away → no
+    // candidates), 101 carries text B (matches the surviving pair)
+    val probeDocs = Seq((100L, textA), (101L, textB)).toDF("doc_id", "text")
+    val index = minhashBandKeyedCappedIndex(indexDocs,
+      "idx_id", "shs_i", "c_i", "band_i", "bh_i", "bands_i", "live_i", cap = 2)
+    val probe = minhashBandKeyed(probeDocs,
+      "in_id", "shs_v", "c_v", "band_v", "bh_v", "bands_v")
+    val matches = probe.join(index,
+        col("band_v") === col("band_i") && col("bh_v") === col("bh_i"))
+      .filter(graft.queries.SimilarityQueries.firstLiveCollidingBand(
+        "bands_v", "bands_i", "live_i", "band_v"))
+      .select("in_id", "idx_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(matches.length == matches.toSet.size, "live-mask dedup must emit each pair once")
+    assert(matches.toSet == Set((101L, 10L), (101L, 11L)),
+      s"expected only the surviving text-B bucket to match, got ${matches.toSet}")
+  }
+
   test("firstLiveCollidingBand keeps a pair capped out of an earlier band, drops true duplicates") {
     val s = spark
     import s.implicits._
