@@ -104,7 +104,12 @@ object Bench {
     val failed = results.count(_._2._1 < 0)
     // "queries" stays the WALL map (the driver's parse contract);
     // "queries_cpu" is the contention-immune twin the gate prefers
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"cpu_total":${fmt(cpuTotal)},"queries":$qs,"queries_cpu":$qsCpu,"sf":"$sfDir"}"""
+    // "cpus" stamps the thread config: the SAME binary at local[32]
+    // measures ~4x the aggregate executor CPU of local[4] on sf0.1's
+    // micro-tasks (pure 32-way contention), so cross-config comparisons
+    // are meaningless — bench_compare refuses them when both artifacts
+    // carry the stamp
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"cpu_total":${fmt(cpuTotal)},"cpus":$cpus,"queries":$qs,"queries_cpu":$qsCpu,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parse: the JSON goes to stdout
     // AND to bench_out.json (an unparseable stdout line — sbt chrome,
     // interleaved WARNs — is otherwise indistinguishable from a

@@ -39,7 +39,7 @@ def ref_maps(path):
     for name, val in (payload.get("queries_cpu") or {}).items():
         cpu[name] = float(val)
     wall.pop("sf", None)
-    return wall, cpu
+    return wall, cpu, payload.get("cpus")
 
 
 def main():
@@ -52,9 +52,17 @@ def main():
     new_cpu = d.get("queries_cpu") or {}
     ref, ref_cpu = {}, {}
     for p in ref_paths:
-        w, c = ref_maps(p)
+        w, c, ref_cpus = ref_maps(p)
         ref.update(w)
         ref_cpu.update(c)
+        # the SAME binary at local[32] burns ~4x the aggregate executor
+        # CPU of local[4] on sf0.1 micro-tasks (32-way contention): a
+        # cross-config comparison is meaningless, refuse it loudly
+        new_cpus = d.get("cpus")
+        if new_cpus is not None and ref_cpus is not None and new_cpus != ref_cpus:
+            sys.exit(f"CONFIG MISMATCH: {new_path} ran local[{new_cpus}] but {p} "
+                     f"ran local[{ref_cpus}] — same-binary CPU differs ~4x across "
+                     f"thread configs; re-run one side to match")
 
     both = sorted(set(new) & set(ref))
     gated = sorted(set(new_cpu) & set(ref_cpu) & set(both))
