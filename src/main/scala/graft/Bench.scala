@@ -19,7 +19,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Non-integer values (e.g. "*" for local[*]) are valid Spark
+    // masters but would interpolate as unparseable bare JSON into the
+    // "cpus" stamp below, silently breaking the driver parse for the
+    // whole run — resolve them to the machine's core count instead.
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = cpusRaw.toIntOption
+      .getOrElse(Runtime.getRuntime.availableProcessors).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -46,40 +46,53 @@ private[graft] object Memo {
   private val cache = mutable.LinkedHashMap[(SparkSession, String, String), Entry]()
   private var clock = 0L
 
+  /** Build locks, one per (session, corpus dir). Layered memos (tier B's
+    * build calling tier A's `cached`) only ever nest WITHIN one
+    * (session, dir), so the inner lookup re-enters the SAME
+    * ReentrantLock — while two sessions, or one session on two corpus
+    * dirs, build in parallel. A naive per-KEY lock would deadlock the
+    * layered case across sessions acquiring in opposite order.
+    */
+  private val stripes =
+    mutable.Map[(SparkSession, String), java.util.concurrent.locks.ReentrantLock]()
+
   /** Memoize `build` per (session, dir) under tier key `key`. `build`
-    * returns the value plus the checkpointed frames the entry owns;
-    * builds are serialized (they checkpoint eagerly — racing two is
-    * pure waste, and the dedup/ANN tiers layer memos, so a per-key lock
-    * could deadlock on the re-entrant inner lookup).
+    * returns the value plus the checkpointed frames the entry owns.
     *
-    * MULTI-TENANT NOTE (single-session runs — the driver, the bench,
-    * the probes — never see this): the registry-wide lock means one
-    * session paying a 9 s graph build blocks another session's
-    * unrelated 0.1 s lookup. The re-entrant layering is why a naive
-    * per-key lock is unsafe: tier B's build calls tier A's `cached`
-    * on the SAME thread, so two sessions building B(A) in opposite
-    * key-acquisition order would deadlock. The right concurrent shape,
-    * if this ever fronts concurrent sessions, is a lock per (session,
-    * dir) — layered builds only ever nest WITHIN one (session, dir),
-    * so the nesting re-enters the same lock (use a ReentrantLock, not
-    * `synchronized` on the map) and cross-session/cross-corpus builds
-    * proceed in parallel; the LRU bookkeeping stays under a short
-    * global mutex taken strictly after the build finishes (never while
-    * holding it across `build`).
+    * Locking (round-12 striping — the r10/r11 registry-wide
+    * `synchronized` serialized one session's 9 s graph build against
+    * another session's unrelated 0.1 s lookup): cache HITS take only a
+    * short global mutex and never wait on any build; a MISS takes the
+    * (session, dir) stripe for the duration of `build`, so only builds
+    * and lookups of the SAME corpus in the SAME session queue behind
+    * it. LRU bookkeeping stays under the global mutex, taken strictly
+    * after `build` finishes — never held across it.
     */
   def cached[T <: AnyRef](spark: SparkSession, dir: String, key: String)(
-      build: => (T, Seq[DataFrame])): T = synchronized {
-    clock += 1
+      build: => (T, Seq[DataFrame])): T = {
     val k = (spark, dir, key)
-    cache.get(k) match {
-      case Some(e) =>
-        e.tick = clock
-        e.value.asInstanceOf[T]
+    def hit(): Option[T] = synchronized {
+      cache.get(k).map { e => clock += 1; e.tick = clock; e.value.asInstanceOf[T] }
+    }
+    hit() match {
+      case Some(v) => v
       case None =>
-        evictForInsert(spark, dir)
-        val (v, frames) = build
-        cache.put(k, Entry(v, frames, clock))
-        v
+        val lock = synchronized {
+          stripes.getOrElseUpdate((spark, dir),
+            new java.util.concurrent.locks.ReentrantLock())
+        }
+        lock.lock()
+        try hit() match { // re-check: a racing builder may have won the stripe
+          case Some(v) => v
+          case None =>
+            val (v, frames) = build
+            synchronized {
+              clock += 1
+              evictForInsert(spark, dir)
+              cache.put(k, Entry(v, frames, clock))
+            }
+            v
+        } finally lock.unlock()
     }
   }
 
@@ -92,14 +105,31 @@ private[graft] object Memo {
     }
 
   /** If (spark, dir) is a NEW dir for this session and the session is
-    * at its dir bound, evict every entry of its least-recently-used dir.
+    * at its dir bound, evict every entry of its least-recently-used dir
+    * whose stripe is free. A dir mid-build on another thread is skipped
+    * (tryLock — non-blocking, so no lock-order deadlock against stripe
+    * holders): unpersisting a localCheckpoint'ed frame under a running
+    * consumer would fail its truncated lineage, and the bound is a
+    * footprint guideline, not an invariant.
     */
   private def evictForInsert(spark: SparkSession, dir: String): Unit = {
     val dirs = cache.keys.collect { case (s, d, _) if s eq spark => d }.toSet
     if (!dirs.contains(dir) && dirs.size >= MaxDirsPerSession) {
-      val lru = dirs.minBy(d =>
+      val byLru = dirs.toSeq.sortBy(d =>
         cache.collect { case ((s, dd, _), e) if (s eq spark) && dd == d => e.tick }.max)
-      drop { case (s, d, _) => (s eq spark) && d == lru }
+      byLru.find { d =>
+        stripes.get((spark, d)) match {
+          case None =>
+            drop { case (s, dd, _) => (s eq spark) && dd == d }
+            true
+          case Some(l) if l.tryLock() =>
+            try drop { case (s, dd, _) => (s eq spark) && dd == d }
+            finally l.unlock()
+            true
+          case _ => false
+        }
+      }
+      ()
     }
   }
 
@@ -120,12 +150,21 @@ private[graft] object Memo {
     }
   }
 
-  /** Drop every entry (all sessions) — bench pass boundaries. */
-  def reset(): Unit = synchronized { drop(_ => true) }
+  /** Drop every entry (all sessions) — bench pass boundaries. Stripes
+    * currently held by an in-flight build are kept (removing one would
+    * let a new lock mint a second concurrent builder for the same dir);
+    * idle stripes go so session references don't outlive their entries.
+    */
+  def reset(): Unit = synchronized {
+    drop(_ => true)
+    stripes.filterInPlace { case (_, l) => l.isLocked }
+  }
 
   /** Drop one session's entries — session teardown. */
-  def invalidate(spark: SparkSession): Unit =
-    synchronized { drop { case (s, _, _) => s eq spark } }
+  def invalidate(spark: SparkSession): Unit = synchronized {
+    drop { case (s, _, _) => s eq spark }
+    stripes.filterInPlace { case ((s, _), l) => !(s eq spark) || l.isLocked }
+  }
 
   /** Entry count (specs). */
   private[graft] def size: Int = synchronized { cache.size }

@@ -28,10 +28,15 @@ import org.apache.spark.sql.SparkSession
   * superlinearity, so every query earns at least a linear allowance —
   * otherwise one loud sf0.1 window (inflating c01, deflating the
   * measured ratio) collapses the budget and flags perfectly linear
-  * growth. Verdict "SUPER" when cpu_sf10 > 3 × expected + 10 s:
-  * the flag threshold sits at ~n^1.5 per decade, wide enough for
-  * cache-hierarchy effects, tight enough that a quadratic term
-  * (100× per decade) cannot hide.
+  * growth. Verdict "SUPER" when cpu_sf10 > 1.5 × expected + 10 s —
+  * tightened from r11's 3× (VERDICT r11 item 2) once the 18-28×/decade
+  * cluster was isolated to shared-heap pressure (~10 GB of resident
+  * memoized checkpoints in a 48 GiB heap inflating late consumers):
+  * the flag line now sits at 15×/decade (~n^1.18), so a repeat of
+  * semdedup's 92%-of-budget near-breach fails loudly instead of
+  * passing. Run the committed sweep with the heap scaled to the
+  * corpus (SPARK_DRIVER_MEM=96g precedent) so the gate measures the
+  * queries, not the heap.
   *
   * Usage: runMain graft.tools.DecadeProbe [sf10Dir] [artifact.json] [query...]
   * (trailing query names restrict the probe set — for re-measuring the
@@ -48,10 +53,18 @@ object DecadeProbe {
     * sf0.1 data at every scale and would only fit noise.
     */
   private val DefaultSelected: Seq[String] = Seq(
-    // dedup tier (documents) — builds first, then consumers
+    // dedup tier (documents) — builds first, then consumers.
+    // winnowing_pairs is the bigram-blocked scale path (the r12 default);
+    // its fidelity twin winnowing_pairs_exact is NOT probed here (the
+    // column_stats_exact precedent): the exact MOSS report is genuinely
+    // superlinear across THIS decade by design — per-fingerprint df mass
+    // saturating into the absolute 400 cap is n² during the transition
+    // and linear only past it — so gating it at 15x/decade would flag
+    // its documented shape, not a defect; its decade numbers live in the
+    // artifact's `isolated` map with that root cause.
     "minhash_index_build", "neardup_graph_build", "substring_covered_build",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_substring_spans",
-    "winnowing_pairs", "winnowing_pairs_blocked", "dedup_components",
+    "winnowing_pairs", "dedup_components",
     "label_propagation", "cluster_representatives",
     // embeddings tier
     "ann_index_build", "ann_ivf", "ann_pq", "ann_ivf_pq",
@@ -70,7 +83,7 @@ object DecadeProbe {
 
   def main(args: Array[String]): Unit = {
     val sf10Dir = args.headOption.getOrElse("testdata_sf10")
-    val artifact = args.drop(1).headOption.getOrElse("SCALE_sf10_r11.json")
+    val artifact = args.drop(1).headOption.getOrElse("SCALE_sf10_r12.json")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-decade-probe")
@@ -142,7 +155,7 @@ object DecadeProbe {
       else {
         val floor = 0.05
         val g01 = math.max(c1, floor) / math.max(c01, floor)
-        if (c10 > 3.0 * c1 * math.max(g01, 10.0) + 10.0) "SUPER" else "ok"
+        if (c10 > 1.5 * c1 * math.max(g01, 10.0) + 10.0) "SUPER" else "ok"
       }
     }
     for (name <- Selected if verdictOf(name) == "SUPER") {
@@ -168,10 +181,11 @@ object DecadeProbe {
       // Expected growth floors at LINEAR (10x/decade): the probe hunts
       // SUPERlinearity, so a query that looked sublinear sf0.1->sf1
       // (often just a loud sf0.1 window inflating c01) still earns a
-      // linear allowance. Flag threshold is then 3x linear = 30x/decade
-      // ~ n^1.48; a quadratic term (100x/decade) still cannot hide.
+      // linear allowance. Flag threshold is 1.5x linear = 15x/decade
+      // ~ n^1.18 (tightened from r11's 3x once the high-growth cluster
+      // was isolated to shared-heap pressure).
       val expected = c1 * math.max(g01, 10.0)
-      val budget = 3.0 * expected + 10.0
+      val budget = 1.5 * expected + 10.0
       val verdict =
         if (failed) "FAILED"
         else if (c10 > budget) "SUPER"
@@ -191,10 +205,14 @@ object DecadeProbe {
     val fails = rows.filter(_._2 == "FAILED").map(_._1)
     val dark = rows.filter(_._3).map(_._1)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the r11 lesson: the heap SIZE is part of the methodology — ~10 GB
+    // of resident memoized checkpoints in a 48 GiB heap inflated late
+    // consumers 2-3x at sf10 — so the artifact stamps it
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
     val json =
-      s"""{"probe":"three-scale decade growth (sf0.1 -> sf1 -> sf10)","timing":"toRdd","metric":"executor-cpu",
+      s"""{"probe":"three-scale decade growth (sf0.1 -> sf1 -> sf10)","timing":"toRdd","metric":"executor-cpu","heap_gb":$heapGb,
          |"corpus_sf10":"documents 500k / embeddings 200k / events 10M, ScaleProbe.generate profile; TPC-H tables symlinked from sf0.1 (relational tier excluded from the probe set)",
-         |"budget":"cpu_sf10 <= 3 x cpu_sf1 x max(growth_01_1, 10) + 10s — expected growth floors at linear (10x/decade) so a loud sf0.1 window cannot collapse the budget and flag linear growth; the 3x headroom puts the flag threshold at ~n^1.5/decade, and a quadratic term (100x/decade) cannot hide; wall recorded but not gated (ambient co-tenancy); first-pass SUPER verdicts re-measured once at sf1+sf10 and min-merged (cpu_first discloses the louder sample) so a single contention window cannot mint a false flag",
+         |"budget":"cpu_sf10 <= 1.5 x cpu_sf1 x max(growth_01_1, 10) + 10s — expected growth floors at linear (10x/decade) so a loud sf0.1 window cannot collapse the budget and flag linear growth; the 1.5x headroom puts the flag threshold at 15x/decade (~n^1.18), tightened from r11's 3x after the 18-28x/decade cluster isolated to shared-heap pressure; wall recorded but not gated (ambient co-tenancy); first-pass SUPER verdicts re-measured once at sf1+sf10 and min-merged (cpu_first discloses the louder sample) so a single contention window cannot mint a false flag",
          |"nqueries":${rows.size},"superlinear":${arr(supers)},"failed":${arr(fails)},"dark":${arr(dark)},
          |"total_cpu_sf10":${fmt(Selected.map(measured(d10)(_)._4).sum)},"total_wall_sf10":${fmt(Selected.map(measured(d10)(_)._3).sum)},
          |"queries":${rows.map(_._4).mkString("{", ",", "}")}}""".stripMargin.replace("\n", "")

@@ -203,15 +203,13 @@ object ScaleProbe {
     * was reset and why.
     */
   private val Rebaselined: Map[String, String] = Map(
-    "dedup_minhash_lsh" -> "r11 LSH rebanding 4x2 -> 16x4 (16 band rows/doc: +constant, -n^2)",
-    "dedup_containment" -> "r11 LSH rebanding (shared band candidates)",
-    "dedup_incremental" -> "r11 LSH rebanding (shared band candidates)",
-    "dedup_ngram_jaccard" -> "r11 LSH rebanding (candidate-limited report narrows: 20152 -> 7464 rows at sf1)",
-    "dedup_verdicts" -> "r11 LSH rebanding (consumes the minhash tier)",
-    "dedup_band_stats" -> "r11 LSH rebanding (16 minhash bands) + new winnowing accounting space: 8 -> 21 rows",
-    "minhash_index_build" -> "r11 LSH rebanding (64 permutations, md5-packed band keys)",
-    "embedding_neardup" -> "r11 scale-adaptive signature width (15 bits at sf1) + 400-row bucket cap (correlated clusters defeat width alone)",
-    "winnowing_pairs" -> "r11 absolute posting cap (dormant at sf1: rows identical)")
+    // r12: empty. The r11 rebanding/cap rebaselines are baked into
+    // SCALE_r11.json; the round's one shape change (winnowing_pairs now
+    // names the blocked scale path, the exact MOSS report moved to
+    // winnowing_pairs_exact) stays inside the old name's row band
+    // (2,759 vs 2,922 at sf1, well within ±25%) and far under its
+    // budget, so it faces the real checks instead of a declared bypass.
+  )
 
   private def rowsOk(rows: Long, expected: Long): Boolean =
     math.abs(rows - expected) <= math.max(2L, (0.25 * expected).toLong)
@@ -271,13 +269,21 @@ object ScaleProbe {
         }
       // one retry on a budget breach: the host shows multi-second
       // contention windows that inflate random queries 5-10×; a breach
-      // that reproduces twice is growth, once is weather. BOTH samples
-      // are recorded (sec + sec_first) so the asymmetric best-of-2
-      // can't silently ratchet rebased budgets tighter.
+      // that reproduces twice is growth, once is weather. Acceptance is
+      // keyed on the GATING metric (cpu against a cpu-carrying
+      // baseline, wall otherwise) — accepting on wall while gating on
+      // cpu lets a retry fail to clear a false cpu breach, or swap in
+      // a worse cpu sample. BOTH samples are recorded (sec/sec_first,
+      // cpu/cpu_first) so the asymmetric best-of-2 can't silently
+      // ratchet rebased budgets tighter.
       var secFirst = Double.NaN
+      var cpuFirst = Double.NaN
       if (rows >= 0 && budgetBad(sec, cpu)) {
+        val gateOnCpu = baseline.get(q.name).exists(b => !b._3.isNaN)
         val (r2, s2, c2) = timedRun(q)
-        if (r2 >= 0 && s2 < sec) { secFirst = sec; rows = r2; sec = s2; cpu = c2 }
+        if (r2 >= 0 && (if (gateOnCpu) c2 < cpu else s2 < sec)) {
+          secFirst = sec; cpuFirst = cpu; rows = r2; sec = s2; cpu = c2
+        }
       }
       val verdict = baseline.get(q.name) match {
         case None => "new"
@@ -296,16 +302,17 @@ object ScaleProbe {
           if (b.isEmpty && r.isEmpty) "ok" else (b + r).trim
       }
       println(f"[probe] ${q.name}%-32s rows=$rows%10d  ${sec}%7.1f s  cpu=${cpu}%7.1f s  [$verdict]")
-      (q.name, rows, sec, verdict, cpu, secFirst)
+      (q.name, rows, sec, verdict, cpu, secFirst, cpuFirst)
     }
     val dark = results.filter(r => r._2 == 0 && !EmptyOk.contains(r._1))
     val failed = results.filter(_._2 < 0)
     val budgetFail = results.filter(_._4.contains("BUDGET"))
     val rebase = results.filter(_._4.contains("rebase"))
     val rowsFail = results.filter(_._4.contains("ROWS"))
-    val qjson = results.map { case (n, r, s, v, c, sFirst) =>
+    val qjson = results.map { case (n, r, s, v, c, sFirst, cFirst) =>
       val (bRows, bSec, bCpu) = baseline.getOrElse(n, (-1L, -1.0, Double.NaN))
-      val retried = if (sFirst.isNaN) "" else s""","sec_first":${fmt(sFirst)}"""
+      val retried = (if (sFirst.isNaN) "" else s""","sec_first":${fmt(sFirst)}""") +
+        (if (cFirst.isNaN) "" else s""","cpu_first":${fmt(cFirst)}""")
       val extra =
         if (v == "new") s""","baseline":"new""""
         else {

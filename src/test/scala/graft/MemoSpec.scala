@@ -60,6 +60,50 @@ class MemoSpec extends AnyFunSuite {
       "reset() left checkpointed blocks behind")
   }
 
+  test("builds on two distinct corpus dirs run concurrently (striped locks)") {
+    // r10/r11 carried a registry-wide build lock: one session's 9 s
+    // graph build serialized an unrelated lookup. The striped design
+    // must let two dirs build at once.
+    Memo.reset()
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() =>
+      Memo.frame(spark, "/memo-spec/slow-dir", "k") {
+        aStarted.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        spark.range(1).toDF("n")
+      })
+    slow.start()
+    assert(aStarted.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // while the slow dir's build is in flight, a different dir builds...
+    val other = Memo.frame(spark, "/memo-spec/fast-dir", "k") {
+      spark.range(2).toDF("n")
+    }
+    assert(other.count() == 2, "unrelated dir's build blocked behind the slow one")
+    // ...and a HIT on a third key is served from the fast path
+    Memo.frame(spark, "/memo-spec/fast-dir", "k")(fail("should be cached"))
+    release.countDown()
+    slow.join(30000)
+    assert(!slow.isAlive)
+    Memo.reset()
+  }
+
+  test("layered memos re-enter the same dir's stripe without deadlock") {
+    Memo.reset()
+    var innerBuilds = 0
+    val outer = Memo.frame(spark, "/memo-spec/layered", "outer") {
+      // tier B's build consults tier A of the SAME (session, dir) on the
+      // same thread — the ReentrantLock stripe must re-enter, not hang
+      val inner = Memo.frame(spark, "/memo-spec/layered", "inner") {
+        innerBuilds += 1
+        spark.range(4).toDF("n")
+      }
+      inner.filter("n >= 1")
+    }
+    assert(outer.count() == 3 && innerBuilds == 1)
+    Memo.reset()
+  }
+
   test("LRU eviction keeps the recently-used dir, drops the stale one") {
     Memo.reset()
     val built = scala.collection.mutable.ArrayBuffer[String]()

@@ -344,6 +344,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // and the recovered ones score at the top of the containment scale
     assert(mh.join(win, Seq("doc_a", "doc_b")).filter(col("containment") < 0.9).count() == 0,
       "a true near-dup scored below 0.9 containment")
+    // twin contract (r12 swap): the default name runs the blocked scale
+    // path; its pairs must be a SUBSET of the exact MOSS report with
+    // identical scores (blocked candidates verify over the same full
+    // fingerprint sets; the exact form's posting cap is dormant at this
+    // scale, so exact ⊇ blocked holds strictly)
+    val exact = SparkEntry.queries("winnowing_pairs_exact")(spark, sf)
+    assert(win.exceptAll(exact).count() == 0,
+      "blocked report emitted a pair/score the exact fidelity twin lacks")
     win.unpersist()
   }
 

@@ -663,7 +663,7 @@ class ScalePostureSpec extends AnyFunSuite {
       "ngram_lm_perplexity", "dsir_selection", // broadcast V/N/total scalars
       "hard_negatives", "mixture_alpha_sample", // broadcast probe set / 1-row totals
       "mixture_manifest", // composes mixture_alpha_sample's 1-row total
-      "winnowing_pairs", // 1-row ndocs broadcast for the relative stop cutoff
+      "winnowing_pairs_exact", // 1-row ndocs broadcast for the relative stop cutoff
       "dedup_band_stats", // same 1-row ndocs broadcast via the winnowing postings
       "neardup_graph_build", "minhash_index_build", // 1-row x 1-row summary products
       "kmv_overlap", // 5-row day self-pairing

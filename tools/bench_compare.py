@@ -23,6 +23,27 @@ import re
 import sys
 
 
+def tail_objects(tail, key):
+    """Extract the {...} object following '"key":' in the tail, if the
+    whole object survived truncation. The bench line is one flat JSON
+    object whose per-query maps contain no nesting, so scanning to the
+    first '}' after the anchor is exact. A flat key:value regex over
+    the whole tail cannot tell `queries` (wall) from `queries_cpu`
+    entries and lets cpu values overwrite wall — hence the anchor."""
+    out = {}
+    anchor = f'"{key}":{{'
+    i = tail.find(anchor)
+    if i < 0:
+        return out
+    j = tail.find("}", i)
+    if j < 0:
+        return out
+    for name, val in re.findall(r'"([a-z0-9_]+)":(-?\d+(?:\.\d+)?)',
+                                tail[i + len(anchor):j]):
+        out[name] = float(val)
+    return out
+
+
 def ref_maps(path):
     """(wall map, cpu map) — cpu empty for pre-r11 artifacts."""
     with open(path) as f:
@@ -31,9 +52,21 @@ def ref_maps(path):
     # BENCH_PIN files may be a raw bench_out payload, not driver-wrapped
     payload = d if "queries" in d else (d.get("parsed") or {})
     tail = d.get("tail") or ""
-    for name, val in re.findall(r'"([a-z0-9_]+)":(-?\d+\.\d+)', tail):
-        if name not in ("value", "cpu_total"):
-            wall[name] = float(val)
+    # Prefer the full JSON line if it survived in the tail (it is
+    # written as one line starting at the last '{"metric"').
+    start = tail.rfind('{"metric"')
+    if start >= 0:
+        try:
+            full = json.loads(tail[start:].strip().splitlines()[0])
+            wall.update({k: float(v) for k, v in (full.get("queries") or {}).items()})
+            cpu.update({k: float(v) for k, v in (full.get("queries_cpu") or {}).items()})
+        except (ValueError, TypeError, AttributeError):
+            start = -1
+    if start < 0:
+        # truncated tail: recover what survives, with each map anchored
+        # to its own object so cpu entries can never populate wall
+        wall.update(tail_objects(tail, "queries"))
+        cpu.update(tail_objects(tail, "queries_cpu"))
     for name, val in (payload.get("queries") or {}).items():
         wall[name] = float(val)
     for name, val in (payload.get("queries_cpu") or {}).items():
