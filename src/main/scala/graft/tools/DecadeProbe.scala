@@ -34,9 +34,17 @@ import org.apache.spark.sql.SparkSession
   * memoized checkpoints in a 48 GiB heap inflating late consumers):
   * the flag line now sits at 15×/decade (~n^1.18), so a repeat of
   * semdedup's 92%-of-budget near-breach fails loudly instead of
-  * passing. Run the committed sweep with the heap scaled to the
-  * corpus (SPARK_DRIVER_MEM=96g precedent) so the gate measures the
-  * queries, not the heap.
+  * passing.
+  *
+  * Run the committed sweep ONE TIER PER JVM (tools/decade_sweep.sh,
+  * "tier:N" args): r12 measured that a single-JVM full sweep inflates
+  * late queries 5-20× in executor CPU — kernel-side fault storms
+  * (30+ cores of guest sys-time, zero reclaim, GC and code cache
+  * clean) that track the process's grown RSS on this memory-
+  * overcommitted host, vanish in fresh JVMs, and poisoned both the
+  * r11 "growth cluster" and two full r12 sweep attempts. Per-tier
+  * JVMs bound the footprint the way a real cluster's per-stage
+  * executors would.
   *
   * Usage: runMain graft.tools.DecadeProbe [sf10Dir] [artifact.json] [query...]
   * (trailing query names restrict the probe set — for re-measuring the
@@ -52,31 +60,59 @@ object DecadeProbe {
     * (tpch_q18_large_orders, column_stats_exact, ...) read symlinked
     * sf0.1 data at every scale and would only fit noise.
     */
-  private val DefaultSelected: Seq[String] = Seq(
-    // dedup tier (documents) — builds first, then consumers.
-    // winnowing_pairs is the bigram-blocked scale path (the r12 default);
-    // its fidelity twin winnowing_pairs_exact is NOT probed here (the
-    // column_stats_exact precedent): the exact MOSS report is genuinely
-    // superlinear across THIS decade by design — per-fingerprint df mass
-    // saturating into the absolute 400 cap is n² during the transition
-    // and linear only past it — so gating it at 15x/decade would flag
-    // its documented shape, not a defect; its decade numbers live in the
-    // artifact's `isolated` map with that root cause.
-    "minhash_index_build", "neardup_graph_build", "substring_covered_build",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_substring_spans",
-    "winnowing_pairs", "dedup_components",
-    "label_propagation", "cluster_representatives",
-    // embeddings tier
-    "ann_index_build", "ann_ivf", "ann_pq", "ann_ivf_pq",
-    "kmeans_embeddings", "semdedup_cell_stats", "semdedup",
-    "embedding_band_stats", "embedding_neardup",
-    // text-analysis / selection tier (documents)
-    "tfidf_top_terms", "bm25_search", "hybrid_search_rrf",
-    "ngram_lm_perplexity", "nb_lang_classifier", "dsir_selection",
-    "split_contamination", "doc_repetition", "boilerplate_spans",
-    "content_defined_chunks", "pipeline_funnel",
-    // event tier
-    "q1_hot_items", "q2_hot_pages", "active_user_windows")
+  /** The probe set, partitioned into its memo TIERS. Within a tier,
+    * builds run before consumers (registry order, like the bench); at
+    * every tier BOUNDARY the probe drops the finished tier's memoized
+    * checkpoints (Memo.reset + clearCache) — new in r12. The r11 sweep
+    * kept every tier's localCheckpoint blocks resident to the end
+    * (~57 GB live at sf10), and the resulting allocator/GC churn
+    * inflated late consumers 2-5× in CPU (the entire 18-28×/decade
+    * "growth" cluster vanished in fresh-JVM isolated re-runs). A real
+    * pipeline releases a finished stage's scratch; the probe now does
+    * structurally what the isolated re-runs did by process boundary.
+    * Each tier still pays its own builds inside their visible entries;
+    * pipeline_funnel becomes the quality-gate memo's first consumer in
+    * the text tier (the documented first-consumer-absorbs pattern)
+    * instead of reading cluster_representatives' leftover frame across
+    * the tier boundary.
+    *
+    * winnowing_pairs is the bigram-blocked scale path (the r12
+    * default); winnowing_pairs_exact is its Σdf²-shaped fidelity twin —
+    * predicted superlinear across this decade (df mass saturating into
+    * the 400 cap), but the r12 isolated re-measure put it at
+    * 8.1×/decade, so the twin stays in the gated set rather than being
+    * carved out on a theory its own measurement contradicts.
+    */
+  private val Tiers: Seq[Seq[String]] = Seq(
+    // tier = one memo family: the build (or memo-owning first consumer)
+    // followed by every probed query that reads its frames — verified
+    // against the Memo call sites in DedupQueries/SimilarityQueries/
+    // TextAnalytics, so a reset boundary never drops state a remaining
+    // query reads
+    Seq("minhash_index_build", "dedup_minhash_lsh", "dedup_ngram_jaccard"),
+    Seq("substring_covered_build", "dedup_substring_spans"),
+    Seq("winnowing_pairs", "winnowing_pairs_exact"),
+    Seq("neardup_graph_build", "dedup_components", "label_propagation",
+      "cluster_representatives"), // + quality_gate via cluster_representatives
+    Seq("ann_index_build", "ann_ivf", "ann_pq", "ann_ivf_pq"), // emb_view + pq_model
+    Seq("kmeans_embeddings", "semdedup_cell_stats", "semdedup"), // memo-free
+    Seq("embedding_band_stats", "embedding_neardup"), // memo-free
+    Seq( // text-analysis / selection tier; quality_gate re-owned by
+      // pipeline_funnel (first-consumer-absorbs)
+      "tfidf_top_terms", "bm25_search", "hybrid_search_rrf",
+      "ngram_lm_perplexity", "nb_lang_classifier", "dsir_selection",
+      "split_contamination", "doc_repetition", "boilerplate_spans",
+      "content_defined_chunks", "pipeline_funnel"),
+    Seq( // event tier
+      "q1_hot_items", "q2_hot_pages", "active_user_windows"))
+
+  private val DefaultSelected: Seq[String] = Tiers.flatten
+
+  /** Tier index (extras passed via CLI share a trailing pseudo-tier). */
+  private def tierOf(name: String): Int = {
+    val i = Tiers.indexWhere(_.contains(name))
+    if (i < 0) Tiers.size else i
+  }
 
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -101,7 +137,12 @@ object DecadeProbe {
 
     val scales = Seq("/root/testdata/sf0.1", "testdata_sf1", sf10Dir)
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
-    val only = args.drop(2).toSet
+    // "tier:N" args expand to that tier's query list (single-sourced
+    // here), for the per-tier fresh-JVM sweep tools/decade_sweep.sh
+    val only = args.drop(2).flatMap {
+      case s if s.startsWith("tier:") => Tiers(s.stripPrefix("tier:").toInt)
+      case s => Seq(s)
+    }.toSet
     val Selected =
       if (only.isEmpty) DefaultSelected
       else DefaultSelected.filter(only) ++
@@ -125,14 +166,21 @@ object DecadeProbe {
     }
 
     // scale-major order: each scale pays its memoized builds exactly
-    // once, inside the visible *_build entries that run first
+    // once, inside the visible *_build (or first-consumer) entries that
+    // run first in their tier — and drops the finished tier's
+    // checkpoints at every tier boundary (see [[Tiers]])
     val measured = scales.map { dir =>
-      graft.queries.Memo.reset()
-      spark.catalog.clearCache()
-      dir -> Selected.map(timedRun(_, dir)).map(r => r._1 -> r).toMap
-    }.toMap.map { case (k, v) =>
-      k -> scala.collection.mutable.Map(v.toSeq: _*)
-    }
+      val out = scala.collection.mutable.Map[String, (String, Long, Double, Double)]()
+      var cur = -1
+      for (name <- Selected) {
+        val t = tierOf(name)
+        if (t != cur) {
+          graft.queries.Memo.reset(); spark.catalog.clearCache(); cur = t
+        }
+        out(name) = timedRun(name, dir)
+      }
+      dir -> out
+    }.toMap
 
     val Seq(d01, d1, d10) = scales
 
@@ -142,10 +190,16 @@ object DecadeProbe {
     // contention), and a growth verdict multiplies two samples — one
     // loud window on either side mints a false SUPER. A flag that
     // REPRODUCES across two samples minutes apart is shape; one that
-    // doesn't is weather. Retries run against the still-warm memo
-    // state, exactly like the first pass (consumers are steady-state
-    // by design; builds own their cost in *_build entries). Both
-    // samples are disclosed via cpu_first in the artifact.
+    // doesn't is weather.
+    //
+    // Retry fidelity (new in r12): a retry replays the flagged query's
+    // TIER from a reset — unflagged members before it run unmeasured as
+    // warm-up — so the retry measures exactly what the first pass did:
+    // a flagged build (or memo-owning first consumer) pays its REAL
+    // build again rather than a warm-memo lookup that would hide the
+    // build cost behind the min-merge (the r9 finding, which the old
+    // warm-state retry would have reintroduced the first time a *_build
+    // entry breached). Both samples are disclosed via cpu_first.
     val firstCpu = scala.collection.mutable.Map[String, (Double, Double)]()
     def verdictOf(name: String): String = {
       val (_, r01, _, c01) = measured(d01)(name)
@@ -158,13 +212,31 @@ object DecadeProbe {
         if (c10 > 1.5 * c1 * math.max(g01, 10.0) + 10.0) "SUPER" else "ok"
       }
     }
-    for (name <- Selected if verdictOf(name) == "SUPER") {
+    val flagged = Selected.filter(verdictOf(_) == "SUPER")
+    for (name <- flagged)
       firstCpu(name) = (measured(d1)(name)._4, measured(d10)(name)._4)
+    if (flagged.nonEmpty) {
+      val flaggedTiers = flagged.map(tierOf).toSet
       for (dir <- Seq(d1, d10)) {
-        val again = timedRun(name, dir, " (retry)")
-        val prev = measured(dir)(name)
-        if (again._2 == prev._2 && again._4 < prev._4)
-          measured(dir)(name) = (name, prev._2, math.min(again._3, prev._3), again._4)
+        var cur = -1
+        for (name <- Selected if flaggedTiers.contains(tierOf(name))) {
+          val t = tierOf(name)
+          if (t != cur) {
+            graft.queries.Memo.reset(); spark.catalog.clearCache(); cur = t
+          }
+          if (flagged.contains(name)) {
+            val again = timedRun(name, dir, " (retry)")
+            val prev = measured(dir)(name)
+            if (again._2 == prev._2 && again._4 < prev._4)
+              measured(dir)(name) = (name, prev._2, math.min(again._3, prev._3), again._4)
+          } else if (Tiers.lift(t).exists(tier =>
+              tier.indexOf(name) < tier.lastIndexWhere(flagged.contains))) {
+            // unmeasured warm-up: only members BEFORE the tier's last
+            // flagged entry can feed a flagged one's memo state
+            try byName(name).run(spark, dir).queryExecution.toRdd.count()
+            catch { case _: Throwable => () }
+          }
+        }
       }
     }
 
@@ -212,7 +284,8 @@ object DecadeProbe {
     val json =
       s"""{"probe":"three-scale decade growth (sf0.1 -> sf1 -> sf10)","timing":"toRdd","metric":"executor-cpu","heap_gb":$heapGb,
          |"corpus_sf10":"documents 500k / embeddings 200k / events 10M, ScaleProbe.generate profile; TPC-H tables symlinked from sf0.1 (relational tier excluded from the probe set)",
-         |"budget":"cpu_sf10 <= 1.5 x cpu_sf1 x max(growth_01_1, 10) + 10s — expected growth floors at linear (10x/decade) so a loud sf0.1 window cannot collapse the budget and flag linear growth; the 1.5x headroom puts the flag threshold at 15x/decade (~n^1.18), tightened from r11's 3x after the 18-28x/decade cluster isolated to shared-heap pressure; wall recorded but not gated (ambient co-tenancy); first-pass SUPER verdicts re-measured once at sf1+sf10 and min-merged (cpu_first discloses the louder sample) so a single contention window cannot mint a false flag",
+         |"budget":"cpu_sf10 <= 1.5 x cpu_sf1 x max(growth_01_1, 10) + 10s — expected growth floors at linear (10x/decade) so a loud sf0.1 window cannot collapse the budget and flag linear growth; the 1.5x headroom puts the flag threshold at 15x/decade (~n^1.18), tightened from r11's 3x after the 18-28x/decade cluster isolated to shared-heap pressure; wall recorded but not gated (ambient co-tenancy); first-pass SUPER verdicts re-measured once at sf1+sf10 by replaying the flagged query's TIER from a memo reset (warm-up unmeasured) and min-merged (cpu_first discloses the louder sample) — a flagged build re-pays its real build, never a warm-memo lookup",
+         |"tier_resets":"memoized checkpoints dropped at every tier boundary within each scale (r12): the r11 sweep held every finished tier's localCheckpoint blocks to the end (~57 GB live at sf10) and the allocator/GC churn inflated late consumers 2-5x in CPU — the entire 18-28x/decade growth cluster vanished in fresh-JVM isolated re-runs; each tier still pays its builds inside its visible entries",
          |"nqueries":${rows.size},"superlinear":${arr(supers)},"failed":${arr(fails)},"dark":${arr(dark)},
          |"total_cpu_sf10":${fmt(Selected.map(measured(d10)(_)._4).sum)},"total_wall_sf10":${fmt(Selected.map(measured(d10)(_)._3).sum)},
          |"queries":${rows.map(_._4).mkString("{", ",", "}")}}""".stripMargin.replace("\n", "")
