@@ -48,7 +48,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.tools.DecadeProbe [sf10Dir] [artifact.json] [query...]
   * (trailing query names restrict the probe set — for re-measuring the
-  * queries a fix changed without re-rolling the full hour-long sweep)
+  * queries a fix changed without re-rolling the full hour-long sweep).
+  * `--gen-only` generates the corpora and exits (so measurement JVMs
+  * start lean). GRAFT_SCALE_SET=sf100 shifts the whole probe one decade
+  * up — sf1 -> sf10 -> sf100 (5M docs / 2M embeddings / 100M events) —
+  * with the same tiers, gate, and retry discipline; the artifact's
+  * growth/budget keys are renamed to the scales they actually span.
   */
 object DecadeProbe {
 
@@ -130,16 +135,33 @@ object DecadeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // sf10: one decade above the sf1 probe corpus, same generator
-    ScaleProbe.generate(spark, sf10Dir,
-      nDocs = 500000L, nVecs = 200000L, nEvents = 10000000L)
-    ScaleProbe.linkRelational(sf10Dir)
+    // GRAFT_SCALE_SET=sf100 shifts the whole probe one decade up
+    // (sf1 -> sf10 -> sf100: 5M docs / 2M embeddings / 100M events) —
+    // same generator profile, same tiers, same 15x/decade gate; only n
+    // moves another 10x. Every corpus is generated idempotently here
+    // (ScaleProbe.generate skips tables that exist), so a fresh box can
+    // run either sweep from nothing.
+    val century = sys.env.get("GRAFT_SCALE_SET").contains("sf100")
+    val profiles: Seq[(String, Long, Long, Long)] =
+      Seq(("testdata_sf1", 50000L, 20000L, 1000000L),
+        (if (century) "testdata_sf10" else sf10Dir,
+          500000L, 200000L, 10000000L)) ++
+        (if (century)
+          Seq(("testdata_sf100", 5000000L, 2000000L, 100000000L))
+        else Nil)
+    for ((d, nd, nv, ne) <- profiles) {
+      ScaleProbe.generate(spark, d, nDocs = nd, nVecs = nv, nEvents = ne)
+      ScaleProbe.linkRelational(d)
+    }
+    if (args.drop(2).contains("--gen-only")) { spark.stop(); return }
 
-    val scales = Seq("/root/testdata/sf0.1", "testdata_sf1", sf10Dir)
+    val scales =
+      if (century) Seq("testdata_sf1", "testdata_sf10", "testdata_sf100")
+      else Seq("/root/testdata/sf0.1", "testdata_sf1", sf10Dir)
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     // "tier:N" args expand to that tier's query list (single-sourced
     // here), for the per-tier fresh-JVM sweep tools/decade_sweep.sh
-    val only = args.drop(2).flatMap {
+    val only = args.drop(2).filterNot(_ == "--gen-only").flatMap {
       case s if s.startsWith("tier:") => Tiers(s.stripPrefix("tier:").toInt)
       case s => Seq(s)
     }.toSet
@@ -266,12 +288,18 @@ object DecadeProbe {
       val retried = firstCpu.get(name)
         .map { case (f1, f10) => s""""cpu_first":[${fmt(f1)},${fmt(f10)}],""" }
         .getOrElse("")
+      // entry keys name the actual scales (the century set shifts them
+      // a decade up) so a reader of the artifact alone can't misread
+      // which corpus a growth ratio spans
+      val (gLoKey, gHiKey, budgetKey) =
+        if (century) ("growth_1_10", "growth_10_100", "budget_cpu_sf100")
+        else ("growth_01_1", "growth_1_10", "budget_cpu_sf10")
       (name, verdict, dark,
         s""""$name":{"rows":[$r01,$r1,$r10],""" +
           s""""wall":[${fmt(w01)},${fmt(w1)},${fmt(w10)}],""" +
           s""""cpu":[${fmt(c01)},${fmt(c1)},${fmt(c10)}],$retried""" +
-          s""""growth_01_1":${fmt(g01)},"growth_1_10":${fmt(g1)},""" +
-          s""""budget_cpu_sf10":${fmt(budget)},"verdict":"$verdict"}""")
+          s""""$gLoKey":${fmt(g01)},"$gHiKey":${fmt(g1)},""" +
+          s""""$budgetKey":${fmt(budget)},"verdict":"$verdict"}""")
     }
     val supers = rows.filter(_._2 == "SUPER").map(_._1)
     val fails = rows.filter(_._2 == "FAILED").map(_._1)
@@ -281,13 +309,24 @@ object DecadeProbe {
     // of resident memoized checkpoints in a 48 GiB heap inflated late
     // consumers 2-3x at sf10 — so the artifact stamps it
     val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    val (probeTag, corpusKey, corpusDesc, hiTag, gLoName) =
+      if (century)
+        ("three-scale century growth (sf1 -> sf10 -> sf100)",
+          "corpus_sf100",
+          "documents 5M / embeddings 2M / events 100M, ScaleProbe.generate profile (same distribution as sf1/sf10 — only n moves); TPC-H tables symlinked from sf0.1 (relational tier excluded from the probe set)",
+          "sf100", "growth_1_10")
+      else
+        ("three-scale decade growth (sf0.1 -> sf1 -> sf10)",
+          "corpus_sf10",
+          "documents 500k / embeddings 200k / events 10M, ScaleProbe.generate profile; TPC-H tables symlinked from sf0.1 (relational tier excluded from the probe set)",
+          "sf10", "growth_01_1")
     val json =
-      s"""{"probe":"three-scale decade growth (sf0.1 -> sf1 -> sf10)","timing":"toRdd","metric":"executor-cpu","heap_gb":$heapGb,
-         |"corpus_sf10":"documents 500k / embeddings 200k / events 10M, ScaleProbe.generate profile; TPC-H tables symlinked from sf0.1 (relational tier excluded from the probe set)",
-         |"budget":"cpu_sf10 <= 1.5 x cpu_sf1 x max(growth_01_1, 10) + 10s — expected growth floors at linear (10x/decade) so a loud sf0.1 window cannot collapse the budget and flag linear growth; the 1.5x headroom puts the flag threshold at 15x/decade (~n^1.18), tightened from r11's 3x after the 18-28x/decade cluster isolated to shared-heap pressure; wall recorded but not gated (ambient co-tenancy); first-pass SUPER verdicts re-measured once at sf1+sf10 by replaying the flagged query's TIER from a memo reset (warm-up unmeasured) and min-merged (cpu_first discloses the louder sample) — a flagged build re-pays its real build, never a warm-memo lookup",
+      s"""{"probe":"$probeTag","timing":"toRdd","metric":"executor-cpu","heap_gb":$heapGb,
+         |"$corpusKey":"$corpusDesc",
+         |"budget":"cpu_$hiTag <= 1.5 x cpu_mid x max($gLoName, 10) + 10s — expected growth floors at linear (10x/decade) so a loud low-scale window cannot collapse the budget and flag linear growth; the 1.5x headroom puts the flag threshold at 15x/decade (~n^1.18), tightened from r11's 3x after the 18-28x/decade cluster isolated to shared-heap pressure; wall recorded but not gated (ambient co-tenancy); first-pass SUPER verdicts re-measured once at the two upper scales by replaying the flagged query's TIER from a memo reset (warm-up unmeasured) and min-merged (cpu_first discloses the louder sample) — a flagged build re-pays its real build, never a warm-memo lookup",
          |"tier_resets":"memoized checkpoints dropped at every tier boundary within each scale (r12): the r11 sweep held every finished tier's localCheckpoint blocks to the end (~57 GB live at sf10) and the allocator/GC churn inflated late consumers 2-5x in CPU — the entire 18-28x/decade growth cluster vanished in fresh-JVM isolated re-runs; each tier still pays its builds inside its visible entries",
          |"nqueries":${rows.size},"superlinear":${arr(supers)},"failed":${arr(fails)},"dark":${arr(dark)},
-         |"total_cpu_sf10":${fmt(Selected.map(measured(d10)(_)._4).sum)},"total_wall_sf10":${fmt(Selected.map(measured(d10)(_)._3).sum)},
+         |"total_cpu_$hiTag":${fmt(Selected.map(measured(d10)(_)._4).sum)},"total_wall_$hiTag":${fmt(Selected.map(measured(d10)(_)._3).sum)},
          |"queries":${rows.map(_._4).mkString("{", ",", "}")}}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

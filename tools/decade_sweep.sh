@@ -10,8 +10,12 @@
 # merge via tools/merge_decade.py.
 #
 # Usage: tools/decade_sweep.sh [outPrefix]   (from /root/repo)
+# GRAFT_SCALE_SET=sf100 runs the same sweep one decade higher
+# (sf1 -> sf10 -> sf100); corpora generate idempotently in tier 0's JVM
+# unless pre-generated with `runMain graft.tools.DecadeProbe x y --gen-only`.
 set -u
 prefix="${1:-/tmp/decade_tier}"
+export GRAFT_SCALE_SET="${GRAFT_SCALE_SET:-sf10}"
 ntiers=9
 for i in $(seq 0 $((ntiers - 1))); do
   # committed-artifact discipline: wait out ambient load before each tier
