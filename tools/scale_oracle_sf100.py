@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""SCALE_ORACLE at sf100: DuckDB hash-exact verification at the CENTURY
+probe's top scale (5M docs / 2M vectors / 100M events) — 100x the bench
+corpus — for the slice where both engines are feasible on this box.
+
+The slice spans the three probe families: the event tier at 100M rows
+(windowed top-N, regex-parse top-N, session windows), the rebanded
+MinHash tier (index checksum + LSH pairs), and the capped embedding /
+blocked-winnowing tier. Queries whose sf10 oracle already hit DuckDB
+resource limits (dedup_incremental) are excluded up front rather than
+re-proving the known oracle limit a decade higher.
+
+Usage: python3 tools/scale_oracle_sf100.py <sfDir> <verifyOut> <artifact.json>
+
+Assumes `sbt "runMain graft.Verify <sfDir> <verifyOut> <queries...>"`
+already dumped the Spark side for the slice.
+"""
+import sys
+
+from scale_oracle_lib import run
+
+TIMEOUT = 5400  # sf100 is 10x the corpus the sf10 3600s budget covered
+
+QUERIES = [
+    # event tier at 100M rows
+    "q1_hot_items", "q2_hot_pages", "active_user_windows",
+    # rebanded MinHash tier at 5M docs
+    "minhash_index_build", "dedup_minhash_lsh",
+    # capped embedding tier at 2M vectors + blocked winnowing at 5M docs
+    "embedding_band_stats", "embedding_neardup", "winnowing_pairs",
+]
+
+CHECK = ("DuckDB hash-exact verification AT SF100 (5M docs / 2M vecs / "
+         "100M events — 100x the bench corpus, the century probe's top "
+         "scale) of one slice per probe family: the event tier, the "
+         "16x4-rebanded MinHash tier, and the capped embedding / "
+         "blocked-winnowing tier. Every query here is also hash-exact at "
+         "sf0.01 (driver gate), sf1 (SCALE_ORACLE_r11), and — dedup/"
+         "embedding tier — sf10 (SCALE_ORACLE_sf10_r12).")
+
+
+def main():
+    sfdir, outdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    run(sfdir, outdir, artifact, QUERIES, CHECK, TIMEOUT)
+
+
+if __name__ == "__main__":
+    main()
