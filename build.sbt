@@ -38,6 +38,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC thrash + agg spills on the wide dedup/vector queries. The
   // container has 128 GiB; default high, env-overridable.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+) ++ (
+  // Measurement JVMs (decade/century sweeps) set SPARK_GRAFT_PRETOUCH=1:
+  // -Xms=-Xmx + AlwaysPreTouch faults the whole heap in at STARTUP,
+  // outside any timed query. Without it the first multi-GB allocation
+  // ramp lands in task CPU as kernel fault time on this overcommitted
+  // host — the r12 century sweep measured minhash_index_build@sf100 at
+  // 12,120 executor-CPU s first-pass vs 692 s on an in-JVM retry, a
+  // 17x one-time heap-growth artifact, not compute. Off by default:
+  // pre-touching 48-96 GiB adds ~30-60 s to every forked run.
+  if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("1"))
+    Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+      "-XX:+AlwaysPreTouch")
+  else Seq.empty
+) ++ Seq(
   // Whole-stage codegen emits one Janino class per stage; a 45-query
   // run overflows the default ~240m code cache, after which the JIT
   // stops compiling and hot loops run interpreted (shows up as 3-10x

@@ -309,6 +309,13 @@ object DecadeProbe {
     // of resident memoized checkpoints in a 48 GiB heap inflated late
     // consumers 2-3x at sf10 — so the artifact stamps it
     val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    // ... and so is pre-touch (r12): without -Xms=-Xmx+AlwaysPreTouch
+    // the first heavy allocation ramp after JVM start lands in task CPU
+    // as kernel fault time (minhash_index_build@sf100: 12,120 CPU s
+    // first-pass vs 692 s in-JVM retry). The sweep script sets it; the
+    // artifact records whether this run had it.
+    val pretouch = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.contains("-XX:+AlwaysPreTouch")
     val (probeTag, corpusKey, corpusDesc, hiTag, gLoName) =
       if (century)
         ("three-scale century growth (sf1 -> sf10 -> sf100)",
@@ -321,7 +328,7 @@ object DecadeProbe {
           "documents 500k / embeddings 200k / events 10M, ScaleProbe.generate profile; TPC-H tables symlinked from sf0.1 (relational tier excluded from the probe set)",
           "sf10", "growth_01_1")
     val json =
-      s"""{"probe":"$probeTag","timing":"toRdd","metric":"executor-cpu","heap_gb":$heapGb,
+      s"""{"probe":"$probeTag","timing":"toRdd","metric":"executor-cpu","heap_gb":$heapGb,"heap_pretouch":$pretouch,
          |"$corpusKey":"$corpusDesc",
          |"budget":"cpu_$hiTag <= 1.5 x cpu_mid x max($gLoName, 10) + 10s — expected growth floors at linear (10x/decade) so a loud low-scale window cannot collapse the budget and flag linear growth; the 1.5x headroom puts the flag threshold at 15x/decade (~n^1.18), tightened from r11's 3x after the 18-28x/decade cluster isolated to shared-heap pressure; wall recorded but not gated (ambient co-tenancy); first-pass SUPER verdicts re-measured once at the two upper scales by replaying the flagged query's TIER from a memo reset (warm-up unmeasured) and min-merged (cpu_first discloses the louder sample) — a flagged build re-pays its real build, never a warm-memo lookup",
          |"tier_resets":"memoized checkpoints dropped at every tier boundary within each scale (r12): the r11 sweep held every finished tier's localCheckpoint blocks to the end (~57 GB live at sf10) and the allocator/GC churn inflated late consumers 2-5x in CPU — the entire 18-28x/decade growth cluster vanished in fresh-JVM isolated re-runs; each tier still pays its builds inside its visible entries",

@@ -16,6 +16,10 @@
 set -u
 prefix="${1:-/tmp/decade_tier}"
 export GRAFT_SCALE_SET="${GRAFT_SCALE_SET:-sf10}"
+# fault the whole heap in at JVM startup, outside any timed query (see
+# build.sbt: the century sweep's first heavy sf100 query otherwise pays
+# the 2g->96g heap ramp as a one-time 17x executor-CPU fault storm)
+export SPARK_GRAFT_PRETOUCH=1
 ntiers=9
 for i in $(seq 0 $((ntiers - 1))); do
   # committed-artifact discipline: wait out ambient load before each tier
