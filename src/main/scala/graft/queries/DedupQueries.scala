@@ -486,7 +486,8 @@ object DedupQueries {
              |END""".stripMargin))
         .withColumn("fhvs", array_distinct(col("sel")))
         .select(col("doc_id"), col("sel"), col("fhvs"),
-          size(col("fhvs")).cast("long").as("c"))
+          size(col("fhvs")).cast("long").as("c"),
+          size(col("toks")).as("nt"))
     }
 
   /** (doc_id, fhv) winnowing postings after the RELATIVE stop filter —
@@ -540,6 +541,36 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
   }
 
+  /** Block-key geometry for the blocked scale path. Every fixed block
+    * width eventually saturates on a bounded-vocabulary corpus — block
+    * df grows ∝ n once the distinct-key space fills, and the block
+    * self-join's candidate mass Σ df(df−1)/2 goes quadratic — so the
+    * width is chosen from MEASUREMENT (WinnowBlockProbe, sf1 → sf10 →
+    * sf100 on the probe corpus, 31-word vocabulary):
+    *
+    *   width 2 (r11 design): 172k → 12.9M → 1.24G candidates — 75× and
+    *     96×/decade; at sf100 the candidate sort spilled the disk dry
+    *     and killed the query (the r12 century probe's finding).
+    *   width 3: 46k → 518k → 10.4M — 11× then 20×/decade (the trigram
+    *     space begins saturating exactly one decade after the bigram).
+    *   width 4: 43k → 435k → 4.37M — 10.0×/decade, max block df 5 at
+    *     5M docs: linear through sf100 with two decades of headroom.
+    *
+    * A width-4 block is only GUARANTEED by a shared run of ≥ 4w+k−1 =
+    * 18 tokens, so docs short enough that a full-document overlap
+    * cannot produce one (≤ [[WinShortToks]] tokens, ~10% of the
+    * corpus) ALSO emit width-2 blocks in a disjoint key space ('s:'
+    * prefix): their bigram mass is two orders of magnitude smaller and
+    * block df stays tiny because both members of a short-block pair
+    * must be short docs. [[WinBlockCap]] (drop-oversized, the
+    * WinFpCap/HAVING discipline, mirrored in the oracle) is the
+    * asymptotic backstop for both spaces — DORMANT through sf100
+    * (max df 5), so every gated output is cap-free.
+    */
+  private val WinBlockK = 4
+  private val WinShortToks = 18
+  private val WinBlockCap = 400
+
   /** The SCALE path of [[winnowingPairsExact]] — run-blocked candidates
     * + exact verify; since round 12 this is what the default
     * `winnowing_pairs` name runs. The exact all-pairs form is intrinsically
@@ -549,51 +580,48 @@ object DedupQueries {
     * 400 bucket cap; measured: tightening the df cutoff to where it
     * bites — 60 — collapses the TRUE near-dup yield 2,379 → 5, so the
     * mid-df mass IS the signal and may not be dropped). Instead,
-    * candidates come from shared consecutive fingerprint BIGRAMS of
-    * the per-doc selection sequence: two docs become a candidate iff
-    * their (consecutive-deduped) selections contain the same adjacent
-    * fingerprint pair, which any shared run of ≥ 2w+k−1 = 10 tokens
-    * guarantees (vs w+k−1 = 6 for sharing a single fingerprint);
-    * verification is then EXACT — `array_intersect` over the full
-    * distinct fingerprint sets, same n_shared ≥ 3 and containment ≥
-    * 0.25 knee as the exact form. Measured at sf1: candidates 31.5M →
-    * 125k (250×), output 2,759 of the exact 2,922 — every strong pair
-    * (containment ≥ 0.9) retained; the 163 forgone pairs share only
-    * scattered single fingerprints from separate short runs.
+    * candidates come from shared consecutive fingerprint runs of the
+    * per-doc selection sequence (see [[WinBlockK]] — width 4, with a
+    * width-2 fallback space for short docs): two docs become a
+    * candidate iff their (consecutive-deduped) selections contain the
+    * same adjacent fingerprint run, which any shared run of ≥
+    * WinBlockK·w+k−1 = 18 tokens guarantees (≥ 10 for the short-doc
+    * fallback); verification is then EXACT — `array_intersect` over
+    * the full distinct fingerprint sets, same n_shared ≥ 3 and
+    * containment ≥ 0.25 knee as the exact form. True near-dup pairs
+    * share runs the length of the document, so the planted-recall spec
+    * (PipelineOpsSpec) holds ≥ 0.9 of MinHash-confirmed near-dups
+    * across the width change.
     */
   private def winnowingPairsBlocked(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowFpSets(spark, dir)
     // consecutive-dedup of the selection sequence, then its adjacent
-    // (f1, f2) transitions — all per-row array work. Memoized: array
-    // HOFs run INTERPRETED, and without the checkpoint BOTH sides of
-    // the candidate self-join re-derive the frame (2× the lambda cost;
-    // the round-9 form also paid an O(n²) interpreted array_distinct
-    // over per-doc STRUCT arrays — per-doc duplicate bigrams are now
-    // left in, since the candidate-level distinct() dedups pairs
-    // anyway and max bigram df is single-digit on real corpora).
+    // width-K runs — all per-row array work. Memoized: array HOFs run
+    // INTERPRETED, and without the checkpoint BOTH sides of the
+    // candidate self-join re-derive the frame (2× the lambda cost).
+    // Per-doc (doc_id, blk) dedup as a hash-distinct: without it a
+    // phrase repeated k times in two docs emits k×k self-join rows
+    // before the candidate distinct() — quadratic in repetition depth,
+    // on exactly the boilerplate content a dedup tier exists to process.
     val bg = Memo.frame(spark, dir, "winnow_bg") {
-      fps
-        .withColumn("seqd",
-          expr("filter(sel, (x, i) -> i = 0 OR x != element_at(sel, i))"))
-        .withColumn("bgs", expr(
-          """CASE WHEN size(seqd) < 2 THEN array()
-            |ELSE transform(sequence(1, size(seqd) - 1),
-            |       j -> named_struct('f1', element_at(seqd, j), 'f2', element_at(seqd, j + 1)))
-            |END""".stripMargin))
-        .select(col("doc_id"), explode(col("bgs")).as("bg"))
-        .select(col("doc_id"), col("bg.f1").as("f1"), col("bg.f2").as("f2"))
-        // per-doc (doc_id, f1, f2) dedup as a hash-distinct (NOT the
-        // interpreted per-row array_distinct this replaced): without
-        // it a phrase repeated k times in two docs emits k×k self-join
-        // rows before the candidate distinct() — quadratic in
-        // repetition depth, on exactly the boilerplate content a dedup
-        // tier exists to process
+      val seqd = fps.withColumn("seqd",
+        expr("filter(sel, (x, i) -> i = 0 OR x != element_at(sel, i))"))
+      def blocks(df: DataFrame, k: Int, prefix: String): DataFrame =
+        df.withColumn("blks", expr(
+            s"""CASE WHEN size(seqd) < $k THEN array()
+               |ELSE transform(sequence(1, size(seqd) - ${k - 1}),
+               |       j -> '$prefix' || array_join(transform(slice(seqd, j, $k),
+               |                x -> CAST(x AS STRING)), ':'))
+               |END""".stripMargin))
+          .select(col("doc_id"), explode(col("blks")).as("blk"))
+      blocks(seqd, WinBlockK, "")
+        .unionAll(blocks(seqd.filter(col("nt") <= WinShortToks), 2, "s:"))
         .distinct()
     }
-    val cand = bg.as("a")
-      .join(bg.as("b"),
-        col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val kept = capBuckets(bg, WinBlockCap, Seq("blk"))
+    val cand = kept.as("a")
+      .join(kept.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -654,20 +682,35 @@ object DedupQueries {
     s"""WITH $duckWinnowSel,
        |fpl AS (SELECT doc_id, list(DISTINCT fhv) AS fhvs,
        |               count(DISTINCT fhv) AS c FROM wsel GROUP BY 1),
+       |ntk AS (SELECT doc_id, len(w) AS nt FROM t),
        |seq AS (
        |  SELECT doc_id, pos, fhv,
        |         lag(fhv) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
        |  FROM wsel),
        |seqd AS (SELECT doc_id, pos, fhv FROM seq WHERE prev IS NULL OR prev != fhv),
-       |bgr AS (
+       |run4 AS (
        |  SELECT doc_id, fhv AS f1,
-       |         lead(fhv) OVER (PARTITION BY doc_id ORDER BY pos) AS f2
+       |         lead(fhv, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS f2,
+       |         lead(fhv, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS f3,
+       |         lead(fhv, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS f4
        |  FROM seqd),
-       |bg AS (SELECT DISTINCT doc_id, f1, f2 FROM bgr WHERE f2 IS NOT NULL),
+       |bg AS (
+       |  SELECT DISTINCT doc_id,
+       |         f1 || ':' || f2 || ':' || f3 || ':' || f4 AS blk
+       |  FROM run4 WHERE f4 IS NOT NULL
+       |  UNION
+       |  SELECT DISTINCT r.doc_id, 's:' || f1 || ':' || f2 AS blk
+       |  FROM (SELECT doc_id, fhv AS f1,
+       |               lead(fhv) OVER (PARTITION BY doc_id ORDER BY pos) AS f2
+       |        FROM seqd) r
+       |  JOIN ntk ON r.doc_id = ntk.doc_id
+       |  WHERE f2 IS NOT NULL AND ntk.nt <= $WinShortToks),
+       |bigblk AS (SELECT blk FROM bg GROUP BY 1 HAVING count(*) > $WinBlockCap),
+       |keptblk AS (SELECT bg.* FROM bg ANTI JOIN bigblk USING (blk)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bg a JOIN bg b
-       |    ON a.f1 = b.f1 AND a.f2 = b.f2 AND a.doc_id < b.doc_id),
+       |  FROM keptblk a JOIN keptblk b
+       |    ON a.blk = b.blk AND a.doc_id < b.doc_id),
        |v AS (
        |  SELECT doc_a, doc_b,
        |         CAST(len(list_intersect(x.fhvs, y.fhvs)) AS BIGINT) AS n_shared,
@@ -888,12 +931,23 @@ object DedupQueries {
     // changes labels wherever edges exist, so folding it into the
     // init saves one full loop round (join + checkpoint + sum)
     val nbr0 = edges.groupBy(col("doc_a")).agg(min(col("doc_b")).as("n0"))
-    var labels = nodes
+    // every round's checkpoint is re-leafed WITHOUT the child plan's
+    // inherited size estimate (PlanBridge): localCheckpoint copies the
+    // ESTIMATE into the new leaf, and since each round's plan squares
+    // the previous round's leaf (the pointer-jump self-join), the
+    // inherited estimate grows doubly-exponentially in the round count
+    // — at sf100 (5M docs, deeper components, more rounds) it overflows
+    // the BigInteger backing sizeInBytes and kills the query. The
+    // checkpoint is materialized; a constant default leaf estimate is
+    // strictly more honest than the compounded product.
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.PlanBridge
+        .dropCheckpointStats(df.localCheckpoint())
+    var labels = ckpt(nodes
       .select(col("doc_id"))
       .join(nbr0, col("doc_id") === nbr0("doc_a"), "left")
       .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("n0"), col("doc_id"))).as("component"))
-      .localCheckpoint()
+        least(col("doc_id"), coalesce(col("n0"), col("doc_id"))).as("component")))
     // Convergence is detected by the label-sum: every update strictly
     // DECREASES some label (least/min semantics) and never increases
     // one, so sum(component) is strictly monotone until the fixpoint —
@@ -924,10 +978,9 @@ object DedupQueries {
       // data volume. (Two fused jumps regress: the four-fold `stepped`
       // nesting defeats exchange reuse under AQE.)
       val par = stepped.select(col("doc_id").as("p_id"), col("component").as("p_comp"))
-      val next = stepped.join(par, stepped("component") === par("p_id"), "left")
+      val next = ckpt(stepped.join(par, stepped("component") === par("p_id"), "left")
         .select(stepped("doc_id"),
-          coalesce(col("p_comp"), stepped("component")).as("component"))
-        .localCheckpoint()
+          coalesce(col("p_comp"), stepped("component")).as("component")))
       val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

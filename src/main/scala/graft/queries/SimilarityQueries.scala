@@ -302,29 +302,45 @@ object SimilarityQueries {
     // one count to size the signature width from the corpus itself —
     // the price of holding bucket occupancy constant across decades
     val bits = ndSigBits(v.count())
-    // one keyed frame, capped at the `cap` lowest vec_ids per
-    // (band, sig) bucket (see NdBucketCap); the b side is a rename of
-    // the same capped frame, so signatures are computed once and the
-    // window's (band, sig) exchange is the same partitioning the join
-    // needs
-    val a = bandKeyed(v, "vec_a", "ea", "na", "band_a", "sig_a", "sigs_a", bits)
+    // SLIM candidate generation (r12, after the century probe measured
+    // the payload-carrying form at 15.8×/decade): only (vec_id, band,
+    // sig) rides the bucket-cap window and the banded self-join — the
+    // 64-float embedding and its norm previously rode BOTH shuffles
+    // (~12× the bytes per row), so the linear-in-n shuffle volume
+    // carried a constant big enough to breach the budget a decade up.
+    // Embeddings re-join by id only for the candidate verify dots.
+    val slim = v
+      .withColumn("sigs_a", array((0 until NdBands).map(l =>
+        ndSigCol("embedding", l, bits)): _*))
+      .select(col("vec_id").as("vec_a"),
+        posexplode(col("sigs_a")).as(Seq("band_a", "sig_a")))
       .withColumn("nd_rn", row_number().over(
         Window.partitionBy(col("band_a"), col("sig_a")).orderBy(col("vec_a"))))
       .filter(col("nd_rn") <= cap)
-      .drop("nd_rn", "sigs_a")
-    val b = a.select(col("vec_a").as("vec_b"), col("ea").as("eb"),
-      col("na").as("nb"), col("band_a").as("band_b"), col("sig_a").as("sig_b"))
-    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
-        col("vec_a") < col("vec_b"))
-      // a pair can collide in several bands (same simr each time — same
-      // vectors), and under the cap "first band in which both collide"
-      // is no longer a stateless function of the two signature arrays
-      // (a pair can be capped OUT of an earlier band's bucket yet meet
-      // in a later one) — dedup with a distinct over the cap-bounded
-      // candidate set, exactly the oracle's DISTINCT
+      .drop("nd_rn")
+    // a pair can collide in several bands (same simr each time — same
+    // vectors), and under the cap "first band in which both collide"
+    // is no longer a stateless function of the two signature arrays
+    // (a pair can be capped OUT of an earlier band's bucket yet meet
+    // in a later one) — dedup with a distinct over the cap-bounded
+    // candidate set, exactly the oracle's DISTINCT; on slim id pairs it
+    // is also CHEAPER than deduping verified rows
+    val cand = slim
+      .join(slim.select(col("vec_a").as("vec_b"), col("band_a").as("band_b"),
+          col("sig_a").as("sig_b")),
+        col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+          col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val vn = v.select(col("vec_id"), col("embedding"))
+      .withColumn("nn", sqrt(dotCol("embedding", "embedding")))
+    cand
+      .join(vn.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nn").as("na")), "vec_a")
+      .join(vn.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nn").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(dotCol("ea", "eb") / (col("na") * col("nb")), 6).as("simr"))
-      .distinct()
   }
 
   private def embeddingNeardup(spark: SparkSession, dir: String): DataFrame =

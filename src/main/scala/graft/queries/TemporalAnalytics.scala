@@ -54,24 +54,56 @@ object TemporalAnalytics {
   // ------------------------------------------------ rolling actives
   /** DAU / WAU / MAU per day: distinct users active that day, in the
     * trailing 7 days, and in the trailing 30 days. The fact stream
-    * first collapses to the distinct (user, day) table; each rolling
-    * window is that compact table exploded by its offset range (7 and
-    * 30 constant fan-outs) and re-distinct-counted — never a distinct
-    * over the raw stream per window. Day grid is continuous min..max
-    * so a zero-activity day still reports its rolling actives.
+    * first collapses to the distinct (user, day) table (memoized — one
+    * event scan and one distinct shuffle feed all three measures).
+    *
+    * Rolling distincts are COVERAGE INTERVALS, not explodes (r12,
+    * after the century probe measured the explode form at 43×/decade
+    * on 100M events): a user counts toward WAU(X) iff their most
+    * recent active day is ≥ X−6, so each (user, active day, next
+    * active day) contributes the disjoint interval
+    * [day, min(day+6, next−1)] — `lead` over the user's day sequence —
+    * and WAU(X) is the number of intervals covering X: ±1 deltas at
+    * interval ends, then a running sum over the (tiny) day grid. The
+    * old form exploded ud × span and re-distinct-counted per window —
+    * 1.2 G rows through countDistinct at sf100, where the partial
+    * hash-agg's (day, user) keyspace outgrows the task maps and falls
+    * back to sort+spill. Day grid is continuous min..max so a
+    * zero-activity day still reports its rolling actives.
     */
   private def activeUserWindows(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
-      .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
-      .distinct()
+    val ud = Memo.frame(spark, dir, "user_days") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+        .distinct()
+    }
     val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val grid = broadcast(bounds)
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    // one pass computes both spans' deltas: the lead() shuffle on
+    // user_id is the expensive step and is shared
+    val iv = ud.withColumn("nxt", lead(col("day"), 1).over(wUser))
+    def deltas(span: Int): DataFrame =
+      iv.select(col("day").as("s"),
+          (least(col("day") + (span - 1),
+            coalesce(col("nxt") - 1, col("day") + (span - 1))) + 1).as("e1"))
+        .select(explode(array(
+          struct(col("s").as("day"), lit(1L).as("d")),
+          struct(col("e1").as("day"), lit(-1L).as("d")))).as("x"))
+        .groupBy(col("x.day").as("day")).agg(sum(col("x.d")).as("delta"))
+    // running sum over the continuous day grid — a single-partition
+    // window over ≤ (d1−d0+1) rows (the day axis is tiny by
+    // construction; the users dimension is already summed away)
+    val wDays = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     def rolling(span: Int, name: String): DataFrame =
-      ud.select(col("user_id"),
-          explode(sequence(col("day"), col("day") + (span - 1))).as("day"))
-        .groupBy(col("day"))
-        .agg(countDistinct(col("user_id")).as(name))
+      grid.join(deltas(span), Seq("day"), "left")
+        .withColumn(name, sum(coalesce(col("delta"), lit(0L))).over(wDays))
+        .select(col("day"), col(name))
     val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
     grid
       .join(dau, Seq("day"), "left")
