@@ -19,6 +19,7 @@ def main():
     out, parts = sys.argv[1], sys.argv[2:]
     queries = {}
     heap = set()
+    pretouch = set()
     base = None
     for p in parts:
         with open(p) as f:
@@ -26,6 +27,10 @@ def main():
         if base is None:
             base = d
         heap.add(d.get("heap_gb"))
+        # measurement-condition keys collect across ALL partials (like
+        # heap_gb), never copy-from-first: tiers run in separate JVMs
+        # and a mixed-condition merge must say so in the artifact
+        pretouch.add(d.get("heap_pretouch"))
         for k, v in d["queries"].items():
             assert k not in queries, f"duplicate query {k} across tiers"
             queries[k] = v
@@ -38,8 +43,10 @@ def main():
     doc = {k: v for k, v in base.items()
            if not k.startswith("total_") and k not in
            ("queries", "nqueries", "superlinear", "failed", "dark",
-            "heap_gb", "per_tier_jvm")}
+            "heap_gb", "heap_pretouch", "per_tier_jvm")}
     doc["heap_gb"] = sorted(heap)[0] if len(heap) == 1 else sorted(heap)
+    doc["heap_pretouch"] = (next(iter(pretouch)) if len(pretouch) == 1
+                            else sorted(pretouch, key=str))
     doc["per_tier_jvm"] = (
         "one fresh JVM per memo tier (tools/decade_sweep.sh, load-gated "
         "< 4.0 before each tier): a single-JVM full sweep inflates late "

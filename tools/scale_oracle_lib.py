@@ -6,8 +6,11 @@ supplies its query slice, its `check` prose, and a timeout; this module
 owns the loop: one local_verify.py subprocess per query under a hard
 timeout, resource-exhaustion and timeout recorded as infeasible-with-
 reason (the SCALE_ORACLE_r10 precedent) rather than failing the
-artifact, PASS entries from a prior artifact kept verbatim on resume
-(the compare is deterministic).
+artifact. PASS entries from a prior artifact are kept on resume ONLY
+when their git-rev stamp matches HEAD (ADVICE r12: a name-only resume
+silently certified stale implementations — SCALE_ORACLE_sf10_r12's
+winnowing_pairs/embedding_neardup PASS rows predated the width-4 and
+slim-candidate rewrites); a stamp mismatch re-runs the query.
 """
 import json
 import subprocess
@@ -15,18 +18,38 @@ import sys
 import time
 
 
+def head_rev():
+    """Short HEAD rev, '-dirty' when src/ or tools/ differ from it —
+    the stamp a PASS entry must match to survive a resume."""
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "src", "tools"],
+            capture_output=True, text=True).stdout.strip()
+        return rev + ("-dirty" if dirty else "") if rev else "unknown"
+    except OSError:
+        return "unknown"
+
+
 def run(sfdir, outdir, artifact, queries, check, timeout):
     results, infeasible, failed = {}, {}, {}
+    rev = head_rev()
     try:
         with open(artifact) as f:
             results = json.load(f).get("pass", {})
     except (FileNotFoundError, ValueError):
         pass
     for q in queries:
-        if q in results:
-            print(f"SKIP {q}: passed in prior run ({results[q]['rows']} rows)",
-                  flush=True)
+        if q in results and results[q].get("rev") == rev:
+            print(f"SKIP {q}: passed at HEAD={rev} "
+                  f"({results[q]['rows']} rows)", flush=True)
             continue
+        if q in results:
+            print(f"RERUN {q}: prior pass stamped "
+                  f"{results[q].get('rev', '<unstamped>')}, HEAD is {rev}",
+                  flush=True)
+            del results[q]
         t0 = time.time()
         try:
             p = subprocess.run(
@@ -37,8 +60,8 @@ def run(sfdir, outdir, artifact, queries, check, timeout):
             secs = round(time.time() - t0, 1)
             if line.startswith(f"PASS {q} (") and "rows-only" not in line:
                 rows = int(line.split("(")[1].split(" rows")[0])
-                results[q] = {"rows": rows, "oracle_sec": secs}
-                print(f"PASS {q} rows={rows} {secs}s", flush=True)
+                results[q] = {"rows": rows, "oracle_sec": secs, "rev": rev}
+                print(f"PASS {q} rows={rows} {secs}s rev={rev}", flush=True)
             elif "No space left on device" in line or "Out of Memory" in line:
                 # resource exhaustion is an ORACLE limit, not an engine
                 # mismatch: DuckDB's plan spills past the box; the engine
