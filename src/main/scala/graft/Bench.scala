@@ -40,6 +40,25 @@ object Bench {
     // the regression gate (tools/bench_compare.py) evaluates cpu
     // first, wall second
     val meter = new graft.tools.CpuMeter(spark)
+
+    // Measurement-condition stamps (VERDICT r12 item 3: BENCH_r12's
+    // cpu_total moved +46% round-over-round with flat wall and no
+    // per-query regression on the pinned config — an unattributed
+    // ambient delta). The artifact now carries enough to attribute one:
+    // the 1-min load average at start/end brackets the host's ambient
+    // co-tenancy window, process CPU totals the WHOLE JVM (GC, planning,
+    // page-fault kernel time — everything executor-CPU excludes), and
+    // the pretouch flag records whether the heap was faulted in at
+    // startup (outside every timed region) or lazily during the run.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def loadAvg: Double =
+      math.max(0.0, osBean.getSystemLoadAverage) // -1 when unavailable
+    def processCpuSec: Double = osBean.getProcessCpuTime / 1e9
+    val loadStart = loadAvg
+    val processCpuStart = processCpuSec
+    val pretouch = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.contains("-XX:+AlwaysPreTouch")
     def once(name: String): (Double, Double) = {
       val cpu0 = meter.snapshot()
       val t0 = System.nanoTime()
@@ -115,7 +134,14 @@ object Bench {
     // micro-tasks (pure 32-way contention), so cross-config comparisons
     // are meaningless — bench_compare refuses them when both artifacts
     // carry the stamp
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"cpu_total":${fmt(cpuTotal)},"cpus":$cpus,"queries":$qs,"queries_cpu":$qsCpu,"sf":"$sfDir"}"""
+    // conditions: pretouch + loadavg bracket + whole-process CPU. When
+    // cpu_total (sum of per-query EXECUTOR cpu minima) moves between
+    // rounds, cpu_process vs cpu_total separates "the queries got
+    // slower" from "the JVM spent more outside tasks" and the load
+    // bracket separates both from "the host was louder".
+    val conditions =
+      s""""pretouch":$pretouch,"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg)},"cpu_process":${fmt(processCpuSec - processCpuStart)}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"cpu_total":${fmt(cpuTotal)},"cpus":$cpus,$conditions,"queries":$qs,"queries_cpu":$qsCpu,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parse: the JSON goes to stdout
     // AND to bench_out.json (an unparseable stdout line — sbt chrome,
     // interleaved WARNs — is otherwise indistinguishable from a
@@ -135,7 +161,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"cpu_total":${fmt(cpuTotal)},"nqueries":${results.size},"queries":$slowJson,"queries_note":"15 slowest by wall; full wall+cpu maps in bench_out.json and the line above","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"cpu_total":${fmt(cpuTotal)},"nqueries":${results.size},$conditions,"queries":$slowJson,"queries_note":"15 slowest by wall; full wall+cpu maps in bench_out.json and the line above","sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
     spark.stop()

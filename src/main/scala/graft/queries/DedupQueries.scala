@@ -108,8 +108,11 @@ object DedupQueries {
     * carry 73% of the 2.8M-pair worst-case candidate volume — exactly
     * the mass the cap exists to shed.
     */
-  private[queries] val SimhashBandCap = 400
-  private[queries] val MinhashBandCap = 400
+  // env-overridable (Caps.env) so a caps-engaged verification run can
+  // force the dormant backstops at small scale; the value interpolates
+  // into the DuckDB oracle SQL too, so such a run stays hash-exact
+  private[queries] val SimhashBandCap = Caps.env("GRAFT_CAP_SIMHASH_BAND", 400)
+  private[queries] val MinhashBandCap = Caps.env("GRAFT_CAP_MINHASH_BAND", 400)
 
   /** Drop every row of any (key) bucket holding more than `cap` rows.
     * The oversized-bucket list is a heavy-hitter rollup — tiny by
@@ -436,7 +439,7 @@ object DedupQueries {
     * bigram-blocked variant stays the preferred scale path (its
     * candidates need a shared ≥ 10-token run, 1.6×/decade measured).
     */
-  private val WinFpCap = 400
+  private val WinFpCap = Caps.env("GRAFT_CAP_WIN_FP", 400)
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm) over word 3-grams: per doc, hash every gram in
@@ -569,7 +572,7 @@ object DedupQueries {
     */
   private val WinBlockK = 4
   private val WinShortToks = 18
-  private val WinBlockCap = 400
+  private val WinBlockCap = Caps.env("GRAFT_CAP_WIN_BLOCK", 400)
 
   /** The SCALE path of [[winnowingPairsExact]] — run-blocked candidates
     * + exact verify; since round 12 this is what the default
@@ -761,6 +764,15 @@ object DedupQueries {
       .select(col("batch_id"), col("corpus_id").as("dup_of"), col("jaccard"))
   }
 
+  /** Intersections go candidate-first through a MATERIALIZED CTE (the
+    * minhashOracle shape): left free to reorder, DuckDB planned the
+    * three-way `cand ⋈ sh ⋈ sh` as a shingle-equality `sh ⋈ sh`
+    * self-join first — Σ df² over every shingle value in the corpus —
+    * which spilled the 77 GB scratch disk dry at sf10
+    * (SCALE_ORACLE_sf10_r12's one infeasible row). Pinning the
+    * candidate × batch-shingle side first bounds the intermediate by
+    * |cand| × shingles-per-doc, the same shape the Spark side plans.
+    */
   private val dedupIncrementalOracle =
     s"""WITH $duckMinhashIndex,
        |cand AS (
@@ -768,9 +780,12 @@ object DedupQueries {
        |  FROM keptmb a JOIN keptmb b ON a.band = b.band AND a.bh = b.bh
        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |xa AS MATERIALIZED (
+       |  SELECT batch_id, corpus_id, x.sh AS sh
+       |  FROM cand JOIN sh x ON x.doc_id = batch_id),
        |inter AS (
        |  SELECT batch_id, corpus_id, count(*) AS i
-       |  FROM cand JOIN sh x ON x.doc_id = batch_id JOIN sh y ON y.doc_id = corpus_id AND y.sh = x.sh
+       |  FROM xa JOIN sh y ON y.doc_id = corpus_id AND y.sh = xa.sh
        |  GROUP BY 1, 2),
        |j AS (
        |  SELECT batch_id, corpus_id,

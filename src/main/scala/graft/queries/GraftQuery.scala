@@ -18,3 +18,17 @@ final case class GraftQuery(
     name: String,
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame)
+
+/** Bucket-cap knobs for the LSH/blocking tiers. Each cap defaults to
+  * its designed value and is env-overridable (`GRAFT_CAP_*`) so a
+  * verification run can FORCE the dormant caps to engage at small
+  * scale and prove the engagement path end-to-end — the override flows
+  * into both the Spark plan and the DuckDB oracle SQL (the cap value
+  * interpolates into both at class-init), so a caps-engaged run stays
+  * hash-exact against the oracle by construction. The driver never
+  * sets these, so gated runs always measure the designed values.
+  */
+private[graft] object Caps {
+  def env(name: String, dflt: Int): Int =
+    sys.env.get(name).map(_.toInt).getOrElse(dflt)
+}

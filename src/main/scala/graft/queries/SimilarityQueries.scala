@@ -188,7 +188,10 @@ object SimilarityQueries {
     * MinHash-LSH 400-row precedent. Occupancy, swept-pair cost and
     * capped mass are disclosed by `embedding_band_stats`.
     */
-  private val NdBucketCap = 400
+  // env-overridable for caps-engaged verification runs (see Caps):
+  // the value interpolates into both the Spark plan and the QUALIFY
+  // clause of the DuckDB oracle, so an engaged run stays hash-exact
+  private val NdBucketCap = Caps.env("GRAFT_CAP_ND_BUCKET", 400)
 
   /** Effective per-band signature width for an n-vector corpus:
     * ceil(log2(n)) clamped to [NdMinBits, NdBandPlanes]. */

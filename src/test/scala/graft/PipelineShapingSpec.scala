@@ -268,4 +268,44 @@ class PipelineShapingSpec extends AnyFunSuite {
     val rows = graft.sources.Tables.lineitem(spark, sf).count()
     assert(df.filter(col("ndv") > rows || col("min_value") > col("max_value")).isEmpty)
   }
+
+  test("winnowing_pairs: >=0.9 MinHash-confirmed recall holds in the SHORT-DOC stratum specifically") {
+    // The r12 width-4 block re-cut narrowed the candidate guarantee to
+    // shared runs of >= 18 tokens for LONG docs, with a width-2
+    // fallback key space ('s:') for docs <= 18 tokens. The corpus-
+    // aggregate recall spec can mask a short-doc regression (short docs
+    // are ~10% of the probe corpus), so this asserts the floor PER
+    // STRATUM on a ScaleProbe-generated corpus — the same generator
+    // profile the sf1/sf10 WinnowRecallProbe artifact measures, where
+    // ~5% of docs are planted near-dups and doc length is uniform
+    // 10..100 tokens.
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-short").toString
+    graft.tools.ScaleProbe.generate(spark, dir, nDocs = 6000L, nVecs = 10L, nEvents = 200L)
+    val ntk = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("nt"))
+    // 18 = WinShortToks, the blocked path's short-doc fallback cutoff
+    def strata(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .join(ntk.select(col("doc_id").as("doc_a"), col("nt").as("na")), "doc_a")
+      .join(ntk.select(col("doc_id").as("doc_b"), col("nt").as("nb")), "doc_b")
+      .withColumn("stratum", when(col("na") <= 18 && col("nb") <= 18, "short")
+        .otherwise("long"))
+    val conf = strata(SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .select(col("doc_a"), col("doc_b"))).cache()
+    val win = SparkEntry.queries("winnowing_pairs")(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val byStratum = conf
+      .join(win.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("got"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    conf.unpersist()
+    val (nShort, gotShort) = byStratum.getOrElse("short", (0L, 0L))
+    assert(nShort >= 10,
+      s"stratum must be non-vacuous: only $nShort confirmed short-doc near-dup pairs")
+    assert(gotShort.toDouble / nShort >= 0.9,
+      s"short-doc stratum recall ${gotShort.toDouble / nShort} ($gotShort/$nShort) below the 0.9 floor")
+    val (nLong, gotLong) = byStratum.getOrElse("long", (1L, 0L))
+    assert(gotLong.toDouble / nLong >= 0.9,
+      s"long-doc stratum recall ${gotLong.toDouble / nLong} ($gotLong/$nLong) below the 0.9 floor")
+  }
 }

@@ -868,4 +868,76 @@ class ScalePostureSpec extends AnyFunSuite {
       maxB >= 500L && dropped >= 500L && avoided >= 124750L },
       s"minhash stats must account the mega-bucket per band: ${mh.mkString(", ")}")
   }
+
+  test("dropCheckpointStats: leaf estimate stays constant across 12 squaring checkpoint rounds") {
+    // The CC loop's failure mode (r12 century probe, sf100): each
+    // round's self-join SQUARES the previous checkpoint's INHERITED
+    // sizeInBytes estimate, growing it doubly-exponentially until the
+    // BigInteger behind SizeInBytesOnlyStatsPlanVisitor overflows.
+    // Pin the fix's contract — a Spark upgrade that changes
+    // LogicalRDD.rewriteStatsAndConstraints must trip this, not sf100.
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    def ckpt(df: org.apache.spark.sql.DataFrame) =
+      PlanBridge.dropCheckpointStats(df.localCheckpoint())
+    var cur = ckpt(spark.range(200).toDF("id"))
+    val leafEstimate = cur.queryExecution.optimizedPlan.stats.sizeInBytes
+    for (_ <- 1 to 12) {
+      val nxt = cur.as("a").join(cur.as("b"), col("a.id") === col("b.id"))
+        .select(col("a.id"))
+      val prev = cur
+      cur = ckpt(nxt)
+      graft.queries.Memo.unpersistCheckpoint(prev)
+      assert(cur.queryExecution.optimizedPlan.stats.sizeInBytes == leafEstimate,
+        "re-leafed checkpoint estimate must be the constant default, every round")
+    }
+    assert(cur.count() == 200)
+    graft.queries.Memo.unpersistCheckpoint(cur)
+    // differential premise: the RAW checkpoint chain INHERITS the join
+    // estimate and compounds it — each round's self-join multiplies the
+    // previous inherited size, so three rounds must grow strictly
+    var raw = spark.range(200).toDF("id").localCheckpoint()
+    var prevSz = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+    for (round <- 1 to 3) {
+      val nxt = raw.as("a").join(raw.as("b"), col("a.id") === col("b.id"))
+        .select(col("a.id")).localCheckpoint()
+      val sz = nxt.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(sz > prevSz,
+        s"raw checkpoint round $round should inherit a compounding estimate ($prevSz -> $sz)")
+      prevSz = sz
+      graft.queries.Memo.unpersistCheckpoint(raw)
+      raw = nxt
+    }
+    graft.queries.Memo.unpersistCheckpoint(raw)
+  }
+
+  test("dropCheckpointStats: no auto-broadcast from default leaf stats; an explicit hint still broadcasts") {
+    // VERDICT r12 item 4: the re-leafed checkpoint carries the DEFAULT
+    // leaf estimate, which is LARGE — so a genuinely tiny checkpointed
+    // frame will never auto-broadcast. Pin both halves: (a) the planner
+    // does not broadcast the dropped-stats side on its own (today's
+    // behavior — consumers relying on auto-broadcast would silently
+    // shuffle), and (b) an explicit broadcast() hint on the dropped
+    // frame still produces a BroadcastHashJoin, so any consumer that
+    // NEEDS the tiny-side broadcast can pin it. The CC loop itself
+    // wants large-large sort-merge rounds, so (a) is the desired
+    // default there.
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val tiny = PlanBridge.dropCheckpointStats(
+      spark.range(8).toDF("k").localCheckpoint())
+    assert(tiny.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      spark.sessionState.conf.defaultSizeInBytes,
+      "dropped-stats leaf must report the session default size")
+    // the probe side must itself be above the broadcast threshold by
+    // stats (range of 2M longs ~ 16 MB > the 10 MB default), else the
+    // planner just broadcasts IT instead and the assertion is vacuous
+    val big = spark.range(2000000).toDF("k")
+    val auto = big.join(tiny, "k")
+    assert(!auto.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"),
+      "default-stats leaf must not auto-broadcast (it reports the default size)")
+    val hinted = big.join(broadcast(tiny), "k")
+    assert(hinted.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"),
+      "an explicit broadcast hint must survive dropCheckpointStats")
+    assert(hinted.count() == 8)
+    graft.queries.Memo.unpersistCheckpoint(tiny)
+  }
 }
