@@ -5,10 +5,10 @@ corpus — for the slice where both engines are feasible on this box.
 
 The slice spans the three probe families: the event tier at 100M rows
 (windowed top-N, regex-parse top-N, session windows), the rebanded
-MinHash tier (index checksum + LSH pairs), and the capped embedding /
-blocked-winnowing tier. Queries whose sf10 oracle already hit DuckDB
-resource limits (dedup_incremental) are excluded up front rather than
-re-proving the known oracle limit a decade higher.
+MinHash tier (index checksum + LSH pairs + the incremental batch
+probe, whose oracle's intersection join was re-shaped candidate-first
+in r13 after the unconstrained form spilled DuckDB's scratch disk dry
+at sf10), and the capped embedding / blocked-winnowing tier.
 
 Usage: python3 tools/scale_oracle_sf100.py <sfDir> <verifyOut> <artifact.json>
 
@@ -25,7 +25,7 @@ QUERIES = [
     # event tier at 100M rows
     "q1_hot_items", "q2_hot_pages", "active_user_windows",
     # rebanded MinHash tier at 5M docs
-    "minhash_index_build", "dedup_minhash_lsh",
+    "minhash_index_build", "dedup_minhash_lsh", "dedup_incremental",
     # capped embedding tier at 2M vectors + blocked winnowing at 5M docs
     "embedding_band_stats", "embedding_neardup", "winnowing_pairs",
 ]
