@@ -28,11 +28,13 @@ import pandas as pd
 
 CAPS = {
     # sf0.01 bucket landscape: SimHash max bucket 128, MinHash max 4,
-    # so these values all engage there while leaving every query with
-    # nonempty, meaningful output
+    # winnowing max posting list 7 (measured from the dumped band stats
+    # — the first run's WIN_FP=30 could never engage there), so these
+    # values all engage while leaving every query with nonempty,
+    # meaningful output
     "GRAFT_CAP_SIMHASH_BAND": "50",
     "GRAFT_CAP_MINHASH_BAND": "2",
-    "GRAFT_CAP_WIN_FP": "30",
+    "GRAFT_CAP_WIN_FP": "3",
     "GRAFT_CAP_WIN_BLOCK": "2",
     "GRAFT_CAP_ND_BUCKET": "2",
 }

@@ -37,6 +37,12 @@ grep '"metric"' /tmp/r13_pin.log | tail -1 > BENCH_PIN_r13.json
 python3 tools/bench_compare.py BENCH_PIN_r13.json BENCH_PIN_r12.json \
   | tail -15 || true
 
+echo "[phase2] caps-engaged rerun $(date +%T)"
+python3 tools/caps_engaged.py /root/testdata/sf0.01 /tmp/caps_out \
+  CAPS_ENGAGED_r13.json > /tmp/r13_caps.log 2>&1 \
+  && echo "[phase2] caps-engaged PASS (all spaces engaged)" \
+  || echo "[phase2] caps-engaged FAILED (see /tmp/r13_caps.log) — continuing"
+
 echo "[phase2] winnow recall probe $(date +%T)"
 SPARK_DRIVER_MEM=64g sbt -batch \
   "runMain graft.tools.WinnowRecallProbe WINNOW_RECALL_r13.json testdata_sf1 testdata_sf10" \
