@@ -307,41 +307,71 @@ object SimilarityQueries {
     val bits = ndSigBits(v.count())
     // SLIM candidate generation (r12, after the century probe measured
     // the payload-carrying form at 15.8×/decade): only (vec_id, band,
-    // sig) rides the bucket-cap window and the banded self-join — the
-    // 64-float embedding and its norm previously rode BOTH shuffles
-    // (~12× the bytes per row), so the linear-in-n shuffle volume
-    // carried a constant big enough to breach the budget a decade up.
-    // Embeddings re-join by id only for the candidate verify dots.
-    val slim = v
-      .withColumn("sigs_a", array((0 until NdBands).map(l =>
+    // sig) plus two NdBands-element arrays (the full band-signature
+    // vector and the cap-liveness mask) ride the bucket-cap window and
+    // the banded self-join — the 64-float embedding and its norm
+    // previously rode BOTH shuffles (~12× the bytes per row).
+    val keyed = v
+      .withColumn("sigs", array((0 until NdBands).map(l =>
         ndSigCol("embedding", l, bits)): _*))
-      .select(col("vec_id").as("vec_a"),
-        posexplode(col("sigs_a")).as(Seq("band_a", "sig_a")))
+      .select(col("vec_id"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
       .withColumn("nd_rn", row_number().over(
-        Window.partitionBy(col("band_a"), col("sig_a")).orderBy(col("vec_a"))))
+        Window.partitionBy(col("band"), col("sig")).orderBy(col("vec_id"))))
       .filter(col("nd_rn") <= cap)
       .drop("nd_rn")
     // a pair can collide in several bands (same simr each time — same
     // vectors), and under the cap "first band in which both collide"
-    // is no longer a stateless function of the two signature arrays
-    // (a pair can be capped OUT of an earlier band's bucket yet meet
-    // in a later one) — dedup with a distinct over the cap-bounded
-    // candidate set, exactly the oracle's DISTINCT; on slim id pairs it
-    // is also CHEAPER than deduping verified rows
+    // is no longer a function of the two signature arrays alone (a row
+    // can be capped OUT of an earlier band's bucket yet live in a
+    // later one). r12 deduped with a distinct() over the candidate
+    // set; at sf100 that aggregation (499M cap-bounded candidates —
+    // embedding_band_stats.swept_pairs) spilled sorted runs past the
+    // box's disk. The liveness mask restores an exact STATELESS dedup
+    // (the firstLiveCollidingBand pattern, both sides capped): keep a
+    // pair only in the first band where the signatures agree AND both
+    // rows survived their bucket — one row per pair by construction,
+    // no shuffle or aggregation of the pair stream.
+    val liveBands = keyed.groupBy(col("vec_id"))
+      .agg(collect_set(col("band")).as("_nd_lb"))
+    val slim = keyed.join(liveBands, "vec_id")
+      .withColumn("live", transform(sequence(lit(0), lit(NdBands - 1)),
+        j => array_contains(col("_nd_lb"), j.cast("integer"))))
+      .drop("_nd_lb")
     val cand = slim
-      .join(slim.select(col("vec_a").as("vec_b"), col("band_a").as("band_b"),
-          col("sig_a").as("sig_b")),
-        col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+      .select(col("vec_id").as("vec_a"), col("band"), col("sig"),
+        col("sigs").as("sa"), col("live").as("la"))
+      .join(slim.select(col("vec_id").as("vec_b"), col("band").as("band_b"),
+          col("sig").as("sig_b"), col("sigs").as("sb"), col("live").as("lb")),
+        col("band") === col("band_b") && col("sig") === col("sig_b") &&
           col("vec_a") < col("vec_b"))
+      .filter(!exists(
+        zip_with(
+          zip_with(slice(col("sa"), lit(1), col("band")),
+            slice(col("sb"), lit(1), col("band")), (a, b) => a === b),
+          zip_with(slice(col("la"), lit(1), col("band")),
+            slice(col("lb"), lit(1), col("band")), (a, b) => a && b),
+          (eq, live) => eq && live),
+        x => x))
       .select(col("vec_a"), col("vec_b"))
-      .distinct()
+    // verify dots via BROADCAST id→(embedding, norm) lookups: the pair
+    // stream (cap-bounded, but ~500M rows at sf100) then never
+    // shuffles — candidates flow join → dedup filter → dot → top-k in
+    // one pipeline stage. The r12 form attached the 64-float payload
+    // through two sort-merge joins, i.e. sorted the pair stream WITH
+    // payload (~270 GB of sort spill at sf100 — measured disk-dead).
+    // The broadcast side is the whole (id, embedding, norm) map
+    // (~0.7 GB at 2M vectors) — small against the pair stream it keeps
+    // out of the exchange; past broadcast range (corpus ≫ executor
+    // memory) these swap to shuffle joins and the cap bound is what
+    // keeps that exchange finite.
     val vn = v.select(col("vec_id"), col("embedding"))
       .withColumn("nn", sqrt(dotCol("embedding", "embedding")))
     cand
-      .join(vn.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("nn").as("na")), "vec_a")
-      .join(vn.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("nn").as("nb")), "vec_b")
+      .join(broadcast(vn.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nn").as("na"))), "vec_a")
+      .join(broadcast(vn.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nn").as("nb"))), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(dotCol("ea", "eb") / (col("na") * col("nb")), 6).as("simr"))
   }
