@@ -345,14 +345,18 @@ object SimilarityQueries {
           col("sig").as("sig_b"), col("sigs").as("sb"), col("live").as("lb")),
         col("band") === col("band_b") && col("sig") === col("sig_b") &&
           col("vec_a") < col("vec_b"))
-      .filter(!exists(
-        zip_with(
-          zip_with(slice(col("sa"), lit(1), col("band")),
-            slice(col("sb"), lit(1), col("band")), (a, b) => a === b),
-          zip_with(slice(col("la"), lit(1), col("band")),
-            slice(col("lb"), lit(1), col("band")), (a, b) => a && b),
-          (eq, live) => eq && live),
-        x => x))
+      // "no earlier co-live colliding band" unrolled over the NdBands
+      // compile-time constant as plain getItem comparisons: the
+      // higher-order slice/zip_with/exists form computes the same
+      // predicate but allocates several intermediate arrays per
+      // candidate row outside whole-stage codegen — measured 88 µs/row
+      // over ~50M sf10 candidates (4,428 CPU s, 6.8× the distinct()
+      // it replaced); this form stays inside codegen
+      .filter(!(0 until NdBands - 1).map { k =>
+        lit(k) < col("band") &&
+          col("sa").getItem(k) === col("sb").getItem(k) &&
+          col("la").getItem(k) && col("lb").getItem(k)
+      }.reduce(_ || _))
       .select(col("vec_a"), col("vec_b"))
     // verify dots via BROADCAST id→(embedding, norm) lookups: the pair
     // stream (cap-bounded, but ~500M rows at sf100) then never
