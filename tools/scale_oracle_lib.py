@@ -40,7 +40,39 @@ def run(sfdir, outdir, artifact, queries, check, timeout):
             results = json.load(f).get("pass", {})
     except (FileNotFoundError, ValueError):
         pass
+
+    def flush(note=None):
+        # write after EVERY query: a 5400s-timeout loop that only wrote
+        # at the end lost the whole slice when the round clock expired
+        doc = {
+            "check": check,
+            "method": (f"graft.Verify dump on {sfdir} -> tools/local_verify.py "
+                       f"per query (same column-sort/row-sort exact compare as "
+                       f"the driver's gate), {timeout}s DuckDB timeout each"),
+            "pass": results,
+            "infeasible": infeasible,
+            "fail": failed,
+        }
+        if note:
+            doc["note"] = note
+        with open(artifact, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
+
+    def deadline():
+        # optional wall-clock stop: /tmp/graft_oracle_deadline holds an
+        # epoch-seconds cutoff; queries not reached are simply absent
+        try:
+            return float(open("/tmp/graft_oracle_deadline").read().strip())
+        except (OSError, ValueError):
+            return None
+
     for q in queries:
+        dl = deadline()
+        if dl is not None and time.time() > dl:
+            flush(f"deadline reached before: {[x for x in queries if x not in results and x not in infeasible and x not in failed]}")
+            print(f"DEADLINE reached; stopping before {q}", flush=True)
+            sys.exit(0)
         if q in results and results[q].get("rev") == rev:
             print(f"SKIP {q}: passed at HEAD={rev} "
                   f"({results[q]['rows']} rows)", flush=True)
@@ -82,18 +114,8 @@ def run(sfdir, outdir, artifact, queries, check, timeout):
                              f"the engine-side probe still row-gates this "
                              f"query at this scale)")
             print(f"INFEASIBLE {q}: >{timeout}s", flush=True)
-    doc = {
-        "check": check,
-        "method": (f"graft.Verify dump on {sfdir} -> tools/local_verify.py "
-                   f"per query (same column-sort/row-sort exact compare as "
-                   f"the driver's gate), {timeout}s DuckDB timeout each"),
-        "pass": results,
-        "infeasible": infeasible,
-        "fail": failed,
-    }
-    with open(artifact, "w") as f:
-        json.dump(doc, f, indent=1)
-        f.write("\n")
+        flush()
+    flush()
     print(f"== {len(results)} pass, {len(failed)} fail, "
           f"{len(infeasible)} infeasible -> {artifact}")
     sys.exit(1 if failed else 0)

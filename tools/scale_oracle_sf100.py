@@ -19,7 +19,7 @@ import sys
 
 from scale_oracle_lib import run
 
-TIMEOUT = 5400  # sf100 is 10x the corpus the sf10 3600s budget covered
+TIMEOUT = 1800  # per-query cap; at the round clock the deadline file stops the loop
 
 QUERIES = [
     # the four r12 rewrites first (the queries whose sf100 hash evidence
