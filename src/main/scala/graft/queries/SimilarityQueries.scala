@@ -193,6 +193,20 @@ object SimilarityQueries {
   // clause of the DuckDB oracle, so an engaged run stays hash-exact
   private val NdBucketCap = Caps.env("GRAFT_CAP_ND_BUCKET", 400)
 
+  /** Verify-join strategy gate for [[neardupPairs]]: corpora at or
+    * under this row count broadcast the (id, embedding, norm) map to
+    * keep the cap-bounded pair stream out of every exchange (proven
+    * hash-exact + 3.1x/decade at 2M vectors, ~0.7 GB); above it the
+    * lookups become shuffle-hash joins — a forced broadcast() hint is
+    * honored unconditionally by Spark and fails outright past the hard
+    * ~8 GB/512M-row broadcast limit instead of degrading. 8M rows
+    * ≈ 2.8 GB at 64-float embeddings: comfortable against both the
+    * broadcast limit and a 48g driver, an order below the failure
+    * point.
+    */
+  private val NdVerifyBroadcastMaxRows: Long =
+    Caps.env("GRAFT_ND_BCAST_MAX", 8000000).toLong
+
   /** Effective per-band signature width for an n-vector corpus:
     * ceil(log2(n)) clamped to [NdMinBits, NdBandPlanes]. */
   def ndSigBits(nVecs: Long): Int = {
@@ -301,10 +315,13 @@ object SimilarityQueries {
   def cosineCol(aVec: String, aNorm: String, bVec: String, bNorm: String): Column =
     round(dotCol(aVec, bVec) / (col(aNorm) * col(bNorm)), 6)
 
-  def neardupPairs(v: DataFrame, cap: Int = NdBucketCap): DataFrame = {
+  def neardupPairs(v: DataFrame, cap: Int = NdBucketCap,
+      bcastMaxRows: Long = NdVerifyBroadcastMaxRows): DataFrame = {
     // one count to size the signature width from the corpus itself —
     // the price of holding bucket occupancy constant across decades
-    val bits = ndSigBits(v.count())
+    // (the same count gates the verify-join strategy below)
+    val nVecs = v.count()
+    val bits = ndSigBits(nVecs)
     // SLIM candidate generation (r12, after the century probe measured
     // the payload-carrying form at 15.8×/decade): only (vec_id, band,
     // sig) plus two NdBands-element arrays (the full band-signature
@@ -358,23 +375,29 @@ object SimilarityQueries {
           col("la").getItem(k) && col("lb").getItem(k)
       }.reduce(_ || _))
       .select(col("vec_a"), col("vec_b"))
-    // verify dots via BROADCAST id→(embedding, norm) lookups: the pair
-    // stream (cap-bounded, but ~500M rows at sf100) then never
-    // shuffles — candidates flow join → dedup filter → dot → top-k in
-    // one pipeline stage. The r12 form attached the 64-float payload
-    // through two sort-merge joins, i.e. sorted the pair stream WITH
-    // payload (~270 GB of sort spill at sf100 — measured disk-dead).
-    // The broadcast side is the whole (id, embedding, norm) map
-    // (~0.7 GB at 2M vectors) — small against the pair stream it keeps
-    // out of the exchange; past broadcast range (corpus ≫ executor
-    // memory) these swap to shuffle joins and the cap bound is what
-    // keeps that exchange finite.
+    // verify dots via id→(embedding, norm) lookups. Within broadcast
+    // range the map is broadcast and the pair stream (cap-bounded, but
+    // ~500M rows at sf100) never shuffles — candidates flow join →
+    // dedup filter → dot → top-k in one pipeline stage. The r12 form
+    // attached the 64-float payload through two sort-merge joins, i.e.
+    // sorted the pair stream WITH payload (~270 GB of sort spill at
+    // sf100 — measured disk-dead). The broadcast side is the whole
+    // (id, embedding, norm) map: ~0.7 GB at 2M vectors, ~350 B/row.
+    // Past [[NdVerifyBroadcastMaxRows]] a forced broadcast() hint would
+    // not degrade — Spark honors it up to a hard ~8 GB/512M-row limit
+    // and then FAILS (ADVICE r13) — so the guard swaps both lookups to
+    // SHUFFLE_HASH joins: the slim 16 B/row pair stream is hash-
+    // exchanged (cap bound keeps that exchange finite) but never
+    // sorted, and no side is collected to the driver.
+    val fitsBroadcast = nVecs <= bcastMaxRows
+    def lookupSide(df: DataFrame): DataFrame =
+      if (fitsBroadcast) broadcast(df) else df.hint("shuffle_hash")
     val vn = v.select(col("vec_id"), col("embedding"))
       .withColumn("nn", sqrt(dotCol("embedding", "embedding")))
     cand
-      .join(broadcast(vn.select(col("vec_id").as("vec_a"),
+      .join(lookupSide(vn.select(col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("nn").as("na"))), "vec_a")
-      .join(broadcast(vn.select(col("vec_id").as("vec_b"),
+      .join(lookupSide(vn.select(col("vec_id").as("vec_b"),
         col("embedding").as("eb"), col("nn").as("nb"))), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(dotCol("ea", "eb") / (col("na") * col("nb")), 6).as("simr"))

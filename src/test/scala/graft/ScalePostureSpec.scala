@@ -148,6 +148,44 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("neardup verify-join guard: past broadcast range the lookups swap to shuffle-hash, same pairs") {
+    val s = spark
+    import s.implicits._
+    import graft.queries.SimilarityQueries.neardupPairs
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 10).map { i =>
+      ((1000 + i).toLong, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val bcast = neardupPairs(df)                      // 50 rows << default gate
+    val shuffled = neardupPairs(df, bcastMaxRows = 1) // force the large-corpus branch
+    // the large-corpus branch must plan NO broadcast of the vector map
+    // and NO sort of the pair stream — shuffle-HASH joins only
+    val plan = shuffled.queryExecution.executedPlan.toString()
+    assert(plan.contains("ShuffledHashJoin"),
+      s"large-corpus verify lookups must be shuffle-hash joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair stream must never be sorted (the r12 sf100 disk-death):\n$plan")
+    // the verify lookups join on vec_a / vec_b; candidate-stage joins
+    // (band/sig self-join, liveness collect_set) may still auto-
+    // broadcast at this tiny scale — those are threshold-decided, not
+    // forced hints, so they degrade on their own at scale
+    assert(!plan.contains("BroadcastHashJoin [vec_a") &&
+      !plan.contains("BroadcastHashJoin [vec_b"),
+      s"past broadcast range no verify side may be broadcast:\n$plan")
+    // and the small-corpus branch does broadcast the verify lookups
+    // (differential)
+    val bplan = bcast.queryExecution.executedPlan.toString()
+    assert(bplan.contains("BroadcastHashJoin [vec_a") &&
+      bplan.contains("BroadcastHashJoin [vec_b"), bplan)
+    // both branches produce the identical pair set
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(bcast) == pairs(shuffled),
+      "broadcast and shuffle-hash verify branches must agree exactly")
+  }
+
   test("ann_pq: ADC shortlist + exact re-rank recalls >= 0.6 of true L2 top-5, plans join-only") {
     // sf0.01 (500 vectors, 5 probes): sf0.001's single probe with a
     // corpus smaller than the shortlist would make recall trivially 1.0

@@ -39,6 +39,16 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
     import os
+    # memory budget gate (VERDICT r13 item 7): the sf100 winnowing oracle
+    # peaks ~106 GB with DuckDB's default 80%-of-RAM limit, which killed a
+    # co-resident probe JVM detail-less. GRAFT_DUCK_MEM caps the oracle so
+    # heavy compares can share the box (spill goes to GRAFT_DUCK_TMP or the
+    # outdir, on the big partition).
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+        tmp = os.environ.get("GRAFT_DUCK_TMP", f"{outdir}/.duck_tmp")
+        os.makedirs(tmp, exist_ok=True)
+        con.sql(f"SET temp_directory='{tmp}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         # driver corpora are single parquet FILES; the ScaleProbe sf1

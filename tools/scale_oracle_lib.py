@@ -33,7 +33,7 @@ def head_rev():
 
 
 def run(sfdir, outdir, artifact, queries, check, timeout):
-    results, infeasible, failed = {}, {}, {}
+    results, infeasible, failed, stale = {}, {}, {}, {}
     rev = head_rev()
     try:
         with open(artifact) as f:
@@ -53,26 +53,60 @@ def run(sfdir, outdir, artifact, queries, check, timeout):
             "infeasible": infeasible,
             "fail": failed,
         }
+        if stale:
+            # resumed PASS rows whose rev no longer matches HEAD and that a
+            # deadline stop prevented re-running: NOT certifications at HEAD
+            # (ADVICE r13 — a stale-rev pass must never survive silently)
+            doc["stale"] = stale
         if note:
             doc["note"] = note
         with open(artifact, "w") as f:
             json.dump(doc, f, indent=1)
             f.write("\n")
 
+    # wall-clock stop, scoped to THIS run (ADVICE r13: the old
+    # /tmp/graft_oracle_deadline file outlived its round and silently
+    # truncated later runs while exiting 0). GRAFT_ORACLE_DEADLINE is an
+    # absolute epoch cutoff; GRAFT_ORACLE_BUDGET a relative seconds
+    # budget from loop start. No file fallback.
+    import os
+    t_start = time.time()
     def deadline():
-        # optional wall-clock stop: /tmp/graft_oracle_deadline holds an
-        # epoch-seconds cutoff; queries not reached are simply absent
-        try:
-            return float(open("/tmp/graft_oracle_deadline").read().strip())
-        except (OSError, ValueError):
-            return None
+        env = os.environ.get("GRAFT_ORACLE_DEADLINE")
+        if env:
+            try:
+                return float(env)
+            except ValueError:
+                pass
+        env = os.environ.get("GRAFT_ORACLE_BUDGET")
+        if env:
+            try:
+                return t_start + float(env)
+            except ValueError:
+                pass
+        return None
+
+    def stop_deadline(q):
+        # move resumed pass rows whose stamp is not HEAD out of `pass`:
+        # the deadline prevented their rerun, so they certify an older rev
+        for name in [n for n, row in results.items()
+                     if row.get("rev") != rev]:
+            stale[name] = results.pop(name)
+        unreached = [x for x in queries if x not in results
+                     and x not in infeasible and x not in failed
+                     and x not in stale]
+        flush(f"deadline reached before: {unreached}"
+              + (f"; stale-rev pass rows demoted: {sorted(stale)}" if stale else ""))
+        print(f"DEADLINE reached; stopping before {q} "
+              f"(failed={len(failed)}, stale={len(stale)})", flush=True)
+        # a deadline stop is only clean when nothing failed (ADVICE r13:
+        # sys.exit(0) here used to mask recorded hash mismatches)
+        sys.exit(1 if failed else 0)
 
     for q in queries:
         dl = deadline()
         if dl is not None and time.time() > dl:
-            flush(f"deadline reached before: {[x for x in queries if x not in results and x not in infeasible and x not in failed]}")
-            print(f"DEADLINE reached; stopping before {q}", flush=True)
-            sys.exit(0)
+            stop_deadline(q)
         if q in results and results[q].get("rev") == rev:
             print(f"SKIP {q}: passed at HEAD={rev} "
                   f"({results[q]['rows']} rows)", flush=True)
@@ -118,4 +152,5 @@ def run(sfdir, outdir, artifact, queries, check, timeout):
     flush()
     print(f"== {len(results)} pass, {len(failed)} fail, "
           f"{len(infeasible)} infeasible -> {artifact}")
+    sys.exit(1 if failed else 0)
     sys.exit(1 if failed else 0)
