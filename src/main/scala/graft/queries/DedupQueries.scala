@@ -475,6 +475,13 @@ object DedupQueries {
     * outputs are bit-identical (same md5 keys, same truncated-window
     * minima, same tie order).
     */
+  /** Probe access to the per-doc winnowing fingerprint sets (the
+    * WinnowRecallProbe's miss diagnosis joins them to attribute each
+    * lost pair to blocking vs the report floor).
+    */
+  private[graft] def winnowFingerprintSets(spark: SparkSession, dir: String): DataFrame =
+    winnowFpSets(spark, dir)
+
   private def winnowFpSets(spark: SparkSession, dir: String): DataFrame =
     Memo.frame(spark, dir, "winnow_fp") {
       Tables.documents(spark, dir)
@@ -533,14 +540,19 @@ object DedupQueries {
       .join(fpr.as("b"), col("a.fhv") === col("b.fhv") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
+      // n_shared >= 2 BEFORE the count joins: the single-shared-
+      // fingerprint mass (31.5M of 32M candidate rows at sf1) never
+      // qualifies under either the MOSS floor or the sized rescue, so
+      // it must not ride the joins
+      .filter(col("n_shared") >= 2)
       .join(fps.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
       .join(fps.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
       .withColumn("containment",
         round(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
       // MOSS-style score cutoff: the report keeps the sharp knee
-      // where genuine overlap starts (true near-dups score 1.0 here)
-      .filter(col("containment") >= 0.25)
+      // where genuine overlap starts (true near-dups score 1.0 here) —
+      // plus the sized short-doc rescue ([[winReportKeep]])
+      .filter(winReportKeep)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
   }
 
@@ -573,6 +585,33 @@ object DedupQueries {
   private val WinBlockK = 4
   private val WinShortToks = 18
   private val WinBlockCap = Caps.env("GRAFT_CAP_WIN_BLOCK", 400)
+
+  /** Sized rescue rule for the report floor (VERDICT r13 item 3).
+    * MOSS's n_shared ≥ 3 floor is a noise floor for LONG documents; on
+    * tiny fingerprint sets it is unmeetable — a 2-fingerprint doc can
+    * never share 3 — and the r13/r14 miss diagnosis shows every
+    * MinHash-confirmed short-stratum miss at BOTH sf1 and sf10 sits at
+    * exactly (n_shared=2, min_c=2, containment 1.0) or (n_shared=2,
+    * min_c=3, containment 0.667). The rescue keeps a pair the main
+    * floor drops iff the smaller fingerprint set is at most
+    * [[WinRescueFpMax]] and at least [[WinRescueCont]] of it is shared
+    * — with n_shared ≥ 2 so a single chance-shared fingerprint never
+    * qualifies. (containment ≥ 0.65 with n_shared = 2 already implies
+    * min_c ≤ 3; the explicit fp-max states the SIZED part of the rule
+    * rather than leaving it implied by arithmetic.)
+    */
+  private val WinRescueFpMax = 3
+  private val WinRescueCont = 0.65
+
+  /** The shared report predicate: MOSS floor, or the sized rescue. */
+  private def winReportKeep: Column =
+    (col("n_shared") >= 3 && col("containment") >= 0.25) ||
+      (col("n_shared") >= 2 && least(col("ca"), col("cb")) <= WinRescueFpMax &&
+        col("containment") >= WinRescueCont)
+
+  private def duckWinReportKeep(cont: String, minC: String): String =
+    s"(n_shared >= 3 AND $cont >= 0.25) OR " +
+      s"(n_shared >= 2 AND $minC <= $WinRescueFpMax AND $cont >= $WinRescueCont)"
 
   /** The SCALE path of [[winnowingPairsExact]] — run-blocked candidates
     * + exact verify; since round 12 this is what the default
@@ -631,10 +670,9 @@ object DedupQueries {
       .join(fps.select(col("doc_id").as("doc_a"), col("fhvs").as("fa"), col("c").as("ca")), "doc_a")
       .join(fps.select(col("doc_id").as("doc_b"), col("fhvs").as("fb"), col("c").as("cb")), "doc_b")
       .withColumn("n_shared", size(array_intersect(col("fa"), col("fb"))).cast("long"))
-      .filter(col("n_shared") >= 3)
       .withColumn("containment",
         round(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
-      .filter(col("containment") >= 0.25)
+      .filter(winReportKeep)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
   }
 
@@ -675,11 +713,11 @@ object DedupQueries {
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
        |  FROM fpr a JOIN fpr b ON a.fhv = b.fhv AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 3)
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
        |SELECT doc_a, doc_b, n_shared,
        |       round(CAST(n_shared AS DOUBLE) / least(ca.c, cb.c), 6) AS containment
        |FROM p JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-       |WHERE round(CAST(n_shared AS DOUBLE) / least(ca.c, cb.c), 6) >= 0.25""".stripMargin
+       |WHERE ${duckWinReportKeep("round(CAST(n_shared AS DOUBLE) / least(ca.c, cb.c), 6)", "least(ca.c, cb.c)")}""".stripMargin
 
   private val winnowingBlockedOracle =
     s"""WITH $duckWinnowSel,
@@ -721,8 +759,7 @@ object DedupQueries {
        |  FROM cand JOIN fpl x ON doc_a = x.doc_id JOIN fpl y ON doc_b = y.doc_id)
        |SELECT doc_a, doc_b, n_shared,
        |       round(CAST(n_shared AS DOUBLE) / mn, 6) AS containment
-       |FROM v WHERE n_shared >= 3
-       |  AND round(CAST(n_shared AS DOUBLE) / mn, 6) >= 0.25""".stripMargin
+       |FROM v WHERE ${duckWinReportKeep("round(CAST(n_shared AS DOUBLE) / mn, 6)", "mn")}""".stripMargin
   /** Incremental dedup: an incoming batch (doc_id % 10 == 0) probed
     * against the standing corpus's MinHash index — the shape a
     * continuously-ingesting pipeline actually runs, where the corpus

@@ -101,13 +101,36 @@ object WinnowRecallProbe {
         val (n, got, bm, sf) = rec.getOrElse(s, (0L, 0L, 0L, 0L))
         if (bm > 0) ok = false // a blocking loss of a confirmed near-dup
         val recall = if (n == 0) 1.0 else got.toDouble / n
-        if (s == "long" && n > 0 && recall < Floor) ok = false
+        // BOTH strata gated since r14: the sized rescue rule
+        // (DedupQueries.winReportKeep) lifts the short stratum over the
+        // floor, so the disclosure carve-out is retired
+        if (n > 0 && recall < Floor) ok = false
         println(f"[winrecall] $dir%-18s $s%-6s coverage=$coverage%.4f ($cg/$cn) " +
           f"minhash_recall=$recall%.4f ($got/$n) block_miss=$bm sub_floor=$sf")
         s""""$s":{"exact_pairs":$cn,"blocked_covered":$cg,"coverage":${f"$coverage%.4f"},
            |"confirmed":$n,"recovered":$got,"recall":${f"$recall%.4f"},
            |"blocking_attributable_misses":$bm,"sub_floor_misses":$sf}"""
           .stripMargin.replace("\n", "")
+      }
+      if (sys.env.contains("GRAFT_WINRECALL_DIAGNOSE")) {
+        // histogram the confirmed-but-missed pairs by the exact report's
+        // own variables — what floor would have kept them?
+        val fps = graft.queries.DedupQueries.winnowFingerprintSets(spark, dir)
+        val missed = conf.filter(col("stratum") === "short")
+          .join(win.select(col("doc_a"), col("doc_b")),
+            Seq("doc_a", "doc_b"), "left_anti")
+          .join(fps.select(col("doc_id").as("doc_a"), col("fhvs").as("fa"),
+            col("c").as("ca")), "doc_a")
+          .join(fps.select(col("doc_id").as("doc_b"), col("fhvs").as("fb"),
+            col("c").as("cb")), "doc_b")
+          .withColumn("sh", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+          .withColumn("minc", least(col("ca"), col("cb")))
+          .withColumn("cont", round(col("sh").cast("double") / col("minc"), 3))
+          .groupBy(col("sh"), col("minc"), col("cont")).count()
+          .orderBy(desc("count")).collect()
+        missed.foreach(r => println(
+          s"[windiag] $dir short-miss n_shared=${r.getLong(0)} min_c=${r.getLong(1)} " +
+            s"containment=${r.getDouble(2)} pairs=${r.getLong(3)}"))
       }
       val (an, ag) = rec.values.foldLeft((0L, 0L)) { case ((n, g), (cn, cg, _, _)) => (n + cn, g + cg) }
       val agg = if (an == 0) 1.0 else ag.toDouble / an
@@ -116,7 +139,7 @@ object WinnowRecallProbe {
       s""""$dir":{${parts.mkString(",")},"aggregate_recall":${f"$agg%.4f"}}"""
     }
     val json =
-      s"""{"check":"winnowing_pairs (blocked, width-4 + width-2 short-doc fallback) stratified by doc length (short = both docs <= $ShortToks tokens, the stratum the r12 width change narrowed). GATED: blocking_attributable_misses == 0 per stratum (no MinHash-confirmed near-dup reported by winnowing_pairs_exact may be lost by blocking — the claim blocking makes) and MinHash-confirmed recall >= $Floor for the long stratum + corpus aggregate. DISCLOSED: (a) short-stratum MinHash recall — r13 diagnosis shows its misses are the report contract's n_shared>=3 noise floor on tiny fingerprint sets (all 38 sf1 misses absent from the exact form too; 34 share exactly 2 fingerprints at containment >= 0.667), not blocking; (b) blocked coverage of exact's FULL report — the width-4 contract deliberately drops exact pairs whose only overlap is a 10-17-token run (ADVICE r12), none of them confirmed near-dups","floor":$Floor,
+      s"""{"check":"winnowing_pairs (blocked, width-4 + width-2 short-doc fallback) stratified by doc length (short = both docs <= $ShortToks tokens, the stratum the r12 width change narrowed). GATED: blocking_attributable_misses == 0 per stratum (no MinHash-confirmed near-dup reported by winnowing_pairs_exact may be lost by blocking — the claim blocking makes) and MinHash-confirmed recall >= $Floor for BOTH strata + the corpus aggregate (the r14 sized rescue rule — keep n_shared=2 pairs when the smaller fingerprint set is <= 3 and containment >= 0.65, mirrored in both Spark forms and both DuckDB oracles — lifts the short stratum over the floor; its residual misses are single-shared-fingerprint pairs no 2-anchor report can keep). DISCLOSED: blocked coverage of exact's FULL report — the width-4 contract deliberately drops (a) exact pairs whose only overlap is a 10-17-token run (ADVICE r12) and (b) since r14, mixed-length rescue pairs (a <=3-fingerprint doc contained in a LONG doc), whose candidates would require the long side to emit the quadratic width-2 key space the r12 century probe measured disk-dead; none of either class is a confirmed near-dup (block_miss stays 0)","floor":$Floor,
          |"scales":{${rows.mkString(",")}},"pass":$ok}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
