@@ -27,6 +27,10 @@ QUERIES = [
     "embedding_band_stats", "embedding_neardup",
     # the r12 structural default (blocked winnowing) at decade scale
     "winnowing_pairs",
+    # VERDICT r13 item 6: the SimHash connected-components tier measured
+    # clean at sf100 but its newest oracle rows were sf1 — the unrolled
+    # 20-round min-label CTE is linear in K*(edges+nodes), feasible here
+    "dedup_components", "cluster_representatives",
 ]
 
 CHECK = ("DuckDB hash-exact verification AT SF10 (500k docs / 200k vecs / "
