@@ -341,9 +341,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val recovered = nTrue - mh.join(win, Seq("doc_a", "doc_b"), "left_anti").count()
     assert(recovered.toDouble / nTrue >= 0.9,
       s"winnowing recovered only $recovered of $nTrue confirmed near-dup pairs")
-    // and the recovered ones score at the top of the containment scale
-    assert(mh.join(win, Seq("doc_a", "doc_b")).filter(col("containment") < 0.9).count() == 0,
+    // and the recovered ones score at the top of the containment scale —
+    // except r14 rescue rows (n_shared = 2 on a <= 3-fingerprint doc),
+    // which legitimately score 2/3
+    assert(mh.join(win, Seq("doc_a", "doc_b"))
+      .filter(col("containment") < 0.9 && col("n_shared") >= 3).count() == 0,
       "a true near-dup scored below 0.9 containment")
+    // report well-formedness: every row satisfies the MOSS floor or the
+    // sized rescue — nothing below either bar may leak into the report
+    assert(win.filter(!((col("n_shared") >= 3 && col("containment") >= 0.25) ||
+      (col("n_shared") === 2 && col("containment") >= 0.65))).count() == 0,
+      "a reported pair satisfies neither the MOSS floor nor the sized rescue")
     // twin contract (r12 swap): the default name runs the blocked scale
     // path; its pairs must be a SUBSET of the exact MOSS report with
     // identical scores (blocked candidates verify over the same full
