@@ -1055,8 +1055,15 @@ object DedupQueries {
     * ANY graph: a final convergence check errors the oracle loudly if
     * some neighbor still carries a smaller label after this many
     * rounds, so an insufficient bound can never silently mis-compare.
+    * Env-sized because the needed depth is the component DIAMETER,
+    * which grows with scale (measured by iterating the same min-label
+    * step to convergence in DuckDB: 8 rounds at sf0.01, 24 at sf10 —
+    * where the 20-round default fired its convergence error in the r14
+    * slice); each extra round costs one linear edges+nodes pass, so
+    * at-scale runs pass GRAFT_CC_ORACLE_ROUNDS=40 rather than paying
+    * 40 rounds at the sf0.01 driver gate.
     */
-  private val CcOracleRounds = 20
+  private val CcOracleRounds = Caps.env("GRAFT_CC_ORACLE_ROUNDS", 20)
 
   /** CC oracle as UNROLLED min-label propagation, not a recursive
     * transitive closure: `reach(a, b)` (the previous form) enumerates
