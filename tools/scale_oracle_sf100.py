@@ -32,6 +32,13 @@ QUERIES = [
     # event tier at 100M rows
     "q1_hot_items", "q2_hot_pages",
     "dedup_incremental",
+    # r14: the SimHash CC tier (dump with GRAFT_CC_ORACLE_ROUNDS=60 —
+    # the unroll must cover the sf100 component diameter; the in-query
+    # convergence check errors loudly if 60 is short). The und-edge
+    # materialization spilled ~70 GB in an ad-hoc r14 probe, so these
+    # may record infeasible-by-disk on this box; the sf10 rows are the
+    # gated evidence (SCALE_ORACLE_sf10_r14).
+    "dedup_components", "cluster_representatives",
 ]
 
 CHECK = ("DuckDB hash-exact verification AT SF100 (5M docs / 2M vecs / "
