@@ -55,12 +55,13 @@ wait_quiet
 if SPARK_GRAFT_CPUS=4 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_PRETOUCH=1 SPARK_DRIVER_MEM=48g \
     sbt -batch "runMain graft.Bench" > /tmp/r14_pin_end.log 2>&1; then
-  grep '"metric"' /tmp/r14_pin_end.log | tail -1 > BENCH_PIN_r14_end.json
-  if test -s BENCH_PIN_r14_end.json; then
-    cp bench_out.json BENCH_PIN_r14_end_full.json
-    python3 tools/bench_compare.py BENCH_PIN_r14_end_full.json /tmp/r12code_pin.json 2>/dev/null | tail -8 || true
+  # bench_out.json carries the FULL wall+cpu maps (the stdout tail line
+  # is the compact 15-slowest form — not comparable across rounds)
+  if test -s bench_out.json && grep -q '"queries_cpu"' bench_out.json; then
+    cp bench_out.json BENCH_PIN_r14_end.json
+    python3 tools/bench_compare.py BENCH_PIN_r14_end.json BENCH_PIN_r14_start.json 2>/dev/null | tail -8 || true
   else
-    echo "[r14] FAILED: pin produced no metric line (see /tmp/r14_pin_end.log)"
+    echo "[r14] FAILED: pin produced no full bench_out.json (see /tmp/r14_pin_end.log)"
   fi
 else
   echo "[r14] PIN BENCH FAILED (see /tmp/r14_pin_end.log)"
