@@ -203,12 +203,15 @@ object ScaleProbe {
     * was reset and why.
     */
   private val Rebaselined: Map[String, String] = Map(
-    // r12: empty. The r11 rebanding/cap rebaselines are baked into
-    // SCALE_r11.json; the round's one shape change (winnowing_pairs now
-    // names the blocked scale path, the exact MOSS report moved to
-    // winnowing_pairs_exact) stays inside the old name's row band
-    // (2,759 vs 2,922 at sf1, well within ±25%) and far under its
-    // budget, so it faces the real checks instead of a declared bypass.
+    // r12/r13: empty — every shape change stayed inside the old row
+    // bands and budgets, so the queries faced the real checks.
+    "winnowing_pairs_exact" -> ("r14 sized rescue rule: the exact " +
+      "fidelity twin now reports 2-anchor pairs on <=3-fingerprint " +
+      "docs — including the mixed-length containment pairs the MOSS " +
+      "floor dropped — so its sf1 rows moved 2,922 -> 3,778 (+29%), " +
+      "just past the +/-25% band; DuckDB-hash-exact at sf10 " +
+      "(SCALE_ORACLE_sf10_r14) and recall-gated (WINNOW_RECALL_r14); " +
+      "cpu 77 s vs its 252 s budget, so only the ROW band is declared")
   )
 
   private def rowsOk(rows: Long, expected: Long): Boolean =
