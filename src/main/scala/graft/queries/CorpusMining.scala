@@ -807,14 +807,19 @@ object CorpusMining {
     * broadcast frame, nothing on the driver.
     */
   private def lrQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    // every double quantization is QRound, not round: the iterative
+    // chain samples 50k sigmoid/gradient values per step, and the r14
+    // full-registry sf1 oracle run caught a weight landing on a 1e-10
+    // knife edge where the two engines' native round semantics split
+    // (see [[QRound]])
     val wcount = size(graft.functions.TextFunctions.tokens(col("text"))).cast("double")
     val feats = Tables.documents(spark, dir).select(
         col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-        round(wcount / 100.0, 9).as("x1"),
-        round(col("n_chars") / wcount / 10.0, 9).as("x2"))
+        QRound.col(wcount / 100.0, 9).as("x1"),
+        QRound.col(col("n_chars") / wcount / 10.0, 9).as("x2"))
       .localCheckpoint()
-    def pCol: Column = round(
+    def pCol: Column = QRound.col(
       lit(1.0) / (lit(1.0) +
         exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))), 9)
     var w = spark.range(1).select(
@@ -824,14 +829,14 @@ object CorpusMining {
         .withColumn("p", pCol)
         .withColumn("r", col("p") - col("y"))
         .agg(
-          sum(round(col("r"), 9).cast(DecimalType(28, 9))).as("s0"),
-          sum(round(col("r") * col("x1"), 9).cast(DecimalType(28, 9))).as("s1"),
-          sum(round(col("r") * col("x2"), 9).cast(DecimalType(28, 9))).as("s2"),
+          sum(QRound.col(col("r"), 9).cast(DecimalType(28, 9))).as("s0"),
+          sum(QRound.col(col("r") * col("x1"), 9).cast(DecimalType(28, 9))).as("s1"),
+          sum(QRound.col(col("r") * col("x2"), 9).cast(DecimalType(28, 9))).as("s2"),
           count(lit(1)).as("n"))
       w = w.crossJoin(broadcast(g)).select(
-        round(col("w0") - col("s0").cast("double") / col("n"), 9).as("w0"),
-        round(col("w1") - col("s1").cast("double") / col("n"), 9).as("w1"),
-        round(col("w2") - col("s2").cast("double") / col("n"), 9).as("w2"))
+        QRound.col(col("w0") - col("s0").cast("double") / col("n"), 9).as("w0"),
+        QRound.col(col("w1") - col("s1").cast("double") / col("n"), 9).as("w1"),
+        QRound.col(col("w2") - col("s2").cast("double") / col("n"), 9).as("w2"))
     }
     feats.crossJoin(broadcast(w))
       .withColumn("p", pCol)
@@ -846,20 +851,20 @@ object CorpusMining {
   private val lrQualityOracle = {
     def step(k: Int) =
       s"""g$k AS (
-         |  SELECT CAST(sum(CAST(round(p - y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s0,
-         |         CAST(sum(CAST(round((p - y) * x1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s1,
-         |         CAST(sum(CAST(round((p - y) * x2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s2,
+         |  SELECT CAST(sum(CAST(${QRound.duck("p - y", 9)} AS DECIMAL(28,9))) AS DOUBLE) AS s0,
+         |         CAST(sum(CAST(${QRound.duck("(p - y) * x1", 9)} AS DECIMAL(28,9))) AS DOUBLE) AS s1,
+         |         CAST(sum(CAST(${QRound.duck("(p - y) * x2", 9)} AS DECIMAL(28,9))) AS DOUBLE) AS s2,
          |         count(*) AS n
-         |  FROM (SELECT f.*, round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))), 9) AS p
+         |  FROM (SELECT f.*, ${QRound.duck("1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2)))", 9)} AS p
          |        FROM feats f CROSS JOIN w${k - 1}t)),
          |w${k}t AS (
-         |  SELECT round(w0 - s0/n, 9) AS w0, round(w1 - s1/n, 9) AS w1,
-         |         round(w2 - s2/n, 9) AS w2
+         |  SELECT ${QRound.duck("w0 - s0/n", 9)} AS w0, ${QRound.duck("w1 - s1/n", 9)} AS w1,
+         |         ${QRound.duck("w2 - s2/n", 9)} AS w2
          |  FROM w${k - 1}t CROSS JOIN g$k)""".stripMargin
     s"""WITH feats AS (
        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-       |         round(len(string_split(trim(text), ' ')) / 100.0, 9) AS x1,
-       |         round(n_chars / len(string_split(trim(text), ' ')) / 10.0, 9) AS x2
+       |         ${QRound.duck("len(string_split(trim(text), ' ')) / 100.0", 9)} AS x1,
+       |         ${QRound.duck("n_chars / len(string_split(trim(text), ' ')) / 10.0", 9)} AS x2
        |  FROM documents),
        |w0t AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
        |               CAST(0.0 AS DOUBLE) AS w2),
@@ -867,7 +872,7 @@ object CorpusMining {
        |SELECT w0, w1, w2, CAST(count(*) AS BIGINT) AS n_docs,
        |       round(avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
        |       round(avg(CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END), 6) AS pred_pos_rate
-       |FROM (SELECT f.*, w.*, round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))), 9) AS p
+       |FROM (SELECT f.*, w.*, ${QRound.duck("1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2)))", 9)} AS p
        |      FROM feats f CROSS JOIN w${LrSteps}t w)
        |GROUP BY 1, 2, 3""".stripMargin
   }

@@ -1210,6 +1210,14 @@ object DedupQueries {
     */
   private val PrIters = 3
   private val PrDamping = 0.85
+  /** The teleport base, DECLARED as the decimal literal rather than
+    * computed as `1 - PrDamping`: Scala's `1 - 0.85` evaluates to
+    * 0.15000000000000002 while the oracle's parsed literal `0.15` is
+    * 0.1499999999999999944 — one ULP apart, which compounds through
+    * the three iterations into the knife-edge ranks the r14 sf1 run
+    * caught (Spark 1.3708125000…, DuckDB 1.3708124999…).
+    */
+  private val PrBase = 0.15
 
   private def neardupPagerank(spark: SparkSession, dir: String): DataFrame = {
     val edges = simhashPairs(spark, dir)
@@ -1233,9 +1241,13 @@ object DedupQueries {
       ranks = nodes
         .join(contribs, nodes("doc_id") === contribs("dst"), "left")
         .select(nodes("doc_id"),
-          (lit(1 - PrDamping) + lit(PrDamping) * coalesce(col("csum"), lit(0.0))).as("r"))
+          (lit(PrBase) + lit(PrDamping) * coalesce(col("csum"), lit(0.0))).as("r"))
     }
-    ranks.select(col("doc_id"), round(col("r"), 6).as("rank"))
+    // QRound, not round: the r14 full-registry sf1 oracle run caught
+    // three nodes whose bit-identical rank (e.g. 1.37081249999999976730)
+    // rounds differently under Spark's shortest-repr HALF_UP vs
+    // DuckDB's exact-value round
+    ranks.select(col("doc_id"), QRound.col(col("r"), 6).as("rank"))
   }
 
   private val pagerankOracle = {
@@ -1265,7 +1277,7 @@ object DedupQueries {
        |${iter("r0", "r1")},
        |${iter("r1", "r2")},
        |${iter("r2", "r3")}
-       |SELECT doc_id, round(r, 6) AS rank FROM r3""".stripMargin
+       |SELECT doc_id, ${QRound.duck("r", 6)} AS rank FROM r3""".stripMargin
   }
 
   // ------------------------------------------------- label propagation

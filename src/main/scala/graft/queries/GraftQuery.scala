@@ -32,3 +32,33 @@ private[graft] object Caps {
   def env(name: String, dflt: Int): Int =
     sys.env.get(name).map(_.toInt).getOrElse(dflt)
 }
+
+/** Cross-engine-stable decimal quantization: `floor(x·10^s + 0.5)/10^s`
+  * on BOTH engines, for surfaces where the two engines' native `round`
+  * semantics diverge on knife-edge doubles. Spark's `round` feeds
+  * `BigDecimal.valueOf(double)` — the SHORTEST decimal representation
+  * — then rounds HALF_UP, while DuckDB rounds the exact binary value;
+  * a double like 1.37081249999999976730 (shortest repr "1.3708125")
+  * therefore rounds to 1.370813 in Spark and 1.370812 in DuckDB. The
+  * floor form is pure IEEE arithmetic (multiply by an exactly-
+  * representable power of ten, add 0.5, floor), so bit-identical
+  * inputs — which the order-matched folds already guarantee — give
+  * bit-identical outputs on both engines, always. Semantics: round
+  * half toward +∞ (for the iterative-float queries that hit this, the
+  * tie side is irrelevant; ENGINE/ORACLE AGREEMENT is the contract).
+  * Valid while |x|·10^s < 2^53. First hit by the full-registry sf1
+  * oracle run (r14): neardup_pagerank and lr_quality_classifier each
+  * landed on 1e-(s+1) knife edges that 50k docs finally sample.
+  */
+private[graft] object QRound {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{floor, lit}
+
+  def col(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  def duck(expr: String, scale: Int): String =
+    s"floor(($expr) * 1e$scale + 0.5) / 1e$scale"
+}
