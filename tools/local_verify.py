@@ -89,7 +89,10 @@ def main():
     # rows-only checks for queries without oracle
     import os
     for name in sorted(os.listdir(outdir)):
-        if name in oracle or not os.path.isdir(f"{outdir}/{name}"):
+        # dot-dirs are tooling scratch (e.g. the .duck_tmp spill dir the
+        # GRAFT_DUCK_MEM gate defaults into the outdir), not query dumps
+        if name.startswith(".") or name in oracle \
+                or not os.path.isdir(f"{outdir}/{name}"):
             continue
         if only and name not in only:
             continue
