@@ -819,9 +819,17 @@ object CorpusMining {
         QRound.col(wcount / 100.0, 9).as("x1"),
         QRound.col(col("n_chars") / wcount / 10.0, 9).as("x2"))
       .localCheckpoint()
+    // the sigmoid is the chain's ONE transcendental: JVM Math.exp and
+    // DuckDB/libm exp differ by 1 ULP on ~0.3% of inputs (measured,
+    // r14), and a 1-ULP difference flips a quantization boundary with
+    // probability ulp/step. At 9 decimals that is ~1e-7 per doc-step —
+    // the r14 sf1 sweep hit one in 50k docs x 3 steps. p quantizes at
+    // 6 decimals (~1e-10 per doc-step: never, even at sf100); every
+    // DOWNSTREAM op is plain IEEE arithmetic on the quantized values,
+    // bit-identical across engines by construction.
     def pCol: Column = QRound.col(
       lit(1.0) / (lit(1.0) +
-        exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))), 9)
+        exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))), 6)
     var w = spark.range(1).select(
       lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
     for (_ <- 1 to LrSteps) {
