@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * (or `withExtensions(new GraftExtensions)`); after that
   * `SELECT float_vec_dot(a, b)`, `word_shingles(toks, k)`,
-  * `char_ngrams(text, n)` and `morton_interleave(x, y)` work in plain
-  * SQL — the same codegen'd expressions the DataFrame API gets from
+  * `char_ngrams(text, n)`, `morton_interleave(x, y)` and
+  * `qround(x, s)` (the cross-engine float quantization contract —
+  * see [[graft.queries.QRound]]) work in plain SQL — the same codegen'd expressions the DataFrame API gets from
   * VectorExpressions / TextExpressions / LayoutExpressions — the
   * BandJoinRewrite optimizer rule is active, and the pipeline TABLE
   * functions compose in FROM clauses:
@@ -84,6 +85,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) =>
         WordShingles(exprs.head, intArg(exprs(1), "word_shingles"))))
+    // qround(x, s): the repo's cross-engine float contract as a SQL
+    // function — the EXACT expression tree QRound.col builds
+    // (floor(x·10^s + 0.5)/10^s, pure IEEE, bit-identical on any
+    // engine that evaluates it in doubles; DuckDB twin:
+    // `floor(x * 1e<s> + 0.5) / 1e<s>`). Finite inputs only and
+    // |x|·10^s < 2^53 — see the QRound scaladoc.
+    ext.injectFunction((
+      new FunctionIdentifier("qround"),
+      new ExpressionInfo("graft.queries.QRound", "qround"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "qround expects (x, scale)")
+        import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Floor, Multiply}
+        val p = Literal(math.pow(10.0, intArg(exprs(1), "qround")))
+        Divide(Floor(Add(Multiply(exprs.head, p), Literal(0.5))), p)
+      }))
     // trim the input exactly like the DataFrame helper
     // (TextFunctions.charNgrams) — the two public surfaces of the
     // "same" function must agree on whitespace handling

@@ -210,11 +210,17 @@ object CorpusMining {
       .withColumn("cid", row_number().over(wSeed).cast("long") - 1)
       .select(col("cid"), transform(col("e"), x => x.cast("double")).as("cv"))
 
+    // QRound, not native round (r15 knife-edge audit): the Lloyd chain
+    // is the same iterative class as neardup_pagerank — an argmin flip
+    // on a shortest-repr knife edge in round 1 moves a centroid and
+    // diverges every downstream assignment; distances are pure IEEE
+    // rational folds on bit-identical inputs, exactly what QRound
+    // stabilizes (n·k distance values per round sample edges at scale)
     def assign(cents: DataFrame): DataFrame = {
       val wMin = Window.partitionBy(col("vec_id"))
         .orderBy(col("d"), col("cid"))
       v.crossJoin(broadcast(cents))
-        .withColumn("d", round(dist2Col("cv", "e"), 6))
+        .withColumn("d", QRound.col(dist2Col("cv", "e"), 6))
         .withColumn("rn", row_number().over(wMin))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("e"), col("cid"), col("d"))
@@ -257,7 +263,7 @@ object CorpusMining {
        |  SELECT vec_id, e, cid FROM (
        |    SELECT v.vec_id, v.e, c0.cid,
        |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY round($d2, 6), c0.cid) AS rn
+       |             ORDER BY ${QRound.duck(d2, 6)}, c0.cid) AS rn
        |    FROM v CROSS JOIN c0) s
        |  WHERE rn = 1),
        |s1 AS (
@@ -270,9 +276,9 @@ object CorpusMining {
        |       FROM c0 LEFT JOIN c1m USING (cid)),
        |a2 AS (
        |  SELECT vec_id, e, cid, d FROM (
-       |    SELECT v.vec_id, v.e, c1.cid, round($d2, 6) AS d,
+       |    SELECT v.vec_id, v.e, c1.cid, ${QRound.duck(d2, 6)} AS d,
        |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY round($d2, 6), c1.cid) AS rn
+       |             ORDER BY ${QRound.duck(d2, 6)}, c1.cid) AS rn
        |    FROM v CROSS JOIN c1) s
        |  WHERE rn = 1)""".stripMargin
   }
@@ -794,6 +800,15 @@ object CorpusMining {
   // -------------------------------------- logistic-regression classifier
   private val LrSteps = 3
 
+  /** Sigmoid quantization scale, shared by the engine ([[pCol]]) and all
+    * oracle sigmoid sites — the ONE knob that must agree across engines
+    * (r14 post-commit regression: engine moved to 6, oracle stayed at 9,
+    * and the weights diverged at the 8th decimal on the sf0.01 corpus).
+    * 6 decimals keeps the 1-ULP exp() flip probability at ~1e-10 per
+    * doc-step — never sampled even at sf100.
+    */
+  private val LrPScale = 6
+
   /** Logistic-regression quality classifier trained IN-ENGINE: 3
     * unrolled full-batch gradient-descent steps (lr = 1.0, w₀ = 0) on
     * two shape features — word count and average word length — against
@@ -829,7 +844,7 @@ object CorpusMining {
     // bit-identical across engines by construction.
     def pCol: Column = QRound.col(
       lit(1.0) / (lit(1.0) +
-        exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))), 6)
+        exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))), LrPScale)
     var w = spark.range(1).select(
       lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
     for (_ <- 1 to LrSteps) {
@@ -863,7 +878,7 @@ object CorpusMining {
          |         CAST(sum(CAST(${QRound.duck("(p - y) * x1", 9)} AS DECIMAL(28,9))) AS DOUBLE) AS s1,
          |         CAST(sum(CAST(${QRound.duck("(p - y) * x2", 9)} AS DECIMAL(28,9))) AS DOUBLE) AS s2,
          |         count(*) AS n
-         |  FROM (SELECT f.*, ${QRound.duck("1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2)))", 9)} AS p
+         |  FROM (SELECT f.*, ${QRound.duck("1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2)))", LrPScale)} AS p
          |        FROM feats f CROSS JOIN w${k - 1}t)),
          |w${k}t AS (
          |  SELECT ${QRound.duck("w0 - s0/n", 9)} AS w0, ${QRound.duck("w1 - s1/n", 9)} AS w1,
@@ -880,7 +895,7 @@ object CorpusMining {
        |SELECT w0, w1, w2, CAST(count(*) AS BIGINT) AS n_docs,
        |       round(avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
        |       round(avg(CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END), 6) AS pred_pos_rate
-       |FROM (SELECT f.*, w.*, ${QRound.duck("1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2)))", 9)} AS p
+       |FROM (SELECT f.*, w.*, ${QRound.duck("1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2)))", LrPScale)} AS p
        |      FROM feats f CROSS JOIN w${LrSteps}t w)
        |GROUP BY 1, 2, 3""".stripMargin
   }

@@ -634,6 +634,27 @@ object DedupQueries {
     * share runs the length of the document, so the planted-recall spec
     * (PipelineOpsSpec) holds ≥ 0.9 of MinHash-confirmed near-dups
     * across the width change.
+    *
+    * ==What the width-4 contract deliberately drops==
+    * Relative to `winnowing_pairs_exact`'s FULL report (not to the
+    * near-dup ground truth — every MinHash-confirmed near-dup is
+    * recovered, recall 1.0 in the long stratum, blocking-attributable
+    * misses 0 at sf1 AND sf10; WINNOW_RECALL_r14.json), two classes of
+    * exact-report pairs never become candidates:
+    *  1. pairs whose ONLY overlap is a 10–17-token run — below the
+    *     width-4 run guarantee (WinBlockK·w+k−1 = 18 tokens) and
+    *     eligible for the width-2 fallback only when the doc itself is
+    *     short;
+    *  2. mixed-length rescue pairs (a ≤3-fingerprint doc contained in
+    *     a LONG doc): keeping them would require the long side to emit
+    *     the quadratic width-2 key space the r12 century probe
+    *     measured disk-dead.
+    * Together these put blocked coverage of the exact report's long
+    * stratum at 0.639 (sf1) / 0.905 (sf10). Consumers that need
+    * sub-18-token sensitivity — plagiarism-style exhaustive span
+    * matching rather than near-dup detection — should run
+    * `winnowing_pairs_exact` (Σ df² cost; fine at audit scale,
+    * intrinsically quadratic at corpus scale).
     */
   private def winnowingPairsBlocked(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowFpSets(spark, dir)
@@ -1244,9 +1265,10 @@ object DedupQueries {
           (lit(PrBase) + lit(PrDamping) * coalesce(col("csum"), lit(0.0))).as("r"))
     }
     // QRound, not round: the r14 full-registry sf1 oracle run caught
-    // three nodes whose bit-identical rank (e.g. 1.37081249999999976730)
-    // rounds differently under Spark's shortest-repr HALF_UP vs
-    // DuckDB's exact-value round
+    // three nodes whose rank landed on the shortest-repr knife edge
+    // (e.g. exact binary 1.37081249999999998934, shortest repr
+    // "1.3708125"), which rounds differently under Spark's
+    // shortest-repr HALF_UP vs DuckDB's exact-value round
     ranks.select(col("doc_id"), QRound.col(col("r"), 6).as("rank"))
   }
 

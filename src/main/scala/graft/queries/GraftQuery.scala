@@ -31,6 +31,14 @@ final case class GraftQuery(
 private[graft] object Caps {
   def env(name: String, dflt: Int): Int =
     sys.env.get(name).map(_.toInt).getOrElse(dflt)
+
+  /** Long-range variant for row-count thresholds that may legitimately
+    * exceed 2^31-1 (e.g. `GRAFT_ND_BCAST_MAX` near the ~512M-row
+    * broadcast limit) — `env(...).toLong` would parse through Int and
+    * throw at object init on such an override.
+    */
+  def envLong(name: String, dflt: Long): Long =
+    sys.env.get(name).map(_.toLong).getOrElse(dflt)
 }
 
 /** Cross-engine-stable decimal quantization: `floor(x·10^s + 0.5)/10^s`
@@ -38,7 +46,7 @@ private[graft] object Caps {
   * semantics diverge on knife-edge doubles. Spark's `round` feeds
   * `BigDecimal.valueOf(double)` — the SHORTEST decimal representation
   * — then rounds HALF_UP, while DuckDB rounds the exact binary value;
-  * a double like 1.37081249999999976730 (shortest repr "1.3708125")
+  * a double like 1.37081249999999998934 (shortest repr "1.3708125")
   * therefore rounds to 1.370813 in Spark and 1.370812 in DuckDB. The
   * floor form is pure IEEE arithmetic (multiply by an exactly-
   * representable power of ten, add 0.5, floor), so bit-identical
@@ -46,7 +54,15 @@ private[graft] object Caps {
   * bit-identical outputs on both engines, always. Semantics: round
   * half toward +∞ (for the iterative-float queries that hit this, the
   * tie side is irrelevant; ENGINE/ORACLE AGREEMENT is the contract).
-  * Valid while |x|·10^s < 2^53. First hit by the full-registry sf1
+  * Valid while |x|·10^s < 2^53, and for FINITE inputs only: Spark's
+  * `floor` returns LongType, so NaN becomes 0.0 and ±Inf saturates to
+  * ±Long.MaxValue/10^s, while the DuckDB twin propagates NaN/Inf —
+  * callers must pre-filter or pre-null non-finite values (every
+  * current call site is structurally finite: sigmoids are in (0,1),
+  * ranks/weights are sums of finite quantized terms, and the token-
+  * count denominators are ≥1 because `split(trim(text), " ")` yields
+  * at least one element — [""] — even on empty text, on both
+  * engines). First hit by the full-registry sf1
   * oracle run (r14): neardup_pagerank and lr_quality_classifier each
   * landed on 1e-(s+1) knife edges that 50k docs finally sample.
   */

@@ -205,7 +205,7 @@ object SimilarityQueries {
     * point.
     */
   private val NdVerifyBroadcastMaxRows: Long =
-    Caps.env("GRAFT_ND_BCAST_MAX", 8000000).toLong
+    Caps.envLong("GRAFT_ND_BCAST_MAX", 8000000L)
 
   /** Effective per-band signature width for an n-vector corpus:
     * ceil(log2(n)) clamped to [NdMinBits, NdBandPlanes]. */
@@ -820,11 +820,13 @@ object SimilarityQueries {
       .select(col("blk"), col("cid"),
         transform(col("be"), x => x.cast("double")).as("cv"))
 
+    // QRound, not native round (r15 knife-edge audit): same iterative
+    // Lloyd class as kmeansAssign — see the comment there
     def assign(cents: DataFrame): DataFrame = {
       val wMin = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id"), col("blk")).orderBy(col("d"), col("cid"))
       bv.join(broadcast(cents), Seq("blk"))
-        .withColumn("d", round(pqDist2("cv", "be"), 6))
+        .withColumn("d", QRound.col(pqDist2("cv", "be"), 6))
         .withColumn("rn", row_number().over(wMin))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("blk"), col("be"), col("cid"))
@@ -1091,7 +1093,7 @@ object SimilarityQueries {
        |  SELECT vec_id, blk, be, cid FROM (
        |    SELECT bv.vec_id, bv.blk, bv.be, c0.cid,
        |           row_number() OVER (PARTITION BY bv.vec_id, bv.blk
-       |             ORDER BY round($d2cb, 6), c0.cid) AS rn
+       |             ORDER BY ${QRound.duck(d2cb, 6)}, c0.cid) AS rn
        |    FROM bv JOIN c0 ON bv.blk = c0.blk) s
        |  WHERE rn = 1),
        |s1 AS (
@@ -1106,7 +1108,7 @@ object SimilarityQueries {
        |  SELECT vec_id, blk, cid FROM (
        |    SELECT bv.vec_id, bv.blk, c1.cid,
        |           row_number() OVER (PARTITION BY bv.vec_id, bv.blk
-       |             ORDER BY round(${duckPqDist2("cv", "be")}, 6), c1.cid) AS rn
+       |             ORDER BY ${QRound.duck(duckPqDist2("cv", "be"), 6)}, c1.cid) AS rn
        |    FROM bv JOIN c1 ON bv.blk = c1.blk) s
        |  WHERE rn = 1),
        |pb AS (SELECT vec_id AS probe_id, blk, be AS pbe FROM bv WHERE vec_id % 100 = 0 AND vec_id < $ProbeIdBound),

@@ -109,7 +109,15 @@ object DecadeProbe {
       "split_contamination", "doc_repetition", "boilerplate_spans",
       "content_defined_chunks", "pipeline_funnel"),
     Seq( // event tier
-      "q1_hot_items", "q2_hot_pages", "active_user_windows"))
+      "q1_hot_items", "q2_hot_pages", "active_user_windows"),
+    // r15 century-set extension (VERDICT r14 item 5): the shaping/
+    // tokenizer heavies the 34-query set omitted. Memo-free (verified:
+    // no Memo.frame/cached call sites), so each group is its own
+    // clean-boundary tier. The BPE tier's per-round argmax is a bounded
+    // 1-row driver scalar, but its word-table rollup IS corpus-sized —
+    // the decade verdict the set owed.
+    Seq("bpe_merges", "bpe_vocab", "bpe_tokenize"),
+    Seq("corpus_diff", "ngram_counts", "sequence_packing"))
 
   private val DefaultSelected: Seq[String] = Tiers.flatten
 

@@ -20,7 +20,7 @@ export GRAFT_SCALE_SET="${GRAFT_SCALE_SET:-sf10}"
 # build.sbt: the century sweep's first heavy sf100 query otherwise pays
 # the 2g->96g heap ramp as a one-time 17x executor-CPU fault storm)
 export SPARK_GRAFT_PRETOUCH=1
-ntiers=9
+ntiers=11
 for i in $(seq 0 $((ntiers - 1))); do
   # committed-artifact discipline: wait out ambient load before each tier
   for _ in $(seq 1 60); do

@@ -49,6 +49,13 @@ def main():
         tmp = os.environ.get("GRAFT_DUCK_TMP", f"{outdir}/.duck_tmp")
         os.makedirs(tmp, exist_ok=True)
         con.sql(f"SET temp_directory='{tmp}'")
+    if os.environ.get("GRAFT_DUCK_TMP_MAX"):
+        # bounded-spill measurement mode (VERDICT r14 item 7): cap the
+        # spill so an infeasibility probe dies at a MEASURED temp-size
+        # bound instead of filling the box's free space and destabilizing
+        # co-resident work; the error message carries the number.
+        con.sql(f"SET max_temp_directory_size="
+                f"'{os.environ['GRAFT_DUCK_TMP_MAX']}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         # driver corpora are single parquet FILES; the ScaleProbe sf1

@@ -153,4 +153,3 @@ def run(sfdir, outdir, artifact, queries, check, timeout):
     print(f"== {len(results)} pass, {len(failed)} fail, "
           f"{len(infeasible)} infeasible -> {artifact}")
     sys.exit(1 if failed else 0)
-    sys.exit(1 if failed else 0)
