@@ -118,8 +118,10 @@ object CorpusMining {
             (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
     contrib
       .groupBy(col("doc_id"))
+      // QRound on the final: a sum of 9-decimal quantized terms is a
+      // terminating decimal — exact-boundary class (ROUND_AUDIT U3)
       .agg(
-        round(sum(round(col("c"), 9).cast(DecimalType(28, 9))).cast("double"), 6)
+        QRound.col(sum(round(col("c"), 9).cast(DecimalType(28, 9))).cast("double"), 6)
           .as("score"),
         count(lit(1)).as("n_terms"))
   }
@@ -151,7 +153,7 @@ object CorpusMining {
        |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
        |bm25_scored AS (
        |  SELECT doc_id,
-       |         round(CAST(SUM(CAST(round(c, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
+       |         ${QRound.duck("CAST(SUM(CAST(round(c, 9) AS DECIMAL(28,9))) AS DOUBLE)", 6)} AS score,
        |         CAST(count(*) AS BIGINT) AS n_terms
        |  FROM contrib
        |  GROUP BY 1)""".stripMargin

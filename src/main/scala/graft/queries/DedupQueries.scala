@@ -391,11 +391,12 @@ object DedupQueries {
     inter
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .withColumn("cont_a_in_b", round(col("i").cast("double") / col("ca.c"), 6))
-      .withColumn("cont_b_in_a", round(col("i").cast("double") / col("cb.c"), 6))
+      // QRound: integer ratios — exact-boundary class (ROUND_AUDIT U3)
+      .withColumn("cont_a_in_b", QRound.col(col("i").cast("double") / col("ca.c"), 6))
+      .withColumn("cont_b_in_a", QRound.col(col("i").cast("double") / col("cb.c"), 6))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentMin)
       .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"), col("cont_b_in_a"),
-        round(col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")), 6)
+        QRound.col(col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")), 6)
           .as("jaccard"))
   }
 
@@ -413,12 +414,12 @@ object DedupQueries {
        |  FROM xa JOIN sh y ON y.doc_id = doc_b AND y.sh = xa.sh
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |       round(CAST(i AS DOUBLE) / ca.c, 6) AS cont_a_in_b,
-       |       round(CAST(i AS DOUBLE) / cb.c, 6) AS cont_b_in_a,
-       |       round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+       |       ${QRound.duck("CAST(i AS DOUBLE) / ca.c", 6)} AS cont_a_in_b,
+       |       ${QRound.duck("CAST(i AS DOUBLE) / cb.c", 6)} AS cont_b_in_a,
+       |       ${QRound.duck("CAST(i AS DOUBLE) / (ca.c + cb.c - i)", 6)} AS jaccard
        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-       |WHERE greatest(round(CAST(i AS DOUBLE) / ca.c, 6),
-       |               round(CAST(i AS DOUBLE) / cb.c, 6)) >= $ContainmentMin""".stripMargin
+       |WHERE greatest(${QRound.duck("CAST(i AS DOUBLE) / ca.c", 6)},
+       |               ${QRound.duck("CAST(i AS DOUBLE) / cb.c", 6)}) >= $ContainmentMin""".stripMargin
 
   // ------------------------------------------------- winnowing
   private val WinK = 3 // word k-gram size
@@ -548,7 +549,7 @@ object DedupQueries {
       .join(fps.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
       .join(fps.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
       .withColumn("containment",
-        round(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
+        QRound.col(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
       // MOSS-style score cutoff: the report keeps the sharp knee
       // where genuine overlap starts (true near-dups score 1.0 here) —
       // plus the sized short-doc rescue ([[winReportKeep]])
@@ -692,7 +693,7 @@ object DedupQueries {
       .join(fps.select(col("doc_id").as("doc_b"), col("fhvs").as("fb"), col("c").as("cb")), "doc_b")
       .withColumn("n_shared", size(array_intersect(col("fa"), col("fb"))).cast("long"))
       .withColumn("containment",
-        round(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
+        QRound.col(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
       .filter(winReportKeep)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
   }
@@ -736,9 +737,9 @@ object DedupQueries {
        |  FROM fpr a JOIN fpr b ON a.fhv = b.fhv AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 2)
        |SELECT doc_a, doc_b, n_shared,
-       |       round(CAST(n_shared AS DOUBLE) / least(ca.c, cb.c), 6) AS containment
+       |       floor((CAST(n_shared AS DOUBLE) / least(ca.c, cb.c)) * 1e6 + 0.5) / 1e6 AS containment
        |FROM p JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-       |WHERE ${duckWinReportKeep("round(CAST(n_shared AS DOUBLE) / least(ca.c, cb.c), 6)", "least(ca.c, cb.c)")}""".stripMargin
+       |WHERE ${duckWinReportKeep("floor((CAST(n_shared AS DOUBLE) / least(ca.c, cb.c)) * 1e6 + 0.5) / 1e6", "least(ca.c, cb.c)")}""".stripMargin
 
   private val winnowingBlockedOracle =
     s"""WITH $duckWinnowSel,
@@ -779,8 +780,8 @@ object DedupQueries {
        |         least(x.c, y.c) AS mn
        |  FROM cand JOIN fpl x ON doc_a = x.doc_id JOIN fpl y ON doc_b = y.doc_id)
        |SELECT doc_a, doc_b, n_shared,
-       |       round(CAST(n_shared AS DOUBLE) / mn, 6) AS containment
-       |FROM v WHERE ${duckWinReportKeep("round(CAST(n_shared AS DOUBLE) / mn, 6)", "mn")}""".stripMargin
+       |       floor((CAST(n_shared AS DOUBLE) / mn) * 1e6 + 0.5) / 1e6 AS containment
+       |FROM v WHERE ${duckWinReportKeep("floor((CAST(n_shared AS DOUBLE) / mn) * 1e6 + 0.5) / 1e6", "mn")}""".stripMargin
   /** Incremental dedup: an incoming batch (doc_id % 10 == 0) probed
     * against the standing corpus's MinHash index — the shape a
     * continuously-ingesting pipeline actually runs, where the corpus
@@ -815,7 +816,7 @@ object DedupQueries {
       .join(cnt.as("ca"), col("batch_id") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("corpus_id") === col("cb.doc_id"))
       .withColumn("jaccard",
-        round(col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")), 6))
+        QRound.col(col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")), 6))
       .filter(col("jaccard") >= 0.5)
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
@@ -847,9 +848,9 @@ object DedupQueries {
        |  GROUP BY 1, 2),
        |j AS (
        |  SELECT batch_id, corpus_id,
-       |         round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+       |         floor((CAST(i AS DOUBLE) / (ca.c + cb.c - i)) * 1e6 + 0.5) / 1e6 AS jaccard
        |  FROM inter JOIN cnt ca ON batch_id = ca.doc_id JOIN cnt cb ON corpus_id = cb.doc_id
-       |  WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) >= 0.5)
+       |  WHERE floor((CAST(i AS DOUBLE) / (ca.c + cb.c - i)) * 1e6 + 0.5) / 1e6 >= 0.5)
        |SELECT batch_id, corpus_id AS dup_of, jaccard FROM (
        |  SELECT j.*, row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, corpus_id) AS rn
        |  FROM j) t
@@ -1148,7 +1149,7 @@ object DedupQueries {
       // column, not a second levenshtein call
       .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"),
-        round(lit(1.0) - col("edit_dist").cast("double") /
+        QRound.col(lit(1.0) - col("edit_dist").cast("double") /
           greatest(length(col("pa")), length(col("pb"))), 6).as("sim_ratio"))
   }
 
@@ -1166,8 +1167,9 @@ object DedupQueries {
        |p AS (SELECT doc_id, substr(trim(text), 1, 32) AS prefix FROM documents)
        |SELECT doc_a, doc_b, hamming,
        |       CAST(levenshtein(pa.prefix, pb.prefix) AS BIGINT) AS edit_dist,
-       |       round(1.0 - CAST(levenshtein(pa.prefix, pb.prefix) AS DOUBLE) /
-       |             greatest(length(pa.prefix), length(pb.prefix)), 6) AS sim_ratio
+       |       ${QRound.duck(
+             "1.0 - CAST(levenshtein(pa.prefix, pb.prefix) AS DOUBLE) / " +
+               "greatest(length(pa.prefix), length(pb.prefix))", 6)} AS sim_ratio
        |FROM cand JOIN p pa ON cand.doc_a = pa.doc_id JOIN p pb ON cand.doc_b = pb.doc_id""".stripMargin
 
   // -------------------------------------------- split decontamination

@@ -64,7 +64,12 @@ private[graft] object Caps {
   * at least one element — [""] — even on empty text, on both
   * engines). First hit by the full-registry sf1
   * oracle run (r14): neardup_pagerank and lr_quality_classifier each
-  * landed on 1e-(s+1) knife edges that 50k docs finally sample.
+  * landed on 1e-(s+1) knife edges that 50k docs finally sample. A
+  * second divergence class QRound also fixes (FULL_ORACLE_sf10_r15,
+  * dsir_selection): a tiny-negative input rounding to ZERO keeps IEEE
+  * -0.0 under DuckDB's round but loses the sign through Spark's
+  * BigDecimal (no signed zero) — QRound's floor form lands both
+  * engines on +0.0.
   */
 private[graft] object QRound {
   import org.apache.spark.sql.Column

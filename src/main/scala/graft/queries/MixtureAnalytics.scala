@@ -44,9 +44,12 @@ object MixtureAnalytics {
       .withColumn("term_ent",
         round(-col("p") * log(col("p")), 12).cast(DecimalType(38, 12)))
       .groupBy(col("doc_id"))
+      // QRound on the final: a sum of 12-decimal quantized terms is a
+      // terminating decimal that can land exactly on the 7-digit half
+      // (ROUND_AUDIT U3)
       .agg(count(lit(1)).as("n_distinct"),
         max(col("n")).as("n_tokens"),
-        round(sum(col("term_ent")).cast("double"), 6).as("entropy"))
+        QRound.col(sum(col("term_ent")).cast("double"), 6).as("entropy"))
       .withColumn("norm_entropy",
         when(col("n_distinct") > 1,
           round(col("entropy") / log(col("n_distinct").cast("double")), 6))
@@ -54,7 +57,7 @@ object MixtureAnalytics {
   }
 
   private val docEntropyOracle =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),
       |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
       |p AS (
@@ -66,9 +69,9 @@ object MixtureAnalytics {
       |              AS DECIMAL(38,12)) AS term_ent
       |  FROM p)
       |SELECT doc_id, count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS n_tokens,
-      |       round(CAST(sum(term_ent) AS DOUBLE), 6) AS entropy,
+      |       ${QRound.duck("CAST(sum(term_ent) AS DOUBLE)", 6)} AS entropy,
       |       CASE WHEN count(*) > 1
-      |            THEN round(round(CAST(sum(term_ent) AS DOUBLE), 6) / ln(CAST(count(*) AS DOUBLE)), 6)
+      |            THEN round(${QRound.duck("CAST(sum(term_ent) AS DOUBLE)", 6)} / ln(CAST(count(*) AS DOUBLE)), 6)
       |            ELSE 0.0 END AS norm_entropy
       |FROM e GROUP BY 1""".stripMargin
 
@@ -96,13 +99,15 @@ object MixtureAnalytics {
       .withColumn("kl_term",
         round(col("ps") * log(col("ps") / col("pg")), 12).cast(DecimalType(38, 12)))
       .groupBy(col("source"))
+      // QRound on the final: sum of 12-decimal terms — exact-boundary
+      // class (U3) and tiny-negative signed-zero class (U2)
       .agg(count(lit(1)).as("n_terms"),
         max(col("ns")).as("n_tokens"),
-        round(sum(col("kl_term")).cast("double"), 6).as("kl_divergence"))
+        QRound.col(sum(col("kl_term")).cast("double"), 6).as("kl_divergence"))
   }
 
   private val sourceDivergenceOracle =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT source, unnest(string_split(trim(text), ' ')) AS t FROM documents),
       |bs AS (SELECT source, t, count(*) AS cs FROM tok GROUP BY 1, 2),
       |st AS (SELECT source, sum(cs) AS ns FROM bs GROUP BY 1),
@@ -115,7 +120,7 @@ object MixtureAnalytics {
       |              AS DECIMAL(38,12)) AS kl_term
       |  FROM bs JOIN g USING (t) JOIN st USING (source) CROSS JOIN gt)
       |SELECT source, count(*) AS n_terms, CAST(max(ns) AS BIGINT) AS n_tokens,
-      |       round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl_divergence
+      |       ${QRound.duck("CAST(sum(kl_term) AS DOUBLE)", 6)} AS kl_divergence
       |FROM k GROUP BY 1""".stripMargin
 
   // ------------------------------------------------- weighted sampling
@@ -162,14 +167,17 @@ object MixtureAnalytics {
       .orderBy(col("value"), col("event_id"))
     Tables.events(spark, dir)
       .filter(col("user_id") % 20 === 0)
+      // QRound: percent_rank = (rank-1)/(n-1), an integer ratio —
+      // exact-boundary class (ROUND_AUDIT U3)
       .select(col("event_id"), col("event_type"), col("value"),
-        round(percent_rank().over(w), 6).as("pct_rank"))
+        QRound.col(percent_rank().over(w), 6).as("pct_rank"))
   }
 
   private val percentileNormOracle =
-    """SELECT event_id, event_type, value,
-      |       round(percent_rank() OVER (PARTITION BY event_type
-      |             ORDER BY value, event_id), 6) AS pct_rank
+    s"""SELECT event_id, event_type, value,
+      |       ${QRound.duck(
+          "percent_rank() OVER (PARTITION BY event_type " +
+            "ORDER BY value, event_id)", 6)} AS pct_rank
       |FROM events
       |WHERE user_id % 20 = 0""".stripMargin
 
@@ -190,21 +198,23 @@ object MixtureAnalytics {
         sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
       .withColumn("gn", count(lit(1)).over(w))
       .filter(col("user_id") % 20 === 0)
+      // QRound: (2-decimal sum) / (count-1) — exact-boundary class
+      // (ROUND_AUDIT U3); the gn>1 guard keeps the input finite
       .select(col("event_id"), col("event_type"), col("value"),
         when(col("gn") > 1,
-          round((col("gs") - col("value")) / (col("gn") - 1), 6))
+          QRound.col((col("gs") - col("value")) / (col("gn") - 1), 6))
           .otherwise(lit(null)).as("loo_mean"))
   }
 
   private val targetEncodingOracle =
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT event_id, event_type, value, user_id,
       |         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS gs,
       |         count(*) OVER w AS gn
       |  FROM events
       |  WINDOW w AS (PARTITION BY event_type))
       |SELECT event_id, event_type, value,
-      |       CASE WHEN gn > 1 THEN round((gs - value) / (gn - 1), 6) END AS loo_mean
+      |       CASE WHEN gn > 1 THEN ${QRound.duck("(gs - value) / (gn - 1)", 6)} END AS loo_mean
       |FROM g
       |WHERE user_id % 20 = 0""".stripMargin
 
@@ -256,8 +266,13 @@ object MixtureAnalytics {
       .join(lam, "b")
       .withColumn("term", round(col("c") * col("lam"), 12).cast(DecimalType(38, 12)))
       .groupBy(col("doc_id"), col("source"))
+      // QRound, not native round (r15 FULL_ORACLE_sf10 finding): a doc
+      // whose decimal term-sum is a TINY NEGATIVE rounds to 0.0 in
+      // Spark (BigDecimal has no signed zero) but -0.0 in DuckDB (IEEE
+      // keeps the sign) — repr-exact compares split on the sign of
+      // zero. QRound's floor form lands both engines on +0.0.
       .agg(sum(col("c")).as("n_feats"),
-        round(sum(col("term")).cast("double"), 6).as("logw"))
+        QRound.col(sum(col("term")).cast("double"), 6).as("logw"))
       // one row per scored doc, read by the histogram, the total, and
       // the final decorate — materialize instead of re-scoring thrice
       .localCheckpoint()
@@ -298,7 +313,7 @@ object MixtureAnalytics {
        |  CROSS JOIN nt CROSS JOIN nr),
        |doc AS (
        |  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_feats,
-       |         round(CAST(sum(CAST(round(c * lam, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS logw
+       |         ${QRound.duck("CAST(sum(CAST(round(c * lam, 12) AS DECIMAL(38,12))) AS DOUBLE)", 6)} AS logw
        |  FROM dgb JOIN lam USING (b)
        |  WHERE source <> '$DsirTarget'
        |  GROUP BY 1, 2),
@@ -328,19 +343,22 @@ object MixtureAnalytics {
       .withColumn("s", round(sqrt(col("n_tokens").cast("double")), 9)
         .cast(DecimalType(38, 9)))
     val tot = bySrc.agg(sum(col("s")).as("stot"), sum(col("n_tokens")).as("ntot"))
+    // QRound on share and epochs: DECIMAL(38,9)/DECIMAL(38,9) reduces
+    // to an integer ratio — exact-boundary class (ROUND_AUDIT U3)
     bySrc.crossJoin(broadcast(tot))
       .withColumn("share",
-        round(col("s").cast("double") / col("stot").cast("double"), 6))
+        QRound.col(col("s").cast("double") / col("stot").cast("double"), 6))
       .withColumn("alloc_tokens",
         floor(col("share") * floor(col("ntot") / 2)).cast("long"))
       .withColumn("epochs",
-        round(col("alloc_tokens").cast("double") / col("n_tokens"), 6))
+        QRound.col(col("alloc_tokens").cast("double") / col("n_tokens"), 6))
       .select(col("source"), col("n_tokens"), col("share"),
         col("alloc_tokens"), col("epochs"))
   }
 
-  private val mixtureAlphaOracle =
-    """WITH bysrc AS (
+  private val mixtureAlphaOracle = {
+    val share = QRound.duck("CAST(s AS DOUBLE) / CAST(stot AS DOUBLE)", 6)
+    s"""WITH bysrc AS (
       |  SELECT source, sum(len(string_split(trim(text), ' '))) AS n_tokens
       |  FROM documents GROUP BY 1),
       |q AS (SELECT source, n_tokens,
@@ -348,12 +366,11 @@ object MixtureAnalytics {
       |      FROM bysrc),
       |tot AS (SELECT sum(s) AS stot, sum(n_tokens) AS ntot FROM q)
       |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
-      |       round(CAST(s AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS share,
-      |       CAST(floor(round(CAST(s AS DOUBLE) / CAST(stot AS DOUBLE), 6)
-      |                  * floor(ntot / 2)) AS BIGINT) AS alloc_tokens,
-      |       round(CAST(floor(round(CAST(s AS DOUBLE) / CAST(stot AS DOUBLE), 6)
-      |                        * floor(ntot / 2)) AS DOUBLE) / n_tokens, 6) AS epochs
+      |       $share AS share,
+      |       CAST(floor($share * floor(ntot / 2)) AS BIGINT) AS alloc_tokens,
+      |       ${QRound.duck(s"CAST(floor($share * floor(ntot / 2)) AS DOUBLE) / n_tokens", 6)} AS epochs
       |FROM q CROSS JOIN tot""".stripMargin
+  }
 
   // --------------------------------------------- mixture manifest
   /** The α-temperature mixture OPERATIONALIZED: per-source token

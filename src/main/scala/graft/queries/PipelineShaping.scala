@@ -150,12 +150,13 @@ object PipelineShaping {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      // QRound: integer ratio — exact-boundary class (ROUND_AUDIT U3)
       .withColumn("dup_ratio",
-        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+        QRound.col(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
   }
 
   private val boilerplateOracle =
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
       |    THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |    ELSE [] END) AS sh
@@ -163,7 +164,7 @@ object PipelineShaping {
       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
       |SELECT doc_id, count(*) AS n_shingles,
       |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
-      |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+      |       ${QRound.duck("CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS dup_ratio
       |FROM sh JOIN df USING (sh)
       |GROUP BY 1""".stripMargin
 
@@ -322,15 +323,20 @@ object PipelineShaping {
         // convention (DECIMAL(18,2) holds every partial exactly)
         sum(col("sum_value")).cast("decimal(18,2)").cast("double").as("sum_value"),
         max(col("last_ts_us")).as("last_ts_us"))
+      // QRound, not native round (r15 FULL_ORACLE_sf10 finding): a mean
+      // of 2-decimal values over a 2-5-smooth count lands EXACTLY on a
+      // 7-digit half-boundary (4130.78/64 = 64.5434375), where Spark's
+      // shortest-repr HALF_UP rounds up and DuckDB's binary round goes
+      // down — 5 of 150k sf10 groups sampled it. See ROUND_AUDIT.md U3.
       .withColumn("avg_value",
-        round(col("sum_value") / col("n_events"), 6))
+        QRound.col(col("sum_value") / col("n_events"), 6))
   }
 
   private val incrementalAggOracle =
-    """SELECT user_id, count(*) AS n_events,
+    s"""SELECT user_id, count(*) AS n_events,
       |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
       |       CAST(max(epoch_ns(ts) // 1000) AS BIGINT) AS last_ts_us,
-      |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+      |       ${QRound.duck("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 6)} AS avg_value
       |FROM events
       |GROUP BY 1""".stripMargin
 

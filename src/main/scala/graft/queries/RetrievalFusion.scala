@@ -68,8 +68,10 @@ object RetrievalFusion {
       .select(
         coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
         col("lex_rank"), col("vec_rank"))
+      // QRound: sum of unit fractions 1/(k+r) is a small-denominator
+      // rational — exact-boundary class (ROUND_AUDIT U3, e.g. 1/64)
       .withColumn("rrf",
-        round(
+        QRound.col(
           coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 9))
       .orderBy(col("rrf").desc, col("doc_id"))
@@ -132,8 +134,8 @@ object RetrievalFusion {
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY simr DESC, vec_id) AS BIGINT) AS vec_rank
        |  FROM ds)
        |SELECT COALESCE(lex.doc_id, dense.vec_id) AS doc_id, lex_rank, vec_rank,
-       |       round(COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) +
-       |             COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0), 9) AS rrf
+       |       floor((COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) +
+       |             COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0)) * 1e9 + 0.5) / 1e9 AS rrf
        |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
        |ORDER BY rrf DESC, doc_id
        |LIMIT $FusedK""".stripMargin
@@ -171,8 +173,8 @@ object RetrievalFusion {
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY simr DESC, vec_id) AS BIGINT) AS vec_rank
        |  FROM ds)
        |SELECT COALESCE(lex.doc_id, dense.vec_id) AS doc_id, lex_rank, vec_rank,
-       |       round(COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) +
-       |             COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0), 9) AS rrf
+       |       floor((COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) +
+       |             COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0)) * 1e9 + 0.5) / 1e9 AS rrf
        |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
        |ORDER BY rrf DESC, doc_id
        |LIMIT $FusedK""".stripMargin

@@ -142,15 +142,18 @@ object StatsAnalytics {
       .groupBy(col("event_type"))
       .agg(percentile(col("value"), typedLit(qs)).as("q"))
       .select(col("event_type"), posexplode(col("q")))
+      // QRound: interpolated quantiles of 2-decimal values over
+      // rational fractions are small-denominator rationals —
+      // exact-boundary class (ROUND_AUDIT U3)
       .select(col("event_type"), (col("pos") + 1).cast("long").as("q_idx"),
-        round(col("col"), 6).as("q_value"))
+        QRound.col(col("col"), 6).as("q_value"))
   }
 
   private val quantilesOracle =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
       |  FROM events GROUP BY 1)
-      |SELECT event_type, CAST(g.i AS BIGINT) AS q_idx, round(qs[g.i], 6) AS q_value
+      |SELECT event_type, CAST(g.i AS BIGINT) AS q_idx, ${QRound.duck("qs[g.i]", 6)} AS q_value
       |FROM q CROSS JOIN generate_series(1, 4) g(i)""".stripMargin
 
   // ---------------------------------------------------- outlier scan

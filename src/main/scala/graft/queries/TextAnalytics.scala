@@ -344,7 +344,8 @@ object TextAnalytics {
       .agg(max(col("rate")).as("rate"),
         count(lit(1)).as("n_total"),
         sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
-      .withColumn("realized", round(col("n_kept").cast("double") / col("n_total"), 6))
+      // QRound: integer ratio — exact-boundary class (ROUND_AUDIT U3)
+      .withColumn("realized", QRound.col(col("n_kept").cast("double") / col("n_total"), 6))
   }
 
   private val stratifiedSampleOracle = {
@@ -360,7 +361,7 @@ object TextAnalytics {
        |         CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |  FROM d GROUP BY 1)
        |SELECT source, rate, n_total, n_kept,
-       |       round(CAST(n_kept AS DOUBLE) / n_total, 6) AS realized
+       |       ${QRound.duck("CAST(n_kept AS DOUBLE) / n_total", 6)} AS realized
        |FROM g""".stripMargin
   }
 
@@ -397,17 +398,18 @@ object TextAnalytics {
       .agg(sum(col("c")).as("n_tri"),
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
     uni.join(biAgg, Seq("doc_id"), "left").join(triAgg, Seq("doc_id"), "left")
+      // QRound: integer ratios — exact-boundary class (ROUND_AUDIT U3)
       .select(col("doc_id"), col("n_tok"),
-        round(lit(1.0) - col("n_dist").cast("double") / col("n_tok"), 6)
+        QRound.col(lit(1.0) - col("n_dist").cast("double") / col("n_tok"), 6)
           .as("dup_token_frac"),
-        round(coalesce(col("top_bi").cast("double") / col("n_bi"), lit(0.0)), 6)
+        QRound.col(coalesce(col("top_bi").cast("double") / col("n_bi"), lit(0.0)), 6)
           .as("top_bigram_share"),
-        round(coalesce(col("dup_tri").cast("double") / col("n_tri"), lit(0.0)), 6)
+        QRound.col(coalesce(col("dup_tri").cast("double") / col("n_tri"), lit(0.0)), 6)
           .as("dup_trigram_share"))
   }
 
   private val docRepetitionOracle =
-    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
       |uni AS (SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_dist FROM t),
       |bic AS (
       |  SELECT doc_id, g, count(*) AS c FROM (
@@ -432,9 +434,9 @@ object TextAnalytics {
       |    GROUP BY 1, 2) c
       |  GROUP BY 1)
       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-      |       round(1.0 - n_dist / CAST(n_tok AS DOUBLE), 6) AS dup_token_frac,
-      |       round(coalesce(top_bi / CAST(n_bi AS DOUBLE), 0.0), 6) AS top_bigram_share,
-      |       round(coalesce(dup_tri / CAST(n_tri AS DOUBLE), 0.0), 6) AS dup_trigram_share
+      |       ${QRound.duck("1.0 - n_dist / CAST(n_tok AS DOUBLE)", 6)} AS dup_token_frac,
+      |       ${QRound.duck("coalesce(top_bi / CAST(n_bi AS DOUBLE), 0.0)", 6)} AS top_bigram_share,
+      |       ${QRound.duck("coalesce(dup_tri / CAST(n_tri AS DOUBLE), 0.0)", 6)} AS dup_trigram_share
       |FROM uni LEFT JOIN biagg USING (doc_id) LEFT JOIN triagg USING (doc_id)""".stripMargin
 
   // ----------------------------------------- n-gram LM perplexity
@@ -495,8 +497,10 @@ object TextAnalytics {
             tPico.cast("string"))))
       })
       .groupBy(col("doc_id"))
+      // QRound on the final ratio: exact-pico-integer / 1e12 / count is
+      // a terminating-decimal-capable ratio (ROUND_AUDIT U3)
       .agg(sum(col("c")).as("n_grams"),
-        round(sum(col("t")).cast("double") / 1e12 / sum(col("c")), 6).as("cross_entropy"),
+        QRound.col(sum(col("t")).cast("double") / 1e12 / sum(col("c")), 6).as("cross_entropy"),
         sum(abs(col("t"))).as("__abs_sum"))
       // |sum| <= sum|t|, so one guarded magnitude per doc proves the
       // signed pico sum never wrapped 2^62 — and a guard sum that
@@ -541,8 +545,10 @@ object TextAnalytics {
        |vv AS (SELECT count(DISTINCT substr(g, 2, 1)) AS v FROM model),
        |doc AS (
        |  SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
-       |         round(CAST(sum(CAST(round(round(-dg.c * ln((model.cg + $LmAddK) / (ctx.cc + $LmAddK * vv.v)), 12) * 1e12)
-       |                            AS BIGINT)) AS DOUBLE) / 1e12 / sum(dg.c), 6) AS cross_entropy
+       |         ${QRound.duck(
+             "CAST(sum(CAST(round(round(-dg.c * ln((model.cg + " + LmAddK +
+               ") / (ctx.cc + " + LmAddK + " * vv.v)), 12) * 1e12) AS BIGINT)) AS DOUBLE)" +
+               " / 1e12 / sum(dg.c)", 6)} AS cross_entropy
        |  FROM dg JOIN model USING (g)
        |  JOIN ctx ON substr(dg.g, 1, 1) = ctx.c1
        |  CROSS JOIN vv
@@ -584,8 +590,9 @@ object TextAnalytics {
         sum(when(col("passes") && col("rep_ok"), 1L).otherwise(0L)).as("n_repetition_ok"),
         sum(when(col("passes") && col("rep_ok") && col("is_canon"), 1L).otherwise(0L))
           .as("n_unique"))
+      // QRound: integer ratio — exact-boundary class (ROUND_AUDIT U3)
       .withColumn("retention",
-        round(col("n_unique").cast("double") / col("n_total"), 6))
+        QRound.col(col("n_unique").cast("double") / col("n_total"), 6))
   }
 
   private val pipelineFunnelOracle =
@@ -604,8 +611,9 @@ object TextAnalytics {
        |       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
        |       CAST(sum(CASE WHEN passes AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_ok,
        |       CAST(sum(CASE WHEN passes AND rep_ok AND is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-       |       round(CAST(sum(CASE WHEN passes AND rep_ok AND is_canon THEN 1 ELSE 0 END) AS DOUBLE)
-       |             / count(*), 6) AS retention
+       |       ${QRound.duck(
+             "CAST(sum(CASE WHEN passes AND rep_ok AND is_canon THEN 1 ELSE 0 END) AS DOUBLE)" +
+               " / count(*)", 6)} AS retention
        |FROM f GROUP BY 1""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

@@ -42,10 +42,12 @@ object WorkloadProfiling {
       .orderBy(col("cnt").desc, col("join_key"))
       .limit(SkewTopK)
       .crossJoin(broadcast(stats))
+      // QRound: integer ratios — exact-boundary class (ROUND_AUDIT U3;
+      // total_rows is 2-5-smooth-capable, e.g. exactly 10^k rows)
       .select(
         col("join_key"), col("cnt"),
-        round(col("cnt").cast("double") / col("total_rows"), 6).as("share"),
-        round(col("cnt").cast("double") * col("n_keys") / col("total_rows"), 4)
+        QRound.col(col("cnt").cast("double") / col("total_rows"), 6).as("share"),
+        QRound.col(col("cnt").cast("double") * col("n_keys") / col("total_rows"), 4)
           .as("skew_vs_avg"),
         col("n_keys"))
   }
@@ -62,8 +64,8 @@ object WorkloadProfiling {
        |  SELECT join_key, cnt FROM per_key
        |  ORDER BY cnt DESC, join_key LIMIT $SkewTopK)
        |SELECT join_key, cnt,
-       |       round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
-       |       round(CAST(cnt AS DOUBLE) * n_keys / total_rows, 4) AS skew_vs_avg,
+       |       ${QRound.duck("CAST(cnt AS DOUBLE) / total_rows", 6)} AS share,
+       |       ${QRound.duck("CAST(cnt AS DOUBLE) * n_keys / total_rows", 4)} AS skew_vs_avg,
        |       n_keys
        |FROM top CROSS JOIN stats""".stripMargin
 
@@ -106,8 +108,9 @@ object WorkloadProfiling {
         .as("est_size"),
       sum(when(col("hv") < JsThreshold, 1L).otherwise(0L)).as("keys_sampled"),
       count(lit(1)).as("keys_total"))
+      // QRound: integer ratio — exact-boundary class (ROUND_AUDIT U3)
       .withColumn("rel_err",
-        round(abs(col("est_size") - col("exact_size")) / col("exact_size"), 4))
+        QRound.col(abs(col("est_size") - col("exact_size")) / col("exact_size"), 4))
   }
 
   private val joinSizeEstimateOracle =
@@ -128,7 +131,7 @@ object WorkloadProfiling {
        |         CAST(count(*) AS BIGINT) AS keys_total
        |  FROM j)
        |SELECT exact_size, est_size, keys_sampled, keys_total,
-       |       round(abs(est_size - exact_size) / exact_size, 4) AS rel_err
+       |       ${QRound.duck("abs(est_size - exact_size) / exact_size", 4)} AS rel_err
        |FROM agg""".stripMargin
 
   // ------------------------------------------------- bloom-prefilter join
