@@ -135,11 +135,24 @@ object RelationalExtras {
       .filter(col("n_neighbors") >= 1)
   }
 
+  /** r15: the naive pair self-join oracle is Σ n·(in-band multiplicity)
+    * ≈ 10¹¹ pairs at sf10 (3600s-timeout-infeasible) while the ANSWER
+    * is only n rows — the oracle now states the same distinct-value
+    * collapse the engine uses (band-join the (value, multiplicity)
+    * frame, ≤11 candidates per cent-quantized value, map back), with
+    * the identical `abs(v − u) <= band` predicate on the same doubles.
+    * Row-identical to the naive form (it was the gate at sf0.01/sf1
+    * through r14), feasible at every probe scale.
+    */
   private val valueBandJoinOracle =
-    """SELECT a.event_id AS id_a, count(*) AS n_neighbors
-      |FROM events a JOIN events b
-      |  ON abs(a.value - b.value) <= 0.05 AND a.event_id <> b.event_id
-      |GROUP BY 1""".stripMargin
+    """WITH dv AS (SELECT value AS v, count(*) AS m FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT a.v, sum(b.m) AS t
+      |  FROM dv a JOIN dv b ON abs(a.v - b.v) <= 0.05
+      |  GROUP BY 1)
+      |SELECT e.event_id AS id_a, CAST(t.t - 1 AS BIGINT) AS n_neighbors
+      |FROM events e JOIN t ON e.value = t.v
+      |WHERE t.t - 1 >= 1""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("pivot_agg", Some(pivotOracle), pivotAgg),
