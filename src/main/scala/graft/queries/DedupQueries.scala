@@ -1276,27 +1276,36 @@ object DedupQueries {
 
   private val pagerankOracle = {
     // unrolled iterations, each folding contributions in src order —
-    // identical association to the Spark sorted fold
+    // identical association to the Spark sorted fold. r15 feasibility
+    // rewrite (the sf10 oracle exhausted 110 GB): the per-dst ordered
+    // LIST materialization became a WINDOWED running sum + arg_max of
+    // the final value — a streaming cumulative whose addition order is
+    // the same src-ordered left fold (0.0 + x1 == x1 exactly in IEEE,
+    // so dropping the fold's zero seed changes nothing), verified
+    // hash-exact at sf0.01/sf1 before trusting it at sf10 — and the
+    // pair CTEs are AS MATERIALIZED so the banded self-join runs once,
+    // not once per reference (the ngram-jaccard lesson).
     def iter(prev: String, out: String) =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT n.doc_id, 0.15 + 0.85 * coalesce(s.csum, 0.0) AS r
          |  FROM documents n LEFT JOIN (
-         |    SELECT e.dst,
-         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |             list(p.r / deg.deg ORDER BY e.src)), (acc, x) -> acc + x) AS csum
-         |    FROM e JOIN $prev p ON e.src = p.doc_id JOIN deg ON e.src = deg.src
-         |    GROUP BY e.dst) s
+         |    SELECT dst, arg_max(rs, src) AS csum FROM (
+         |      SELECT e.dst, e.src,
+         |             sum(p.r / deg.deg) OVER (PARTITION BY e.dst ORDER BY e.src
+         |                                      ROWS UNBOUNDED PRECEDING) AS rs
+         |      FROM e JOIN $prev p ON e.src = p.doc_id JOIN deg ON e.src = deg.src) t
+         |    GROUP BY dst) s
          |  ON n.doc_id = s.dst)""".stripMargin
     s"""WITH $duckSimhash,
        |$duckSimhashBanded,
-       |p AS (
+       |p AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM keptb a JOIN keptb b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
        |      UNION ALL SELECT doc_b, doc_a FROM p),
-       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
        |r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS r FROM documents),
        |${iter("r0", "r1")},
        |${iter("r1", "r2")},
@@ -1481,15 +1490,15 @@ object DedupQueries {
   private val trianglesOracle =
     s"""WITH $duckSimhash,
        |$duckSimhashBanded,
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.simhash AS sim_a, b.simhash AS sim_b
        |  FROM keptb a JOIN keptb b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM cand
        |  WHERE bit_count(xor(sim_a, sim_b)) <= 3),
-       |tri AS (
+       |tri AS MATERIALIZED (
        |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
        |  FROM e e1
        |  JOIN e e2 ON e1.doc_b = e2.doc_a
@@ -1878,9 +1887,13 @@ object DedupQueries {
   }
 
   private val neardupGraphBuildOracle =
-    s"""WITH pairs AS ($simhashPairsOracle),
-       |comp AS ($componentsOracle),
-       |cs AS (SELECT component, count(*) AS m FROM comp GROUP BY 1)
+    // AS MATERIALIZED throughout (r15): pairs is referenced twice and cs
+    // three times — without it DuckDB re-inlines the banded self-join /
+    // the whole CC chain per reference, which is what exhausted the disk
+    // at sf10 (the ngram-jaccard lesson, again)
+    s"""WITH pairs AS MATERIALIZED ($simhashPairsOracle),
+       |comp AS MATERIALIZED ($componentsOracle),
+       |cs AS MATERIALIZED (SELECT component, count(*) AS m FROM comp GROUP BY 1)
        |SELECT
        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
        |  (SELECT CAST(coalesce(sum(hamming), 0) AS BIGINT) FROM pairs) AS sum_hamming,
