@@ -652,8 +652,11 @@ object CorpusMining {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sym")).as("n_bpe_tokens"),
         sum(length(col("w"))).cast("long").as("n_chars"))
+      // QRound: integer ratio with per-doc (often 2-5-smooth) token
+      // counts as denominators — the incremental_agg_merge sf10 hit's
+      // exact shape (ROUND_AUDIT U3), swept r16
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+        QRound.col(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
   }
 
   private def bpeTokenizeOracle =
@@ -665,7 +668,7 @@ object CorpusMining {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
        |       CAST(sum(len(w)) AS BIGINT) AS n_chars,
-       |       round(sum(len(w)) / CAST(sum(n_sym) AS DOUBLE), 6) AS chars_per_token
+       |       ${QRound.duck("sum(len(w)) / CAST(sum(n_sym) AS DOUBLE)", 6)} AS chars_per_token
        |FROM dt JOIN wt USING (w)
        |WHERE len(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'
        |GROUP BY 1""".stripMargin
@@ -868,9 +871,11 @@ object CorpusMining {
       .agg(
         max(col("w0")).as("w0"), max(col("w1")).as("w1"), max(col("w2")).as("w2"),
         count(lit(1)).as("n_docs"),
-        round(avg(when((col("p") >= 0.5) === (col("y") === 1.0), 1.0)
+        // QRound: 0/1 averages are integer ratios over the doc count —
+        // exact-boundary class (ROUND_AUDIT U3), swept r16
+        QRound.col(avg(when((col("p") >= 0.5) === (col("y") === 1.0), 1.0)
           .otherwise(0.0)), 6).as("train_acc"),
-        round(avg(when(col("p") >= 0.5, 1.0).otherwise(0.0)), 6).as("pred_pos_rate"))
+        QRound.col(avg(when(col("p") >= 0.5, 1.0).otherwise(0.0)), 6).as("pred_pos_rate"))
   }
 
   private val lrQualityOracle = {
@@ -895,8 +900,8 @@ object CorpusMining {
        |               CAST(0.0 AS DOUBLE) AS w2),
        |${(1 to LrSteps).map(step).mkString(",\n")}
        |SELECT w0, w1, w2, CAST(count(*) AS BIGINT) AS n_docs,
-       |       round(avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
-       |       round(avg(CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END), 6) AS pred_pos_rate
+       |       ${QRound.duck("avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END)", 6)} AS train_acc,
+       |       ${QRound.duck("avg(CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END)", 6)} AS pred_pos_rate
        |FROM (SELECT f.*, w.*, ${QRound.duck("1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2)))", LrPScale)} AS p
        |      FROM feats f CROSS JOIN w${LrSteps}t w)
        |GROUP BY 1, 2, 3""".stripMargin

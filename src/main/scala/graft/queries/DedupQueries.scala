@@ -737,9 +737,9 @@ object DedupQueries {
        |  FROM fpr a JOIN fpr b ON a.fhv = b.fhv AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 2)
        |SELECT doc_a, doc_b, n_shared,
-       |       floor((CAST(n_shared AS DOUBLE) / least(ca.c, cb.c)) * 1e6 + 0.5) / 1e6 AS containment
+       |       ${QRound.duck("CAST(n_shared AS DOUBLE) / least(ca.c, cb.c)", 6)} AS containment
        |FROM p JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-       |WHERE ${duckWinReportKeep("floor((CAST(n_shared AS DOUBLE) / least(ca.c, cb.c)) * 1e6 + 0.5) / 1e6", "least(ca.c, cb.c)")}""".stripMargin
+       |WHERE ${duckWinReportKeep(QRound.duck("CAST(n_shared AS DOUBLE) / least(ca.c, cb.c)", 6), "least(ca.c, cb.c)")}""".stripMargin
 
   private val winnowingBlockedOracle =
     s"""WITH $duckWinnowSel,
@@ -780,8 +780,8 @@ object DedupQueries {
        |         least(x.c, y.c) AS mn
        |  FROM cand JOIN fpl x ON doc_a = x.doc_id JOIN fpl y ON doc_b = y.doc_id)
        |SELECT doc_a, doc_b, n_shared,
-       |       floor((CAST(n_shared AS DOUBLE) / mn) * 1e6 + 0.5) / 1e6 AS containment
-       |FROM v WHERE ${duckWinReportKeep("floor((CAST(n_shared AS DOUBLE) / mn) * 1e6 + 0.5) / 1e6", "mn")}""".stripMargin
+       |       ${QRound.duck("CAST(n_shared AS DOUBLE) / mn", 6)} AS containment
+       |FROM v WHERE ${duckWinReportKeep(QRound.duck("CAST(n_shared AS DOUBLE) / mn", 6), "mn")}""".stripMargin
   /** Incremental dedup: an incoming batch (doc_id % 10 == 0) probed
     * against the standing corpus's MinHash index — the shape a
     * continuously-ingesting pipeline actually runs, where the corpus
@@ -848,9 +848,9 @@ object DedupQueries {
        |  GROUP BY 1, 2),
        |j AS (
        |  SELECT batch_id, corpus_id,
-       |         floor((CAST(i AS DOUBLE) / (ca.c + cb.c - i)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |         ${QRound.duck("CAST(i AS DOUBLE) / (ca.c + cb.c - i)", 6)} AS jaccard
        |  FROM inter JOIN cnt ca ON batch_id = ca.doc_id JOIN cnt cb ON corpus_id = cb.doc_id
-       |  WHERE floor((CAST(i AS DOUBLE) / (ca.c + cb.c - i)) * 1e6 + 0.5) / 1e6 >= 0.5)
+       |  WHERE ${QRound.duck("CAST(i AS DOUBLE) / (ca.c + cb.c - i)", 6)} >= 0.5)
        |SELECT batch_id, corpus_id AS dup_of, jaccard FROM (
        |  SELECT j.*, row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, corpus_id) AS rn
        |  FROM j) t

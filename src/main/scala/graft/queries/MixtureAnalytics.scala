@@ -50,9 +50,13 @@ object MixtureAnalytics {
       .agg(count(lit(1)).as("n_distinct"),
         max(col("n")).as("n_tokens"),
         QRound.col(sum(col("term_ent")).cast("double"), 6).as("entropy"))
+      // QRound for uniformity with the U3 sweep: the ln(n_distinct)
+      // denominator is irrational so a knife edge is unlikely, but the
+      // ratio is still a rational-valued rounding surface by the
+      // four-class rule (ADVICE r15)
       .withColumn("norm_entropy",
         when(col("n_distinct") > 1,
-          round(col("entropy") / log(col("n_distinct").cast("double")), 6))
+          QRound.col(col("entropy") / log(col("n_distinct").cast("double")), 6))
           .otherwise(lit(0.0)))
   }
 
@@ -71,7 +75,7 @@ object MixtureAnalytics {
       |SELECT doc_id, count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS n_tokens,
       |       ${QRound.duck("CAST(sum(term_ent) AS DOUBLE)", 6)} AS entropy,
       |       CASE WHEN count(*) > 1
-      |            THEN round(${QRound.duck("CAST(sum(term_ent) AS DOUBLE)", 6)} / ln(CAST(count(*) AS DOUBLE)), 6)
+      |            THEN ${QRound.duck(QRound.duck("CAST(sum(term_ent) AS DOUBLE)", 6) + " / ln(CAST(count(*) AS DOUBLE))", 6)}
       |            ELSE 0.0 END AS norm_entropy
       |FROM e GROUP BY 1""".stripMargin
 

@@ -134,8 +134,7 @@ object RetrievalFusion {
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY simr DESC, vec_id) AS BIGINT) AS vec_rank
        |  FROM ds)
        |SELECT COALESCE(lex.doc_id, dense.vec_id) AS doc_id, lex_rank, vec_rank,
-       |       floor((COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) +
-       |             COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0)) * 1e9 + 0.5) / 1e9 AS rrf
+       |       ${QRound.duck(s"COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) + COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0)", 9)} AS rrf
        |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
        |ORDER BY rrf DESC, doc_id
        |LIMIT $FusedK""".stripMargin
@@ -173,8 +172,7 @@ object RetrievalFusion {
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY simr DESC, vec_id) AS BIGINT) AS vec_rank
        |  FROM ds)
        |SELECT COALESCE(lex.doc_id, dense.vec_id) AS doc_id, lex_rank, vec_rank,
-       |       floor((COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) +
-       |             COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0)) * 1e9 + 0.5) / 1e9 AS rrf
+       |       ${QRound.duck(s"COALESCE(1.0::DOUBLE / ($RrfK + lex_rank), 0.0) + COALESCE(1.0::DOUBLE / ($RrfK + vec_rank), 0.0)", 9)} AS rrf
        |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
        |ORDER BY rrf DESC, doc_id
        |LIMIT $FusedK""".stripMargin

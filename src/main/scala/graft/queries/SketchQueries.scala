@@ -195,11 +195,13 @@ object SketchQueries {
     merged.groupBy(col("ta"), col("tb"))
       .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kmax"),
         sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("n_both"))
-      .withColumn("est_jaccard", round(col("n_both").cast("double") / col("k_used"), 6))
+      // QRound on all three: integer ratios / products of terminating
+      // decimals — exact-boundary class (ROUND_AUDIT U3), swept r16
+      .withColumn("est_jaccard", QRound.col(col("n_both").cast("double") / col("k_used"), 6))
       .withColumn("est_union",
         when(col("k_used") < KmvK, col("k_used").cast("double"))
-          .otherwise(round(lit((KmvK - 1) * 4294967296.0) / col("kmax"), 2)))
-      .withColumn("est_intersection", round(col("est_jaccard") * col("est_union"), 2))
+          .otherwise(QRound.col(lit((KmvK - 1) * 4294967296.0) / col("kmax"), 2)))
+      .withColumn("est_intersection", QRound.col(col("est_jaccard") * col("est_union"), 2))
       .select(col("ta").as("day_a"), col("tb").as("day_b"), col("k_used"),
         col("n_both"), col("est_jaccard"), col("est_union"), col("est_intersection"))
   }
@@ -236,12 +238,12 @@ object SketchQueries {
        |  FROM mk GROUP BY 1, 2),
        |est AS (
        |  SELECT ta, tb, k_used, n_both,
-       |         round(CAST(n_both AS DOUBLE) / k_used, 6) AS est_jaccard,
+       |         ${QRound.duck("CAST(n_both AS DOUBLE) / k_used", 6)} AS est_jaccard,
        |         CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
-       |              ELSE round(${(KmvK - 1) * 4294967296.0} / kmax, 2) END AS est_union
+       |              ELSE ${QRound.duck(s"${(KmvK - 1) * 4294967296.0} / kmax", 2)} END AS est_union
        |  FROM agg)
        |SELECT ta AS day_a, tb AS day_b, k_used, n_both, est_jaccard, est_union,
-       |       round(est_jaccard * est_union, 2) AS est_intersection
+       |       ${QRound.duck("est_jaccard * est_union", 2)} AS est_intersection
        |FROM est""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

@@ -767,7 +767,10 @@ object StreamingJobs {
         "bands_v", "bands_i", "live_i", "band_v"))
       .withColumn("inter",
         size(array_intersect(col("shs_v"), col("shs_i"))).cast("long"))
-      .withColumn("jaccard", round(
+      // QRound, not native round: jaccard is a rational-valued surface
+      // (ROUND_AUDIT class U3) and the batch dedup registry rounds the
+      // same ratio through QRound — one rule for the whole class
+      .withColumn("jaccard", graft.queries.QRound.col(
         col("inter").cast("double") / (col("c_v") + col("c_i") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("in_id"), col("idx_id").as("dup_of"), col("jaccard"))

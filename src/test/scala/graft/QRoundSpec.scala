@@ -81,8 +81,9 @@ class QRoundSpec extends AnyFunSuite {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    var ext: SparkSession = null
     try {
-      val ext = SparkSession.builder()
+      ext = SparkSession.builder()
         .master("local[2]").appName("qround-ext-test")
         .withExtensions(new graft.plans.GraftExtensions())
         .getOrCreate()
@@ -97,6 +98,18 @@ class QRoundSpec extends AnyFunSuite {
         ext.sql("SELECT qround(1.5, CAST(rand() * 3 AS INT))").collect()
       }
     } finally {
+      // session-scoped cleanup (ADVICE r15): ext.stop() is NOT the fix —
+      // the builder reuses the one JVM-wide SparkContext, so stop() here
+      // would kill the shared TestSpark context for every suite after
+      // this one. Clear the extension session's listener bus and cached
+      // relations instead; the session object itself becomes unreachable
+      // once default/active are restored below.
+      if (ext != null) {
+        assert(ext.sparkContext eq spark.sparkContext,
+          "ext unexpectedly owns its own SparkContext; stop() it instead")
+        ext.listenerManager.clear()
+        ext.catalog.clearCache()
+      }
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
     }
