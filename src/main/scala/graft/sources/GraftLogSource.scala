@@ -111,8 +111,10 @@ class GraftLogTable(path: String) extends Table with SupportsRead with SupportsW
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new GraftLogScan(path) }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPerTrigger = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+    new ScanBuilder { override def build(): Scan = new GraftLogScan(path, maxPerTrigger) }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val valueIdx = info.schema().fieldIndex("value")
@@ -126,7 +128,7 @@ class GraftLogTable(path: String) extends Table with SupportsRead with SupportsW
 
 // ------------------------------------------------------------ read side
 
-class GraftLogScan(path: String) extends Scan {
+class GraftLogScan(path: String, maxPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = GraftLog.Schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -134,7 +136,7 @@ class GraftLogScan(path: String) extends Scan {
     override def createReaderFactory(): PartitionReaderFactory = new GraftLogReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path)
+    new GraftLogMicroBatchStream(path, maxPerTrigger)
 }
 
 final case class GraftLogOffset(count: Long) extends Offset {
@@ -158,10 +160,50 @@ object GraftLogMicroBatchStream {
   }
 }
 
-class GraftLogMicroBatchStream(path: String) extends MicroBatchStream {
+/** Micro-batch stream with optional admission control: with
+  * `maxRecordsPerTrigger` set (the Kafka `maxOffsetsPerTrigger`
+  * contract), each micro-batch advances at most that many records, so
+  * a full-log replay becomes a sequence of bounded batches — the shape
+  * a production backlog drain actually runs, and what StreamBench
+  * measures. Under Trigger.AvailableNow the end offset is pinned at
+  * prepare time: the engine drains [start, pinned-end) in rate-limited
+  * batches and stops, even if a writer appends concurrently.
+  */
+class GraftLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
   private val conf = new Configuration()
+  @volatile private var availableNowEnd: Option[Long] = None
+
   override def initialOffset(): Offset = GraftLogOffset(0L)
-  override def latestOffset(): Offset = GraftLogOffset(GraftLog.totalCount(path, conf))
+  // legacy entry point — the engine calls the admission-control
+  // overload below once SupportsAdmissionControl is implemented
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftLogOffset].count
+    val avail = availableNowEnd.getOrElse(GraftLog.totalCount(path, conf))
+    val end = limit match {
+      case r: ReadMaxRows => math.min(avail, from + r.maxRows)
+      case _ => avail
+    }
+    GraftLogOffset(math.max(end, from))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftLogOffset(GraftLog.totalCount(path, conf))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(GraftLog.totalCount(path, conf))
+
   override def deserializeOffset(json: String): Offset = GraftLogOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     GraftLogMicroBatchStream.slices(path,

@@ -621,8 +621,12 @@ object StreamingJobs {
     * every downstream job runs unchanged against the log.
     */
   def eventsFromLog(spark: SparkSession, logDir: String,
-      watermark: String = "1 second"): DataFrame = {
-    spark.readStream.format("graft-log").option("path", logDir).load()
+      watermark: String = "1 second",
+      maxRecordsPerTrigger: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream.format("graft-log").option("path", logDir)
+    maxRecordsPerTrigger.foreach(n =>
+      reader.option("maxRecordsPerTrigger", n.toString))
+    reader.load()
       .select(split(col("value"), "\t", 6).as("f"))
       .select(
         col("f").getItem(0).cast("long").as("event_id"),

@@ -186,4 +186,39 @@ class GraftLogSpec extends AnyFunSuite {
     assert(stream.count() > 0)
     assert(sortedRows(stream) == sortedRows(batch))
   }
+
+  test("admission control: maxRecordsPerTrigger bounds every micro-batch and the rate-limited replay is lossless") {
+    import scala.collection.mutable
+    val dir = tmp("rate")
+    StreamingJobs.loadEventsLog(spark, sf, dir)
+    val total = GraftLog.totalCount(dir, new Configuration())
+    assert(total > 0)
+    val cap = math.max(total / 7, 1L)
+    val seen = mutable.Buffer[Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        seen.synchronized { seen += e.progress.numInputRows }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.format("graft-log").option("path", dir)
+        .option("maxRecordsPerTrigger", cap.toString).load()
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", tmp("rate-ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // async listener: wait for all progress events to land
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.synchronized(seen.sum) < total && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val rows = seen.synchronized(seen.toVector)
+      assert(rows.sum == total, s"rate-limited replay lost records: $rows")
+      assert(rows.filter(_ > 0).forall(_ <= cap),
+        s"a micro-batch exceeded maxRecordsPerTrigger=$cap: $rows")
+      assert(rows.count(_ > 0) >= 7,
+        s"expected >=7 bounded batches at cap=$cap, got $rows")
+    } finally spark.streams.removeListener(listener)
+  }
 }
