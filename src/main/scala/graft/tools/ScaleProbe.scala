@@ -124,6 +124,112 @@ object ScaleProbe {
     }
   }
 
+  /** Deterministic SCALED relational star tables (VERDICT r15 item 5:
+    * the TPC-H/join tier had no growth measurement — every probe scale
+    * symlinked the sf0.1 tables). Mirrors the driver corpus's measured
+    * sf0.1 marginals with the same profile-only-n-moves discipline the
+    * document/event generator uses:
+    *  - row counts scale with `mult` (sf0.1 × mult): orders 150k,
+    *    lineitem 600k, customer 15k, supplier 1k, part 20k;
+    *  - every foreign key draws uniformly over its scaled parent range,
+    *    so per-key fan-outs are scale-invariant (orders/customer 10,
+    *    lineitem/order ~4 Poisson-like via independent draws — the
+    *    measured sf0.1 profile has per-order counts 1..17 with
+    *    l_linenumber uniform 1..7, i.e. independent line draws, which
+    *    is exactly what this reproduces);
+    *  - value marginals match the measured data: o_totalprice uniform
+    *    1000..500000 (2dp), dates uniform over 1995-01-01..2001-08-01
+    *    (orders) / +95d tail (shipdate, uncorrelated with the order
+    *    date — measured datediff spans ±2400d, independent draws),
+    *    uniform thirds/fifths for the categorical columns, the 8×8
+    *    adjective×noun part vocabulary, Brand#1..25, 6 types.
+    * nation/region stay symlinked — TPC-H holds them CONSTANT at every
+    * scale factor by definition.
+    * Timestamps are written as LocalDateTime (TIMESTAMP_NTZ), matching
+    * the driver parquet the readers branch on.
+    */
+  def generateRelational(spark: SparkSession, dir: String, mult: Int): Unit = {
+    import spark.implicits._
+    def missing(table: String) = !new java.io.File(s"$dir/$table.parquet").exists()
+    new java.io.File(dir).mkdirs()
+    val day0 = java.time.LocalDate.of(1995, 1, 1)
+    def dayTs(off: Int): java.time.LocalDateTime = day0.plusDays(off.toLong).atStartOfDay()
+    val nOrders = 150000L * mult
+    val nCust = 15000L * mult
+    val nSupp = 1000L * mult
+    val nPart = 20000L * mult
+    val nLine = 600000L * mult
+
+    if (missing("orders")) {
+      val status = Array("F", "O", "P")
+      val prio = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      spark.range(nOrders).map { id =>
+        (id, h(s"oc:$id", nCust.toInt).toLong, status(h(s"os:$id", 3)),
+          (100000L + h(s"op:$id", 49900001)) / 100.0,
+          dayTs(h(s"od:$id", 2404)), prio(h(s"opr:$id", 5)))
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    }
+
+    if (missing("lineitem")) {
+      val rf = Array("A", "N", "R")
+      val ls = Array("F", "O")
+      spark.range(nLine).map { id =>
+        (h(s"lo:$id", nOrders.toInt).toLong, h(s"lp:$id", nPart.toInt).toLong,
+          h(s"lsup:$id", nSupp.toInt).toLong, 1 + h(s"ln:$id", 7),
+          (1 + h(s"lq:$id", 50)).toDouble,
+          (90000L + h(s"lep:$id", 10410001)) / 100.0,
+          h(s"ld:$id", 11) / 100.0, h(s"lt:$id", 9) / 100.0,
+          rf(h(s"lrf:$id", 3)), ls(h(s"lls:$id", 2)),
+          dayTs(1 + h(s"lsd:$id", 2498)))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+
+    if (missing("customer")) {
+      val seg = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      spark.range(nCust).map { id =>
+        (id, f"Customer#$id%09d", h(s"cn:$id", 25),
+          (-100000L + h(s"ca:$id", 1100001)) / 100.0, seg(h(s"cs:$id", 5)))
+      }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .repartition(8).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    }
+
+    if (missing("supplier")) {
+      spark.range(nSupp).map { id =>
+        (id, f"Supplier#$id%09d", h(s"sn:$id", 25),
+          (-100000L + h(s"sa:$id", 1100001)) / 100.0)
+      }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    }
+
+    if (missing("part")) {
+      val adjs = Array("blue", "cold", "hot", "large", "new", "old", "red", "small")
+      val nouns = Array("anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")
+      val types = Array("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+      spark.range(nPart).map { id =>
+        (id, s"${adjs(h(s"pa:$id", 8))} ${nouns(h(s"pn:$id", 8))}",
+          s"Brand#${1 + h(s"pb:$id", 25)}", types(h(s"pt:$id", 6)),
+          1 + h(s"ps:$id", 50), (9000L + h(s"pp:$id", 1000)) / 10.0)
+      }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .repartition(8).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    }
+
+    // constant-size tables + the events corpus the asof/band-join
+    // probes grow on (generated separately at the matching scale)
+    for ((t, src) <- Seq(
+        "region" -> "/root/testdata/sf0.1/region.parquet",
+        "nation" -> "/root/testdata/sf0.1/nation.parquet")) {
+      val link = java.nio.file.Paths.get(s"$dir/$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(src))
+    }
+  }
+
   /** Symlink the TPC-H star tables from the sf0.1 bench corpus. */
   def linkRelational(dir: String): Unit = {
     val src = "/root/testdata/sf0.1"
