@@ -32,9 +32,28 @@ def head_rev():
         return "unknown"
 
 
+def trusted_revs():
+    """Extra revs whose PASS stamps survive a resume, from
+    GRAFT_ORACLE_TRUST_REVS (comma-separated short revs). For a
+    multi-commit round where a sweep overlaps ongoing TOOLS/DOC commits:
+    the caller asserts — and the artifact reader can audit via
+    `git diff <rev>..HEAD -- src/main` — that no query's engine/oracle
+    source changed across the trusted revs, so re-running their rows
+    would only re-certify identical binaries. A rev that DID change
+    query source must never be listed (that was exactly the ADVICE r12
+    name-only-resume hole this stamp system exists to close)."""
+    import os
+    return set(filter(None,
+        os.environ.get("GRAFT_ORACLE_TRUST_REVS", "").split(",")))
+
+
 def run(sfdir, outdir, artifact, queries, check, timeout):
     results, infeasible, failed, stale = {}, {}, {}, {}
     rev = head_rev()
+    trusted = trusted_revs()
+
+    def rev_ok(r):
+        return r == rev or r in trusted
     try:
         with open(artifact) as f:
             results = json.load(f).get("pass", {})
@@ -90,7 +109,7 @@ def run(sfdir, outdir, artifact, queries, check, timeout):
         # move resumed pass rows whose stamp is not HEAD out of `pass`:
         # the deadline prevented their rerun, so they certify an older rev
         for name in [n for n, row in results.items()
-                     if row.get("rev") != rev]:
+                     if not rev_ok(row.get("rev"))]:
             stale[name] = results.pop(name)
         unreached = [x for x in queries if x not in results
                      and x not in infeasible and x not in failed
@@ -107,9 +126,9 @@ def run(sfdir, outdir, artifact, queries, check, timeout):
         dl = deadline()
         if dl is not None and time.time() > dl:
             stop_deadline(q)
-        if q in results and results[q].get("rev") == rev:
-            print(f"SKIP {q}: passed at HEAD={rev} "
-                  f"({results[q]['rows']} rows)", flush=True)
+        if q in results and rev_ok(results[q].get("rev")):
+            print(f"SKIP {q}: passed at {results[q].get('rev')} "
+                  f"(HEAD={rev}, {results[q]['rows']} rows)", flush=True)
             continue
         if q in results:
             print(f"RERUN {q}: prior pass stamped "
