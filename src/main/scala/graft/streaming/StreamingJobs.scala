@@ -35,12 +35,23 @@ object StreamingJobs {
     */
   def stagedPath(dir: String, table: String): String = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, s"$table.parquet")
+    // absolutize: the symlink target resolves relative to the STAGE
+    // dir, so a caller-relative corpus dir ("testdata_sf1") produced a
+    // broken link — and a parquet stream over it reads 0 rows silently
+    // (caught by the r16 StreamBench sf1 shakeout)
+    val src = Paths.get(dir, s"$table.parquet").toAbsolutePath.normalize()
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft-stream", dir.replaceAll("[^A-Za-z0-9.]", "_"), table)
     Files.createDirectories(stage)
     val link = stage.resolve(s"$table.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    // NOFOLLOW: a stale BROKEN link reports !exists under the default
+    // follow semantics and then createSymbolicLink throws
+    // FileAlreadyExists; replace any link that doesn't resolve to src
+    if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        (!Files.isSymbolicLink(link) || Files.readSymbolicLink(link) != src))
+      Files.delete(link)
+    if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, src)
     stage.toString
   }
 

@@ -185,6 +185,9 @@ object StreamBench {
     StreamingJobs.loadEventsLog(spark, sfDir, logDir)
     val loadSec = (System.nanoTime() - tLoad0) / 1e9
     val total = GraftLog.totalCount(logDir, new Configuration())
+    require(total > 0,
+      s"encoded 0 records from $sfDir/events — a broken staged path reads "
+        + "0 rows silently; refuse to benchmark nothing")
     val perTrigger = math.max(total / targetBatches, 1L)
     println(f"[streambench] $total%d records, $perTrigger%d per trigger ($loadSec%.1f s encode)")
 
