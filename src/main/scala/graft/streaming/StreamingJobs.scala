@@ -40,6 +40,13 @@ object StreamingJobs {
     // broken link — and a parquet stream over it reads 0 rows silently
     // (caught by the r16 StreamBench sf1 shakeout)
     val src = Paths.get(dir, s"$table.parquet").toAbsolutePath.normalize()
+    // staging exists because a streaming FILE source needs a directory
+    // and the driver corpora ship single-file tables. A multi-part
+    // corpus (generated sfN dirs) is already a directory — return it
+    // directly: a symlink-to-directory inside the stage would put the
+    // part files at depth 2, where Spark's non-recursive leaf listing
+    // silently reads 0 rows (the r16 StreamBench sf1 shakeout bug)
+    if (Files.isDirectory(src)) return src.toString
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft-stream", dir.replaceAll("[^A-Za-z0-9.]", "_"), table)
     Files.createDirectories(stage)
