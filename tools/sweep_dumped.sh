@@ -44,5 +44,9 @@ if [ -z "$DONE" ]; then
   exit 0
 fi
 echo "[sweep-dumped] verifying: $DONE"
+# bounded spill (r15 CC-probe mode): an oracle that outgrows the cap
+# dies at a MEASURED temp bound instead of filling the box's free space
+# out from under the co-resident dump JVMs (the r16 ENOSPC cascade)
 GRAFT_DUCK_MEM=$MEM GRAFT_DUCK_TMP=/root/repo/.tmp/duck \
+  GRAFT_DUCK_TMP_MAX=${GRAFT_DUCK_TMP_MAX:-35GB} \
   python3 tools/head_oracle_pass.py "$SFDIR" "$DUMP" "$ART" $DONE
