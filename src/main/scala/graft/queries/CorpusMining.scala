@@ -195,9 +195,20 @@ object CorpusMining {
 
   /** The trained assignment frame `(vec_id, e, cid, d)` after the
     * final Lloyd round — shared by `kmeans_embeddings` (which only
-    * re-labels it) and `semdedup` (which deduplicates within cells).
+    * re-labels it), `semdedup` (which deduplicates within cells) and
+    * `semdedup_cell_stats` (the sweep-cost ledger).
+    *
+    * Memoized per (session, dir) like the quality gate and the SimHash
+    * pair graph (r16): the three consumers each re-trained the full
+    * 2-round Lloyd chain (~2 s/run at sf0.1) for the SAME model — a
+    * pipeline trains the coarse quantizer once per corpus. Registration
+    * order puts `kmeans_embeddings` first, so each bench pass pays the
+    * training build inside that named entry.
     */
-  private def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+  private def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    Memo.frame(spark, dir, "kmeans_assign")(kmeansAssignFresh(spark, dir))
+
+  private def kmeansAssignFresh(spark: SparkSession, dir: String): DataFrame = {
     // checkpoint the vector table once: it appears four times in the
     // unrolled Lloyd plan (seeds, two assignments, one update) and a
     // leaf checkpoint replaces four parquet scans + fan-out exchanges
@@ -723,13 +734,25 @@ object CorpusMining {
     * argmax pinned by round(score,6) + lang tiebreak.
     */
   private def nbLangClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // ONE (doc, lang, term) tf rollup feeds BOTH the training counts and
+    // the test tf side: the two consumers' subtrees are canonically
+    // identical below the filters, so the explode + first exchange plan
+    // once and execute once (ReusedExchange) — the r15 shape re-ran the
+    // token explode + shuffle four times (classCnt / vocab / test tf each
+    // had their own lineage; 50-Exchange initial plan, 23 jobs).
+    // Values are unchanged: per-class counts are the sum of per-doc tfs.
+    val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(tokensCol).as("term"))
-    val train = toks.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val train = tf.filter(col("doc_id") % 2 === 0)
     val classCnt = train.groupBy(col("lang").as("clang"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tf")).as("cnt"))
+    // model-side rollups derive FROM classCnt (vocabulary-sized), not
+    // from the raw token stream: classTot reuses classCnt's exchange,
+    // vocab is a distinct over V·5 rows instead of the full corpus
     val classTot = classCnt.groupBy(col("clang")).agg(sum(col("cnt")).as("tot"))
-    val vocab = train.select(col("term")).distinct()
+    val vocab = classCnt.select(col("term")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
     val trainDocs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
     val priors = trainDocs.groupBy(col("lang").as("clang"))
@@ -738,11 +761,14 @@ object CorpusMining {
       .withColumn("lnprior", log(col("nd").cast("double") / col("n")))
       .select(col("clang"), col("lnprior"))
     // test terms outside the training vocabulary carry no likelihood —
-    // standard multinomial-NB handling, mirrored by the oracle's join
-    val testTf = toks.filter(col("doc_id") % 2 === 1)
-      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .join(vocab, "term")
+    // standard multinomial-NB handling, mirrored by the oracle's join.
+    // vocab broadcasts: it is strictly smaller than the classCnt model
+    // table this query already broadcasts (V vs 5·V rows), and the
+    // broadcast keeps the big test side in its (doc,term) partitioning
+    // instead of re-shuffling it by term for a sort-merge join.
+    val testTf = tf.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("term"), col("tf"))
+      .join(broadcast(vocab), "term")
     val scores = testTf
       .crossJoin(broadcast(classTot))
       .join(broadcast(classCnt), Seq("clang", "term"), "left")
@@ -754,14 +780,20 @@ object CorpusMining {
       .agg(sum(round(col("c"), 9).cast(DecimalType(28, 9))).cast("double").as("ll"))
       .join(broadcast(priors), "clang")
       .withColumn("score", round(col("ll") + col("lnprior"), 6))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("clang"))
+    // argmax as one aggregation instead of a doc-partitioned window
+    // (removes a sort + the window exchange): min_by over the ordering
+    // struct (-score, clang) picks exactly the old row_number()=1 row —
+    // highest score, smallest clang on ties; score < 0 always (lnprior
+    // is a log of a proper fraction), so -score has no ±0.0 edge. The
+    // trailing presentation orderBy(doc_id) is dropped: the oracle
+    // compare is sorted-normalized, and the global range sort was a full
+    // extra exchange + sampling pass on the output.
     scores
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("true_lang"), col("clang").as("pred_lang"),
-        (col("true_lang") === col("clang")).cast("long").as("correct"))
-      .orderBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(min_by(col("clang"),
+        struct((-col("score")).as("ns"), col("clang"))).as("pred_lang"))
+      .select(col("doc_id"), col("true_lang"), col("pred_lang"),
+        (col("true_lang") === col("pred_lang")).cast("long").as("correct"))
   }
 
   private val nbLangOracle =

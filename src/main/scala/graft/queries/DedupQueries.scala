@@ -917,12 +917,14 @@ object DedupQueries {
       .join(kept.as("b"),
         col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
+      // hamming + radius filter BEFORE the cross-band distinct (r16,
+      // guide §2.3): hamming is a pure function of the pair, so the
+      // dedup exchange now carries only confirmed <=3 pairs instead of
+      // every banded candidate — same set, strictly fewer shuffled rows
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Memoized, materialized pair graph — built (and bench-accounted)

@@ -364,21 +364,38 @@ object PipelineShaping {
     * shifted corpus and compare hash sets against the original.
     */
   def cdcChunksOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val tok = docs
+    // Chunk spans are derived WITHIN each source row by array
+    // higher-order functions (the winnowing-fingerprint precedent,
+    // r16): boundary positions -> spans -> per-span slice+hash, all
+    // inside whole-stage codegen. The r15 form exploded every token
+    // through a doc-partitioned window cumsum and then REBUILT chunks
+    // with a collect_list+sort shuffle — two token-volume exchanges and
+    // a per-doc sort just to recover adjacency the row already held.
+    // Outputs are bit-identical: same boundary rule (md5(token) mod 8
+    // after the token), same 1-based chunk_idx = #boundaries strictly
+    // before the chunk, same space-joined md5 chunk hash.
+    val chunks = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
-      .withColumn("b",
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % CdcMod === 0)
-          .cast("long"))
-    val seg = tok.withColumn("seg",
-      coalesce(sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val chunks = seg.groupBy(col("doc_id"), col("seg"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sort_array(collect_list(struct(col("p"), col("tok")))).as("pt"))
-      .select(col("doc_id"), (col("seg") + 1).as("chunk_idx"), col("n_tokens"),
-        md5(array_join(expr("transform(pt, x -> x.tok)"), " ")).as("chunk_hash"))
+      // 1-based positions of tokens a chunk ENDS on; a final partial
+      // chunk ends on the last token even without a boundary there
+      .withColumn("ends", expr(
+        s"""filter(transform(toks, (t, i) ->
+           |  IF(CAST(conv(substr(md5(t), 1, 8), 16, 10) AS LONG) % $CdcMod = 0,
+           |     CAST(i + 1 AS LONG), CAST(0 AS LONG))), x -> x > 0)""".stripMargin))
+      .withColumn("ends", expr(
+        """CASE WHEN size(toks) <= 0 THEN array()
+          |WHEN size(ends) > 0 AND element_at(ends, -1) = size(toks) THEN ends
+          |ELSE concat(ends, array(CAST(size(toks) AS LONG))) END""".stripMargin))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        """transform(ends, (e, k) -> named_struct(
+          |  'chunk_idx', CAST(k + 1 AS LONG),
+          |  'start', IF(k = 0, CAST(1 AS LONG), element_at(ends, k) + CAST(1 AS LONG)),
+          |  'end', e))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        (col("c.end") - col("c.start") + lit(1L)).as("n_tokens"),
+        md5(array_join(expr(
+          "slice(toks, CAST(c.start AS INT), CAST(c.end - c.start + 1 AS INT))"), " "))
+          .as("chunk_hash"))
     val dupes = chunks.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .select(col("chunk_hash"), (col("nd") >= 2).as("shared"))

@@ -376,21 +376,32 @@ object TextAnalytics {
     * argmax pins ties with md5(gram) so both engines pick the same
     * winner.
     */
-  private def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized like the quality gate: the signals feed BOTH the
+    * registered `doc_repetition` and `pipeline_funnel`'s repetition
+    * stage — a pipeline computes them once per corpus. Registration
+    * order puts `pipeline_funnel` first, so each bench pass pays this
+    * build inside that named entry.
+    */
+  private def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    Memo.frame(spark, dir, "doc_repetition")(docRepetitionFresh(spark, dir))
+
+  private def docRepetitionFresh(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .select(col("doc_id"), col("toks"))
       .localCheckpoint() // read by three gram pipelines
     val uni = base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
       size(array_distinct(col("toks"))).cast("long").as("n_dist"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("c").desc, md5(col("g")))
+    // top_bi consumes only the WINNING COUNT, never the winning gram —
+    // rank-1 by (c desc, md5(g)) has c = max(c) by construction, so the
+    // old row_number window (an extra sort over every (doc, gram) row)
+    // collapses into the same aggregate that computes n_bi (r16; the
+    // oracle's max(CASE WHEN rn = 1 THEN c END) is the same value)
     val biAgg = base
       .select(col("doc_id"), explode(TextFunctions.wordShingles("toks", 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(wTop))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bi"), max(when(col("rn") === 1, col("c"))).as("top_bi"))
+      .agg(sum(col("c")).as("n_bi"), max(col("c")).as("top_bi"))
     val triAgg = base
       .select(col("doc_id"), explode(TextFunctions.wordShingles("toks", 3)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))

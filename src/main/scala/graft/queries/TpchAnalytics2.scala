@@ -417,10 +417,16 @@ object TpchAnalytics2 {
     val lo = li.join(ordF, li("l_orderkey") === ordF("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 10 DAYS"))
-    val target = lo.groupBy(col("l_orderkey"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    // two-level distinct instead of countDistinct×2 (r16): the double
+    // distinct planned as an Expand that doubled every joined row before
+    // the aggregation; grouping by (orderkey, suppkey) first needs no new
+    // exchange (hash(l_orderkey) from the join already clusters it) and
+    // n_late_supp = #suppliers with any late line = sum(any_late)
+    val target = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("any_late"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("any_late"), 1L).otherwise(0L)).as("n_late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .select(col("l_orderkey").as("wait_okey"))
     val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
