@@ -319,7 +319,16 @@ object DedupQueries {
       .distinct()
   }
 
-  private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized per (session, dir) (r16, the pair-graph/quality-gate
+    * precedent): the confirmed near-dup pair list is read by BOTH
+    * `dedup_minhash_lsh` and `dedup_verdicts` — a pipeline confirms the
+    * candidate pairs once per corpus. `dedup_verdicts` registers first,
+    * so each bench pass pays the shingle-intersection confirm there.
+    */
+  private def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Memo.frame(spark, dir, "minhash_lsh_pairs")(minhashLshFresh(spark, dir))
+
+  private def minhashLshFresh(spark: SparkSession, dir: String): DataFrame = {
     val (sets, sigs, bands) = minhashIndex(spark, dir)
     val cand = bandCandidates(bands)
     val cnt = sigs.select(col("doc_id"), col("c"))

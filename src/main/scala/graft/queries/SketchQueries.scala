@@ -128,19 +128,27 @@ object SketchQueries {
     * driver since HLL internals are engine-private).
     */
   private def uvSketchRollup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    // ONE distinct (type, day, user) pass feeds the daily sketches, the
+    // daily exact counts AND the per-type exact UV (r16): HLL updates
+    // are idempotent, so a sketch built from the distinct rows is
+    // byte-identical to one built from the raw stream — the r15 shape
+    // re-scanned events a second time for uv_exact and paid the
+    // countDistinct Expand twice. uv_exact re-rolls the distinct frame
+    // (strictly smaller), and uv_day_exact is a plain count.
+    val ud = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("CAST(ts AS LONG) DIV 86400").as("day"), col("user_id"))
-    val daily = e.groupBy(col("event_type"), col("day"))
+      .distinct()
+    val daily = ud.groupBy(col("event_type"), col("day"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
-        countDistinct(col("user_id")).as("uv_day_exact"))
+        count(lit(1)).as("uv_day_exact"))
     daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("uv_est"),
         sum(col("uv_day_exact")).as("uv_day_sum"))
       .join(
-        e.groupBy(col("event_type"))
-          .agg(countDistinct(col("user_id")).as("uv_exact")),
+        ud.select(col("event_type"), col("user_id")).distinct()
+          .groupBy(col("event_type")).agg(count(lit(1)).as("uv_exact")),
         "event_type")
       .select(col("event_type"), col("n_days"), col("uv_est"),
         col("uv_exact"), col("uv_day_sum"))
