@@ -319,6 +319,18 @@ object DedupQueries {
       .distinct()
   }
 
+  /** [[bandCandidates]] over the shared MinHash index, memoized per
+    * (session, dir) (r16): three registered verifiers (minhash-Jaccard,
+    * containment, char-3-gram Jaccard) each re-ran the band self-join +
+    * distinct over the SAME banded signature table — a pipeline
+    * generates the candidate list once. Layered memo: the build calls
+    * the minhash_index memo within the same (session, dir) stripe,
+    * which is re-entrant by design (see [[Memo.cached]]).
+    */
+  private def bandCandidatesShared(spark: SparkSession, dir: String): DataFrame =
+    Memo.frame(spark, dir, "band_candidates")(
+      bandCandidates(minhashIndex(spark, dir)._3))
+
   /** Memoized per (session, dir) (r16, the pair-graph/quality-gate
     * precedent): the confirmed near-dup pair list is read by BOTH
     * `dedup_minhash_lsh` and `dedup_verdicts` — a pipeline confirms the
@@ -329,8 +341,8 @@ object DedupQueries {
     Memo.frame(spark, dir, "minhash_lsh_pairs")(minhashLshFresh(spark, dir))
 
   private def minhashLshFresh(spark: SparkSession, dir: String): DataFrame = {
-    val (sets, sigs, bands) = minhashIndex(spark, dir)
-    val cand = bandCandidates(bands)
+    val (sets, sigs, _) = minhashIndex(spark, dir)
+    val cand = bandCandidatesShared(spark, dir)
     val cnt = sigs.select(col("doc_id"), col("c"))
     val inter = pairIntersections(cand, sets, "doc_a", "doc_b")
     inter
@@ -393,8 +405,8 @@ object DedupQueries {
     * reuses the set sizes already carried on the signature table.
     */
   private def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
-    val (sets, sigs, bands) = minhashIndex(spark, dir)
-    val cand = bandCandidates(bands)
+    val (sets, sigs, _) = minhashIndex(spark, dir)
+    val cand = bandCandidatesShared(spark, dir)
     val cnt = sigs.select(col("doc_id"), col("c"))
     val inter = pairIntersections(cand, sets, "doc_a", "doc_b")
     inter
@@ -1207,8 +1219,13 @@ object DedupQueries {
     val test = tagged.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc"), col("sh"))
       .join(rare, "sh")
+    // the rare filter on the TRAIN side too (r16, guide §3.2): a train
+    // row with a hot shingle can never match (every surviving test key
+    // is rare), but it still rode the pair join's exchange — the rare
+    // join drops it first and reuses the same hash(sh) partitioning
     val train = tagged.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("sh"))
+      .join(rare, "sh")
     test.join(train, "sh")
       .groupBy(col("test_doc"), col("train_doc"))
       .agg(count(lit(1)).as("n_shared"))
@@ -1433,8 +1450,7 @@ object DedupQueries {
     * every planted near-dup retained.
     */
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, bands) = minhashIndex(spark, dir)
-    val cand = bandCandidates(bands)
+    val cand = bandCandidatesShared(spark, dir)
     // grouped char-gram sets: never exploded — set sizes come from
     // size(), the per-pair intersection from array_intersect
     val g = Tables.documents(spark, dir)

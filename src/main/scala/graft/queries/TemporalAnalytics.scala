@@ -104,7 +104,10 @@ object TemporalAnalytics {
       grid.join(deltas(span), Seq("day"), "left")
         .withColumn(name, sum(coalesce(col("delta"), lit(0L))).over(wDays))
         .select(col("day"), col(name))
-    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    // ud is already DISTINCT (user, day), so the per-day user count is a
+    // plain count — the old countDistinct re-planned a second distinct
+    // aggregation over rows that carry no duplicates (r16)
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     grid
       .join(dau, Seq("day"), "left")
       .join(rolling(7, "wau"), Seq("day"), "left")
