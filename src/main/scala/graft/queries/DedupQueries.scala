@@ -1219,13 +1219,8 @@ object DedupQueries {
     val test = tagged.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc"), col("sh"))
       .join(rare, "sh")
-    // the rare filter on the TRAIN side too (r16, guide §3.2): a train
-    // row with a hot shingle can never match (every surviving test key
-    // is rare), but it still rode the pair join's exchange — the rare
-    // join drops it first and reuses the same hash(sh) partitioning
     val train = tagged.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("sh"))
-      .join(rare, "sh")
     test.join(train, "sh")
       .groupBy(col("test_doc"), col("train_doc"))
       .agg(count(lit(1)).as("n_shared"))

@@ -278,6 +278,11 @@ object StatsAnalytics {
     * within 3×rsd of exact. The exact Expand plan stays registered as
     * `column_stats_exact` — the hash-matched fidelity twin.
     */
+  // NOTE r16: the exact twin's per-column restructure was TRIED here too
+  // (HLL over grouped values is estimate-identical) and REVERTED on
+  // measurement — approx has no Expand to remove, so six groupBy(value)
+  // subtrees only ADD work over the single 24-agg pass (pin cpu
+  // 2.2 -> 3.3 s). The single-scan HLL pass IS this query's design point.
   private def columnStatsApprox(spark: SparkSession, dir: String): DataFrame = {
     val aggs = StatCols.flatMap { c =>
       Seq(approx_count_distinct(col(c), 0.02).as(s"ndv_$c"),
