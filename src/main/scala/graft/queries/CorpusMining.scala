@@ -45,17 +45,21 @@ object CorpusMining {
       .select(col("doc_id"), explode(tokensCol).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // ln((N+1)/(df+1)) depends only on the term — hoist it into the
+    // vocabulary-sized df table (identical expression over identical
+    // long inputs → bit-identical double), so the per-(doc,term) row
+    // pays one multiply instead of one ln.
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))))
+      .select(col("term"), col("df"),
+        log((col("n_docs") + 1.0) / (col("df") + 1.0)).as("lnidf"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_r").desc, col("term"))
     // no broadcast hint on dfT: vocabulary size is unbounded at corpus
     // scale, so let AQE pick broadcast vs shuffle from the actual size
     // (a forced hint would bypass the threshold and can OOM at 100 TB)
     tf.join(dfT, "term")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("tfidf_r",
-        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("tfidf_r", round(col("tf") * col("lnidf"), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -768,22 +772,26 @@ object CorpusMining {
       .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("n"))))
       .withColumn("lnprior", log(col("nd").cast("double") / col("n")))
       .select(col("clang"), col("lnprior"))
-    // test terms outside the training vocabulary carry no likelihood —
-    // standard multinomial-NB handling, mirrored by the oracle's join.
-    // vocab broadcasts: it is strictly smaller than the classCnt model
-    // table this query already broadcasts (V vs 5·V rows), and the
-    // broadcast keeps the big test side in its (doc,term) partitioning
-    // instead of re-shuffling it by term for a sort-merge join.
-    val testTf = tf.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("lang").as("true_lang"), col("term"), col("tf"))
-      .join(broadcast(vocab), "term")
-    val scores = testTf
-      .crossJoin(broadcast(classTot))
+    // The smoothed log-likelihood depends only on (clang, term) — so it
+    // is computed ONCE per model cell on the vocabulary-sized side (V·5
+    // rows: vocab × classes, left-filled with cnt=0 exactly like the
+    // old test-side na.fill), not once per scored (doc,term,class) row.
+    // The identical expression over the identical long inputs yields
+    // bit-identical doubles; the scored side then needs ONE broadcast
+    // hash join (dense in clang, so an inner join on term both drops
+    // OOV terms — the old vocab semi-join — and fans each test term out
+    // to its 5 class rows — the old classTot crossJoin).
+    val denseLik = vocab.crossJoin(broadcast(classTot))
       .join(broadcast(classCnt), Seq("clang", "term"), "left")
       .na.fill(0L, Seq("cnt"))
       .crossJoin(broadcast(vSize))
-      .withColumn("c",
-        col("tf") * log((col("cnt") + lit(1)).cast("double") / (col("tot") + col("v"))))
+      .withColumn("lnlik",
+        log((col("cnt") + lit(1)).cast("double") / (col("tot") + col("v"))))
+      .select(col("term"), col("clang"), col("lnlik"))
+    val scores = tf.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("term"), col("tf"))
+      .join(broadcast(denseLik), "term")
+      .withColumn("c", col("tf") * col("lnlik"))
       .groupBy(col("doc_id"), col("true_lang"), col("clang"))
       .agg(sum(round(col("c"), 9).cast(DecimalType(28, 9))).cast("double").as("ll"))
       .join(broadcast(priors), "clang")

@@ -229,21 +229,30 @@ object TextAnalytics {
     * a micro-batch slice (the streaming dedup-verdicts twin).
     */
   private[graft] def qualityFilterOf(docs: DataFrame): DataFrame = {
-    val base = docs
+    // rep_ratio = max per-token count / total tokens — a WITHIN-ROW
+    // signal: the max multiplicity is the longest equal-run of the
+    // sorted token array, computed by codegen'd array built-ins instead
+    // of the old explode → (doc,token) shuffle → per-doc rollup → join
+    // (two token-volume exchanges gone; same longs, same one double
+    // division). The isNotNull filter mirrors the old inner join's
+    // drop of NULL-text docs (explode of a NULL array emitted no row).
+    val maxRun = expr(
+      """aggregate(array_sort(toks),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        |  (acc, t) -> named_struct(
+        |    'prev', t,
+        |    'run',  IF(acc.prev <=> t, acc.run + 1L, 1L),
+        |    'best', greatest(acc.best, IF(acc.prev <=> t, acc.run + 1L, 1L))),
+        |  acc -> acc.best)""".stripMargin)
+    docs
+      .filter(col("text").isNotNull)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("n_stop", TextFunctions.markerCount("toks", TextFunctions.Stopwords))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
       .withColumn("avg_word_len",
         length(regexp_replace(trim(col("text")), " ", "")).cast("double") / col("n_words"))
-      .select("doc_id", "toks", "n_words", "stop_ratio", "avg_word_len")
-    val rep = base
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
-    base.drop("toks")
-      .join(rep, "doc_id")
+      .withColumn("rep_ratio", maxRun.cast("double") / col("n_words"))
       .withColumn("fail_reason",
         when(col("n_words") < 20, "too_few_words")
           .when(col("rep_ratio") > 0.12, "repetitive")
@@ -484,10 +493,19 @@ object TextAnalytics {
     val model = dg.groupBy(col("g")).agg(sum(col("c")).as("cg"))
     val ctx = model.groupBy(substring(col("g"), 1, 1).as("c1")).agg(sum(col("cg")).as("cc"))
     val vocab = model.agg(countDistinct(substring(col("g"), 2, 1)).as("v"))
-    val doc = dg
-      .join(model, "g")
-      .join(ctx, substring(col("g"), 1, 1) === col("c1"))
+    // -ln p(c2|c1) depends only on the gram — compute it once per MODEL
+    // cell (char-bigram vocab, bounded by charset² at any corpus scale)
+    // instead of once per (doc, gram) row, and attach it with ONE
+    // broadcast hash join instead of two (model + ctx) over the big
+    // frame. The expression and its long/double inputs are identical,
+    // so the per-row product -c·lnp is bit-identical to the old form.
+    val lnp = model
+      .join(broadcast(ctx), substring(col("g"), 1, 1) === col("c1"))
       .crossJoin(broadcast(vocab))
+      .select(col("g"),
+        log((col("cg") + LmAddK) / (col("cc") + col("v") * LmAddK)).as("lnp"))
+    val doc = dg
+      .join(broadcast(lnp), "g")
       // pico-unit longs, not DECIMAL(38,12): round(x,12)·1e12 is an
       // exact integer while |x| <= 2^53/1e12 ~ 9007 per gram term
       // (t = c·(-ln p); -ln p <= ln((cc+vk)/k) ~ 40, so c must stay
@@ -500,8 +518,7 @@ object TextAnalytics {
       // BOTH invariants are enforced per row / per doc via
       // raise_error — a mismatch fails loudly, never silently.
       .withColumn("t", {
-        val tPico = round(round(-col("c") *
-          log((col("cg") + LmAddK) / (col("cc") + col("v") * LmAddK)), 12) * 1e12)
+        val tPico = round(round(-col("c") * col("lnp"), 12) * 1e12)
         when(abs(tPico) <= lit(9.0e15), tPico.cast("long"))
           .otherwise(raise_error(concat(
             lit("lm_perplexity: per-gram pico term exceeds exact-long range: "),

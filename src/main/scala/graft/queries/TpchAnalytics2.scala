@@ -287,8 +287,14 @@ object TpchAnalytics2 {
     * an anti-joined exclusion list, Q16's signature.
     */
   private def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct on the (partkey, suppkey) pairs: countDistinct's
+    // partial aggregate dedupes (brand, type, size, suppkey) map-side
+    // before its own exchange anyway, so the explicit distinct only
+    // added a full extra shuffle of the pair table (plan: 3 Exchange →
+    // 2); both joins below are broadcast, so the extra probed rows
+    // never cross the network.
     val ps = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(col("l_partkey"), col("l_suppkey"))
     val badSupp = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     val prt = Tables.part(spark, dir)
