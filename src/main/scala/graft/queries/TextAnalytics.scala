@@ -231,9 +231,10 @@ object TextAnalytics {
   private[graft] def qualityFilterOf(docs: DataFrame): DataFrame = {
     // rep_ratio = max per-token count / total tokens — a WITHIN-ROW
     // signal: the max multiplicity is the longest equal-run of the
-    // sorted token array, computed by codegen'd array built-ins instead
-    // of the old explode → (doc,token) shuffle → per-doc rollup → join
-    // (two token-volume exchanges gone; same longs, same one double
+    // sorted token array via the higher-order aggregate() (interpreted
+    // lambda, NOT whole-stage codegen — the win here is the removed
+    // explode → (doc,token) shuffle → per-doc rollup → join, i.e. two
+    // token-volume exchanges gone; same longs, same one double
     // division). The isNotNull filter mirrors the old inner join's
     // drop of NULL-text docs (explode of a NULL array emitted no row).
     val maxRun = expr(
