@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, Codegen
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused shingling/n-gram expressions.
@@ -65,6 +65,44 @@ object TextExprUtil {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Per-row multiplicities of a string array: one struct<t, c> per
+    * DISTINCT element, counted by sort + run-length encoding inside the
+    * row. Grouping semantics are exactly `explode` + `groupBy(t)`:
+    * UTF8String equality IS binary equality, and a null element groups
+    * under the null key like SQL GROUP BY. Output order (binary-sorted,
+    * nulls first) is deterministic but carries no contract — every
+    * consumer re-aggregates or re-sorts.
+    */
+  def tokenCounts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return Empty
+    val items = new Array[UTF8String](n)
+    var m = 0
+    var nulls = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) nulls += 1
+      else { items(m) = arr.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(items, 0, m,
+      null.asInstanceOf[java.util.Comparator[UTF8String]])
+    val out = new java.util.ArrayList[Any](math.min(m, 16) + 1)
+    if (nulls > 0) {
+      out.add(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](null, nulls)))
+    }
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && items(j).equals(items(i))) j += 1
+      out.add(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](items(i), (j - i).toLong)))
+      i = j
+    }
+    new GenericArrayData(out.toArray)
   }
 }
 
@@ -137,6 +175,53 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused per-row distinct-element counter — the map-side half of every
+  * "explode tokens/grams, then groupBy(doc_id, g).count" frame in the
+  * text tier. The counts are complete WITHIN a row (doc), so emitting
+  * them from the row itself turns the (doc, gram)-volume exchange +
+  * hash aggregate into pure scan-side work: `explode(tokenCounts(...))`
+  * yields the identical (doc_id, t, c) rows the old rollup produced,
+  * one per distinct element, no shuffle (guide §2.3/§2.4 — aggregate
+  * before you shuffle, taken to its limit: aggregate before you EMIT).
+  */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("t", StringType, nullable = true),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  // NULL input yields the empty array — explode of the old NULL token
+  // array emitted no rows, and explode(empty) emits none either
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"TokenCounts requires array<string> input, got $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextExprUtil.emptyArray()
+    else TextExprUtil.tokenCounts(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+           |${CodeGenerator.javaType(dataType)} ${ev.value} = ${c.isNull}
+           |  ? graft.plans.TextExprUtil.emptyArray()
+           |  : graft.plans.TextExprUtil.tokenCounts(${c.value});
+           |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API: word k-shingles of a token-array column. */
   def wordShingles(toks: Column, k: Int): Column =
@@ -145,4 +230,10 @@ object TextExpressions {
   /** Column API: character n-grams of a string column. */
   def charNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
+
+  /** Column API: per-row distinct-element counts of a string-array
+    * column, as array<struct<t: string, c: long>>.
+    */
+  def tokenCounts(arr: Column): Column =
+    ColumnBridge.column(TokenCounts(ColumnBridge.expression(arr)))
 }

@@ -41,10 +41,14 @@ object CorpusMining {
     * sized — exactly the sides that broadcast.
     */
   private def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokensCol).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // per-doc term counts are complete WITHIN the row: the fused
+    // tokenCounts RLE emits the identical (doc_id, term, tf) rows the
+    // old explode → groupBy(doc_id, term) rollup produced, without
+    // shuffling one row per token occurrence (r17, guide §2.3/§2.4)
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.tokenCounts(tokensCol)).as("s"))
+      .select(col("doc_id"), col("s.t").as("term"), col("s.c").as("tf"))
     // ln((N+1)/(df+1)) depends only on the term — hoist it into the
     // vocabulary-sized df table (identical expression over identical
     // long inputs → bit-identical double), so the per-(doc,term) row
@@ -109,15 +113,21 @@ object CorpusMining {
     Memo.frame(spark, dir, "bm25_scored")(bm25ScoredFresh(spark, dir))
 
   private def bm25ScoredFresh(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokensCol).as("term"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl is WITHIN-ROW (array size); the old explode → groupBy(doc_id)
+    // rollup emitted no row for token-less docs, mirrored here by the
+    // dl > 0 filter. tf for the 3 query terms is within-row too (fused
+    // tokenCounts RLE — identical rows, no per-occurrence shuffle, r17)
+    val dl = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokensCol).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     // avgdl = exact BIGINT sum / exact count — one double division
     val stats = dl.agg(
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
       count(lit(1)).as("n_docs"))
-    val tfq = toks.filter(col("term").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tfq = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.plans.TextExpressions.tokenCounts(
+        filter(tokensCol, t => t.isInCollection(Bm25Terms)))).as("s"))
+      .select(col("doc_id"), col("s.t").as("term"), col("s.c").as("tf"))
     val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = tfq.join(broadcast(dfq), "term")
       .join(dl, "doc_id")
@@ -241,14 +251,25 @@ object CorpusMining {
     // diverges every downstream assignment; distances are pure IEEE
     // rational folds on bit-identical inputs, exactly what QRound
     // stabilizes (n·k distance values per round sample edges at scale)
+    // (r17) the argmin over the k=8 centroids is WITHIN-ROW once the
+    // codebook rides along as ONE broadcast array row: no ×k fan-out
+    // and no per-iteration vec_id exchange + sort (§2.4 — at corpus
+    // scale each assign was a full shuffle of the vector table).
+    // array_min's struct comparison orders by (d, cid) — exactly the
+    // old row_number(orderBy(d, cid)) = 1 winner over identical
+    // QRound'd distances.
     def assign(cents: DataFrame): DataFrame = {
-      val wMin = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d"), col("cid"))
-      v.crossJoin(broadcast(cents))
-        .withColumn("d", QRound.col(dist2Col("cv", "e"), 6))
-        .withColumn("rn", row_number().over(wMin))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("cid"), col("d"))
+      val carr = cents.agg(
+        array_sort(collect_list(struct(col("cid"), col("cv")))).as("cbs"))
+      v.crossJoin(broadcast(carr))
+        .withColumn("best", array_min(transform(col("cbs"), cb =>
+          struct(
+            QRound.col(graft.plans.VectorExpressions
+              .l2Dist2(cb.getField("cv"), col("e")), 6).as("d"),
+            cb.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("e"),
+          col("best").getField("cid").as("cid"),
+          col("best").getField("d").as("d"))
     }
 
     // a centroid that captures zero vectors this round keeps its
@@ -469,13 +490,19 @@ object CorpusMining {
     * unique tiebreak.
     */
   private def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    // (r17) corpus counts = Σ of per-doc counts: pre-counting each doc's
+    // terms/bigrams in the row (fused tokenCounts RLE) feeds the global
+    // rollups one row per DISTINCT gram per doc instead of one per
+    // occurrence — same sums, smaller hash-agg input (§2.3).
     val toksDf = Tables.documents(spark, dir).select(tokensCol.as("toks"))
-    val uni = toksDf.select(explode(col("toks")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val uni = toksDf
+      .select(explode(graft.plans.TextExpressions.tokenCounts(col("toks"))).as("s"))
+      .groupBy(col("s.t").as("term")).agg(sum(col("s.c")).as("cu"))
     val nUni = uni.agg(sum(col("cu")).as("n_uni"))
     val big = toksDf
-      .select(explode(graft.plans.TextExpressions.wordShingles(col("toks"), 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .select(explode(graft.plans.TextExpressions.tokenCounts(
+        graft.plans.TextExpressions.wordShingles(col("toks"), 2))).as("s"))
+      .groupBy(col("s.t").as("bigram")).agg(sum(col("s.c")).as("cb"))
       .filter(col("cb") >= PmiMinCount)
     val nBig = toksDf
       .select(sum(greatest(size(col("toks")) - 1, lit(0))).as("n_big"))
@@ -530,11 +557,20 @@ object CorpusMining {
     * term rollup, which scales).
     */
   private def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokensCol).as("t"))
-    val tokensPerBucket = tok.groupBy(expr("doc_id DIV 100").as("bucket"))
-      .agg(count(lit(1)).as("n_tokens"))
-    val newTerms = tok.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+    // (r17) per-bucket token totals are within-row sums of array sizes
+    // (no explode at all), and "first doc per term" only needs each
+    // doc's DISTINCT terms — array_distinct cuts the term-keyed
+    // exchange to one row per (doc, distinct term) (§2.3).
+    val tokensPerBucket = Tables.documents(spark, dir)
+      .select(expr("doc_id DIV 100").as("bucket"), size(tokensCol).cast("long").as("nt"))
+      // mirror the old explode: a token-less doc contributed no rows, so
+      // a bucket of only token-less docs must stay absent, not sum to 0
+      .filter(col("nt") > 0)
+      .groupBy(col("bucket"))
+      .agg(sum(col("nt")).as("n_tokens"))
+    val newTerms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokensCol)).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
       .groupBy(expr("fd DIV 100").as("bucket"))
       .agg(count(lit(1)).as("n_new_terms"))
     val w = Window.orderBy(col("bucket"))
@@ -746,17 +782,18 @@ object CorpusMining {
     * argmax pinned by round(score,6) + lang tiebreak.
     */
   private def nbLangClassifier(spark: SparkSession, dir: String): DataFrame = {
-    // ONE (doc, lang, term) tf rollup feeds BOTH the training counts and
-    // the test tf side: the two consumers' subtrees are canonically
-    // identical below the filters, so the explode + first exchange plan
-    // once and execute once (ReusedExchange) — the r15 shape re-ran the
-    // token explode + shuffle four times (classCnt / vocab / test tf each
-    // had their own lineage; 50-Exchange initial plan, 23 jobs).
-    // Values are unchanged: per-class counts are the sum of per-doc tfs.
+    // ONE (doc, lang, term) tf frame feeds BOTH the training counts and
+    // the test tf side — the r15 shape re-ran the token explode + shuffle
+    // four times (classCnt / vocab / test tf each had their own lineage;
+    // 50-Exchange initial plan, 23 jobs). Values are unchanged: per-class
+    // counts are the sum of per-doc tfs.
+    // (r17) lang is constant within a doc, so the (doc, lang, term)
+    // rollup is WITHIN-ROW: the fused tokenCounts RLE emits the
+    // identical rows without the per-occurrence exchange (§2.3/§2.4).
     val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(tokensCol).as("term"))
-      .groupBy(col("doc_id"), col("lang"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.plans.TextExpressions.tokenCounts(tokensCol)).as("s"))
+      .select(col("doc_id"), col("lang"), col("s.t").as("term"), col("s.c").as("tf"))
     val train = tf.filter(col("doc_id") % 2 === 0)
     val classCnt = train.groupBy(col("lang").as("clang"), col("term"))
       .agg(sum(col("tf")).as("cnt"))

@@ -35,11 +35,15 @@ object MixtureAnalytics {
     * window on the same exchange the final rollup reuses.
     */
   private def docEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val wDoc = Window.partitionBy(col("doc_id"))
+    // (r17) per-doc term counts AND the doc total are within-row (fused
+    // tokenCounts RLE + array size): the per-occurrence exchange and the
+    // doc-partitioned window both disappear — only the final per-doc
+    // rollup shuffles, one row per distinct term (§2.3/§2.4).
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .withColumn("n", sum(col("c")).over(wDoc))
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n"),
+        explode(graft.plans.TextExpressions.tokenCounts(col("w"))).as("s"))
+      .select(col("doc_id"), col("n"), col("s.c").as("c"))
       .withColumn("p", col("c").cast("double") / col("n"))
       .withColumn("term_ent",
         round(-col("p") * log(col("p")), 12).cast(DecimalType(38, 12)))
@@ -88,9 +92,14 @@ object MixtureAnalytics {
     * per-source sum (order-independent at any vocabulary size).
     */
   private def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    // (r17) per-(source, term) counts = Σ of per-doc counts: the fused
+    // tokenCounts RLE feeds the rollup one row per distinct term per doc
+    // instead of one per occurrence — same sums (§2.3).
     val tok = Tables.documents(spark, dir)
-      .select(col("source"), explode(toks(col("text"))).as("t"))
-    val bySrc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("cs"))
+      .select(col("source"),
+        explode(graft.plans.TextExpressions.tokenCounts(toks(col("text")))).as("s"))
+    val bySrc = tok.groupBy(col("source"), col("s.t").as("t"))
+      .agg(sum(col("s.c")).as("cs"))
     val srcTot = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
     val global = bySrc.groupBy(col("t")).agg(sum(col("cs")).as("cg"))
     val gTot = global.agg(sum(col("cg")).as("ng"))
@@ -247,10 +256,16 @@ object MixtureAnalytics {
   private def dsirSelection(spark: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val bCol = expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)") % DsirBuckets
+    // (r17) per-doc bucket counts = Σ of per-doc TERM counts over the
+    // term→bucket map: the fused tokenCounts RLE hashes each DISTINCT
+    // term once (md5 was the hot per-occurrence cost) and the bucket
+    // rollup sums pre-counted rows (§2.3; same counts by construction).
     val dgb = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("t"))
-      .select(col("doc_id"), col("source"), bCol.as("b"))
-      .groupBy(col("doc_id"), col("source"), col("b")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("source"),
+        explode(graft.plans.TextExpressions.tokenCounts(toks(col("text")))).as("s"))
+      .select(col("doc_id"), col("source"), col("s.t").as("t"), col("s.c").as("tc"))
+      .select(col("doc_id"), col("source"), bCol.as("b"), col("tc"))
+      .groupBy(col("doc_id"), col("source"), col("b")).agg(sum(col("tc")).as("c"))
       .localCheckpoint() // read by both distribution rollups + scoring
     val ct = dgb.filter(col("source") === DsirTarget)
       .groupBy(col("b")).agg(sum(col("c")).as("tc"))

@@ -38,12 +38,17 @@ object PipelineShaping {
     * a TakeOrderedAndProject (per-partition heap), never a global sort.
     */
   private def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
+    // (r17) the fused tokenCounts RLE emits one (doc, bigram, c) row per
+    // DISTINCT bigram per doc, so n_occurrences = Σc and n_docs becomes a
+    // plain count — the per-occurrence explode AND the countDistinct
+    // Expand both disappear (§2.3).
     Tables.documents(spark, dir)
       .withColumn("toks", TextFunctions.tokens(col("text")))
-      .select(col("doc_id"), explode(TextFunctions.wordShingles("toks", 2)).as("bigram"))
-      .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("doc_id"), explode(graft.plans.TextExpressions.tokenCounts(
+        TextFunctions.wordShingles("toks", 2))).as("s"))
+      .groupBy(col("s.t").as("bigram"))
+      .agg(sum(col("s.c")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("bigram"))
       .limit(50)
   }

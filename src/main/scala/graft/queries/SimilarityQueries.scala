@@ -821,15 +821,25 @@ object SimilarityQueries {
         transform(col("be"), x => x.cast("double")).as("cv"))
 
     // QRound, not native round (r15 knife-edge audit): same iterative
-    // Lloyd class as kmeansAssign — see the comment there
+    // Lloyd class as kmeansAssign — see the comment there.
+    // (r17) the argmin over the block's 16 centroids is WITHIN-ROW once
+    // the codebook rides along as one broadcast array per block: no ×k
+    // fan-out and no (vec_id, blk) exchange + sort per Lloyd step
+    // (§2.4 — at corpus scale each assign was a full shuffle of the
+    // sliced vector table). array_min's struct comparison orders by
+    // (d, cid) — exactly the old row_number(orderBy(d, cid)) = 1
+    // winner over identical QRound'd distances.
     def assign(cents: DataFrame): DataFrame = {
-      val wMin = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"), col("blk")).orderBy(col("d"), col("cid"))
-      bv.join(broadcast(cents), Seq("blk"))
-        .withColumn("d", QRound.col(pqDist2("cv", "be"), 6))
-        .withColumn("rn", row_number().over(wMin))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("blk"), col("be"), col("cid"))
+      val byBlk = cents.groupBy(col("blk"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cbs"))
+      bv.join(broadcast(byBlk), Seq("blk"))
+        .withColumn("best", array_min(transform(col("cbs"), cb =>
+          struct(
+            QRound.col(graft.plans.VectorExpressions
+              .l2Dist2(cb.getField("cv"), col("be")), 6).as("d"),
+            cb.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("blk"), col("be"),
+          col("best").getField("cid").as("cid"))
     }
 
     def update(assigned: DataFrame, prev: DataFrame): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -396,29 +396,33 @@ object TextAnalytics {
     Memo.frame(spark, dir, "doc_repetition")(docRepetitionFresh(spark, dir))
 
   private def docRepetitionFresh(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      .select(col("doc_id"), col("toks"))
-      .localCheckpoint() // read by three gram pipelines
-    val uni = base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
-      size(array_distinct(col("toks"))).cast("long").as("n_dist"))
+    // (r17) EVERY signal is within-row: gram multiplicities come from
+    // the fused tokenCounts RLE over the row's own shingle arrays, so
+    // the two explode → (doc, gram) exchanges, the two per-doc rollups
+    // and both joins disappear — the whole frame is one map over the
+    // scan (§2.3/§2.4). Null semantics mirror the old left joins: a doc
+    // with no bigrams/trigrams had NO rollup row, so n_bi/top_bi/
+    // n_tri/dup_tri are NULL there (the final coalesce handles them).
     // top_bi consumes only the WINNING COUNT, never the winning gram —
-    // rank-1 by (c desc, md5(g)) has c = max(c) by construction, so the
-    // old row_number window (an extra sort over every (doc, gram) row)
-    // collapses into the same aggregate that computes n_bi (r16; the
-    // oracle's max(CASE WHEN rn = 1 THEN c END) is the same value)
-    val biAgg = base
-      .select(col("doc_id"), explode(TextFunctions.wordShingles("toks", 2)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bi"), max(col("c")).as("top_bi"))
-    val triAgg = base
-      .select(col("doc_id"), explode(TextFunctions.wordShingles("toks", 3)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tri"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
-    uni.join(biAgg, Seq("doc_id"), "left").join(triAgg, Seq("doc_id"), "left")
+    // max multiplicity == the old rank-1-by-(c desc) count (r16).
+    def counts(k: Int): Column = graft.plans.TextExpressions.tokenCounts(
+      TextFunctions.wordShingles("toks", k))
+    val maxC: Column => Column = a => array_max(transform(a, s => s.getField("c")))
+    val dupC: Column => Column = a => aggregate(
+      a, lit(0L), (acc, s) =>
+        acc + when(s.getField("c") > 1, s.getField("c")).otherwise(0L))
+    val uni = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"),
+        counts(2).as("bc"), counts(3).as("tc"))
+      .select(col("doc_id"), col("n_tok"), col("n_dist"),
+        // n_bi/n_tri = total gram occurrences = n_tok-k+1 when any exist
+        when(col("n_tok") >= 2, col("n_tok") - 1L).as("n_bi"),
+        when(col("n_tok") >= 2, maxC(col("bc"))).as("top_bi"),
+        when(col("n_tok") >= 3, col("n_tok") - 2L).as("n_tri"),
+        when(col("n_tok") >= 3, dupC(col("tc"))).as("dup_tri"))
+    uni
       // QRound: integer ratios — exact-boundary class (ROUND_AUDIT U3)
       .select(col("doc_id"), col("n_tok"),
         QRound.col(lit(1.0) - col("n_dist").cast("double") / col("n_tok"), 6)
@@ -487,9 +491,14 @@ object TextAnalytics {
   private def ngramLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val W = org.apache.spark.sql.expressions.Window
+    // per-doc gram counts are complete WITHIN the row — the fused
+    // tokenCounts RLE emits the identical (doc_id, g, c) rows the old
+    // explode → groupBy(doc_id, g) rollup produced, without shuffling
+    // one row per character position (r17, guide §2.3/§2.4)
     val dg = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextFunctions.charNgrams("text", 2)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), explode(graft.plans.TextExpressions.tokenCounts(
+        TextFunctions.charNgrams("text", 2))).as("s"))
+      .select(col("doc_id"), col("s.t").as("g"), col("s.c").as("c"))
       .localCheckpoint() // model AND scoring read it
     val model = dg.groupBy(col("g")).agg(sum(col("c")).as("cg"))
     val ctx = model.groupBy(substring(col("g"), 1, 1).as("c1")).agg(sum(col("cg")).as("cc"))
